@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.queries._
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -10,10 +11,10 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_agg")(spark, "/root/testdata/sf0.001")
+    queries("q17_star_join")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // §2.A q01: groupBy aggregation (pop-table rollup shape).
     // Reference: pl_pop_tables.py loads wide census tables and sums by
     // geography; this is the canonical partial-agg + single-shuffle plan.
@@ -27,7 +28,7 @@ object SparkEntry {
           count(lit(1)).as("n_rows")
         )
     }
-  )
+  ) ++ RelationalQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,5 +41,5 @@ object SparkEntry {
         |       count(*) AS n_rows
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin
-  )
+  ) ++ RelationalQueries.oracle
 }

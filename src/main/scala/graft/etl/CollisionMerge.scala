@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object CollisionMerge {
 
-  /** Group by `key`; sum `measures`; keep `first` of `carried`;
-    * `collision_count` = n-1 like the reference's counter.
-    * `classCol` (if present) becomes "union" when rows merged, else
-    * its lone value (pl_geo.py:168).
+  /** Group by `key`; sum `measures`; keep `min` of `carried`
+    * (deterministic stand-in for the reference's "first seen", which
+    * was driver-iteration-order dependent); `collision_count` = n-1
+    * like the reference's counter. `classCol` (if present) becomes
+    * "union" when rows merged, else its lone value (pl_geo.py:168).
     */
   def merge(
       df: DataFrame,
@@ -33,9 +34,9 @@ object CollisionMerge {
   ): DataFrame = {
     val aggs =
       measures.map(m => sum(col(m)).as(m)) ++
-        carried.map(c => first(col(c)).as(c)) ++
+        carried.map(c => min(col(c)).as(c)) ++
         classCol.toSeq.map(c =>
-          when(count(lit(1)) > 1, lit("union")).otherwise(first(col(c))).as(c)
+          when(count(lit(1)) > 1, lit("union")).otherwise(min(col(c))).as(c)
         ) :+
         (count(lit(1)) - 1).as("collision_count")
     df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
