@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.geo.GeoFunctions._
+import graft.text.TextFunctions._
+import graft.sources.Tables
+
+/** §2.B geospatial-lite (q23-q25) + §2.C text analysis (q26-q29).
+  *
+  * Geo coordinates are derived deterministically from integer keys
+  * (exact integer mod + decimal scaling — bit-identical in Spark and
+  * DuckDB), standing in for the reference's shapefile centroids.
+  *
+  * Scale notes: every operator here is a narrow scalar pipeline into
+  * one aggregate/window — a single shuffle, codegen throughout. The
+  * centroid table in q24 is a 5-row literal → broadcast nested-loop
+  * is trivially right; never a shuffle.
+  */
+object GeoTextQueries {
+
+  /** Fixed "region centroid" seed points for nearest-assignment. */
+  val Centroids: Seq[(Int, Double, Double)] = Seq(
+    (0, 40.7, -74.0),
+    (1, 51.5, -0.1),
+    (2, 35.7, 139.7),
+    (3, -33.9, 151.2),
+    (4, -23.5, -46.6)
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q23: UTM zone per point + modal zone per nation
+    // (pl_localities.py:81-92 identify_utm_zone = modal centroid zone).
+    "q23_utm_zone" -> { (s, dir) =>
+      val pts = Tables
+        .customer(s, dir)
+        .select(
+          col("c_nationkey"),
+          utmZone(syntheticLon(col("c_custkey"))).as("zone")
+        )
+      val counts = pts.groupBy(col("c_nationkey"), col("zone")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("n").desc, col("zone").asc)
+      counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_nationkey"), col("zone").as("modal_zone"), col("n"))
+    },
+
+    // q24: haversine nearest-centroid assignment. 5-row literal dim ×
+    // customer points; row_number picks the min-distance centroid with
+    // a deterministic id tiebreak.
+    "q24_haversine" -> { (s, dir) =>
+      import s.implicits._
+      val cents = Centroids.toDF("cent_id", "cent_lat", "cent_lon")
+      val pts = Tables
+        .customer(s, dir)
+        .select(
+          col("c_custkey"),
+          syntheticLat(col("c_custkey")).as("lat"),
+          syntheticLon(col("c_custkey")).as("lon")
+        )
+      val dists = pts
+        .crossJoin(broadcast(cents))
+        .withColumn("dist_km", haversineKm(col("lat"), col("lon"), col("cent_lat"), col("cent_lon")))
+      val w = Window.partitionBy(col("c_custkey")).orderBy(col("dist_km").asc, col("cent_id").asc)
+      dists
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_custkey"), col("cent_id").as("nearest_centroid"), round(col("dist_km"), 2).as("dist_km"))
+    },
+
+    // q25: per-nation bbox + internal point (pl_geo.py:216) + count of
+    // points inside a fixed query bbox.
+    "q25_point_bbox" -> { (s, dir) =>
+      Tables
+        .customer(s, dir)
+        .select(
+          col("c_nationkey"),
+          syntheticLat(col("c_custkey")).as("lat"),
+          syntheticLon(col("c_custkey")).as("lon")
+        )
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(when(inBbox(col("lat"), col("lon"), 0.0, 60.0, -30.0, 60.0), 1L).otherwise(0L)).as("n_in_bbox"),
+          min(col("lat")).as("min_lat"),
+          max(col("lat")).as("max_lat"),
+          min(col("lon")).as("min_lon"),
+          max(col("lon")).as("max_lon"),
+          round(avg(col("lat")), 4).as("internal_lat"),
+          round(avg(col("lon")), 4).as("internal_lon")
+        )
+    },
+
+    // q26: token counting — whitespace tokens + regex token runs.
+    "q26_token_count" -> { (s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          tokenCountWs(col("text")).as("ws_tokens"),
+          tokenCountRe(col("text")).as("re_tokens")
+        )
+    },
+
+    // q27: composite quality score (length/stopword/punct heuristics).
+    "q27_quality_score" -> { (s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          tokenCountWs(col("text")).as("n_tokens"),
+          stopwordHits(col("text")).as("stop_hits"),
+          punctHits(col("text")).as("punct_hits"),
+          qualityScore(col("text"), col("n_chars")).as("quality")
+        )
+    },
+
+    // q28: stopword-heuristic language ID with per-language scores.
+    "q28_langid" -> { (s, dir) =>
+      val hitCols = LangStopwords.map { case (lang, words) =>
+        stopwordHits(col("text"), words).as(s"${lang}_hits")
+      }
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id") +: langId(col("text")).as("pred_lang") +: hitCols: _*)
+        .select("doc_id", "pred_lang", "en_hits", "es_hits", "fr_hits", "de_hits")
+    },
+
+    // q29: Karp-Rabin rolling-hash fingerprint of the 64-char prefix +
+    // duplicate-prefix group size via a self-agg join.
+    "q29_fingerprint" -> { (s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), fingerprint("text").as("fp"))
+    }
+  )
+
+  // q28 needs `text` present when langId is computed: rebuild select.
+  // (kept here so queries map stays a pure literal above)
+
+  private def synLonSql(k: String) = s"(($k * 7919) % 36000) / 100.0 - 180.0"
+  private def synLatSql(k: String) = s"(($k * 104729) % 18000) / 100.0 - 90.0"
+  private def havSql(lat1: String, lon1: String, lat2: String, lon2: String) =
+    s"""2.0 * 6371.0088 * asin(sqrt(
+       |  pow(sin(radians($lat2 - $lat1) / 2.0), 2) +
+       |  cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2.0), 2)))""".stripMargin
+  private def hitsSql(words: Seq[String], c: String = "text") =
+    s"len(regexp_extract_all($c, '\\b(${words.mkString("|")})\\b'))"
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  def oracle: Map[String, String] = Map(
+    "q23_utm_zone" ->
+      s"""SELECT c_nationkey, modal_zone, n FROM (
+         |  SELECT c_nationkey, zone AS modal_zone, count(*) AS n,
+         |         row_number() OVER (PARTITION BY c_nationkey
+         |                            ORDER BY count(*) DESC, zone ASC) AS rn
+         |  FROM (SELECT c_nationkey,
+         |               CAST(least(floor((${synLonSql("c_custkey")} + 180.0) / 6.0) + 1, 60) AS INT) AS zone
+         |        FROM customer)
+         |  GROUP BY c_nationkey, zone) WHERE rn = 1""".stripMargin,
+    "q24_haversine" ->
+      s"""SELECT c_custkey, nearest_centroid, dist_km FROM (
+         |  SELECT c_custkey, cent_id AS nearest_centroid, round(d, 2) AS dist_km,
+         |         row_number() OVER (PARTITION BY c_custkey ORDER BY d ASC, cent_id ASC) AS rn
+         |  FROM (
+         |    SELECT c_custkey, cent_id,
+         |           ${havSql("lat", "lon", "cent_lat", "cent_lon")} AS d
+         |    FROM (SELECT c_custkey,
+         |                 ${synLatSql("c_custkey")} AS lat,
+         |                 ${synLonSql("c_custkey")} AS lon
+         |          FROM customer)
+         |    CROSS JOIN (VALUES (0, 40.7, -74.0), (1, 51.5, -0.1), (2, 35.7, 139.7),
+         |                       (3, -33.9, 151.2), (4, -23.5, -46.6)) AS c(cent_id, cent_lat, cent_lon)
+         |  )) WHERE rn = 1""".stripMargin,
+    "q25_point_bbox" ->
+      s"""SELECT c_nationkey, count(*) AS n_points,
+         |       sum(CASE WHEN lat BETWEEN 0.0 AND 60.0 AND lon BETWEEN -30.0 AND 60.0
+         |                THEN 1 ELSE 0 END) AS n_in_bbox,
+         |       min(lat) AS min_lat, max(lat) AS max_lat,
+         |       min(lon) AS min_lon, max(lon) AS max_lon,
+         |       round(avg(lat), 4) AS internal_lat, round(avg(lon), 4) AS internal_lon
+         |FROM (SELECT c_nationkey,
+         |             ${synLatSql("c_custkey")} AS lat,
+         |             ${synLonSql("c_custkey")} AS lon
+         |      FROM customer)
+         |GROUP BY c_nationkey""".stripMargin,
+    "q26_token_count" ->
+      """SELECT doc_id,
+        |       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens
+        |FROM documents""".stripMargin,
+    "q27_quality_score" ->
+      s"""SELECT doc_id,
+         |       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |       ${hitsSql(stopEn)} AS stop_hits,
+         |       len(regexp_extract_all(text, '[.,!?;:]')) AS punct_hits,
+         |       round(0.5 * least(n_chars / 400.0, 1.0)
+         |             + 0.3 * (${hitsSql(stopEn)} * 1.0 / len(string_split_regex(trim(text), '\\s+')))
+         |             + 0.2 * (1.0 - len(regexp_extract_all(text, '[.,!?;:]')) * 1.0
+         |                            / len(string_split_regex(trim(text), '\\s+'))), 4) AS quality
+         |FROM documents""".stripMargin,
+    "q28_langid" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN en_hits > 0 AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+         |            WHEN es_hits > 0 AND es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+         |            WHEN fr_hits > 0 AND fr_hits >= de_hits THEN 'fr'
+         |            WHEN de_hits > 0 THEN 'de'
+         |            ELSE 'und' END AS pred_lang,
+         |       en_hits, es_hits, fr_hits, de_hits
+         |FROM (SELECT doc_id,
+         |             ${hitsSql(Seq("the", "and", "of", "is"))} AS en_hits,
+         |             ${hitsSql(Seq("el", "la", "de", "que"))} AS es_hits,
+         |             ${hitsSql(Seq("le", "les", "et", "une"))} AS fr_hits,
+         |             ${hitsSql(Seq("der", "die", "und", "das"))} AS de_hits
+         |      FROM documents)""".stripMargin,
+    "q29_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(list_transform(range(1, least(length(text), 64) + 1),
+        |                                  i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+        |                   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents WHERE length(text) > 0""".stripMargin
+  )
+}

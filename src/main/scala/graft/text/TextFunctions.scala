@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis as pure Column trees — token counting, quality
+  * scoring, stopword-heuristic language ID, rolling-hash fingerprints.
+  *
+  * The reference cleans and normalizes census strings
+  * (gerrydb_etl/bootstrap/pl_geo.py:103-107, __init__.py:59 pathify);
+  * these operators extend that string layer to the document analytics a
+  * training-data pipeline needs. Everything is a codegen'd builtin —
+  * `regexp_count`, `split`, higher-order `aggregate` — no UDFs, so the
+  * hot path stays inside WholeStageCodegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace token count: split on runs of whitespace after trim. */
+  def tokenCountWs(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: maximal runs of lowercase alphanumerics. */
+  def tokenCountRe(text: Column): Column = regexp_count(text, lit("[a-z0-9]+"))
+
+  private val StopwordsEn = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Count of English stopword occurrences (word-bounded). */
+  def stopwordHits(text: Column): Column = stopwordHits(text, StopwordsEn)
+
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    regexp_count(text, lit("\\b(" + words.mkString("|") + ")\\b"))
+
+  /** Punctuation character count. */
+  def punctHits(text: Column): Column = regexp_count(text, lit("[.,!?;:]"))
+
+  /** Composite quality score in [0, 1]: length saturation + stopword
+    * density - punctuation density. Mirrors the standard C4/Gopher-style
+    * length/stopword/punct heuristics over a `documents` table.
+    */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val toks = tokenCountWs(text).cast("double")
+    round(
+      lit(0.5) * least(nChars / 400.0, lit(1.0)) +
+        lit(0.3) * (stopwordHits(text) / toks) +
+        lit(0.2) * (lit(1.0) - punctHits(text) / toks),
+      4
+    )
+  }
+
+  /** Per-language stopword lists for the langid heuristic. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "les", "et", "une"),
+    "de" -> Seq("der", "die", "und", "das")
+  )
+
+  /** Language ID: argmax of per-language stopword hits, ties broken by
+    * list order above; "und" (undetermined) when no list scores > 0.
+    * The classic fastText-free heuristic — cheap enough to run inline
+    * over 100 TB of text.
+    */
+  def langId(text: Column): Column = {
+    val hits = LangStopwords.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    val best = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und")) { case ((lang, h), els) =>
+      when(h > 0 && h === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Karp-Rabin polynomial rolling hash of the first `prefixLen` chars:
+    * fold(acc * 31 + codepoint) mod 1e9+7. Same fold is expressible in
+    * DuckDB (`list_reduce`) for the oracle. Requires non-empty text.
+    */
+  def fingerprint(textCol: String, prefixLen: Int = 64): Column =
+    expr(
+      s"aggregate(sequence(1, least(length($textCol), $prefixLen)), 0L, " +
+        s"(acc, i) -> (acc * 31 + ascii(substr($textCol, i, 1))) % 1000000007)"
+    )
+
+  /** Character shingles (overlapping n-grams) of `text` as an array —
+    * the unit of Jaccard/MinHash dedup. transform over a sequence keeps
+    * it codegen-friendly; shingle count is length-n+1 per doc.
+    */
+  def charShingles(textCol: String, n: Int): Column =
+    expr(s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> substr($textCol, i, $n))")
+
+  /** Word shingles: n-grams of whitespace tokens, space-joined. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))
+    )
+  }
+}
