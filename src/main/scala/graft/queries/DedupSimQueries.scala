@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.sources.Tables
+
+/** §2.D deduplication (q30-q34) + §2.E similarity search (q35-q36).
+  *
+  * Exact-oracle queries (q30/q31/q34/q35) use only arithmetic both
+  * engines evaluate bit-identically (md5, integer joins, sequential
+  * double folds). Hash-dependent ops (q32 minhash, q33 simhash, q36
+  * lsh) get the driver's rows-only check + ScalaTest verification
+  * against their exact counterparts at sf0.001.
+  */
+object DedupSimQueries {
+
+  val JaccardThreshold = 0.5
+  val CosineThreshold = 0.4
+  val NumPerms = 64
+  val RowsPerBand = 4
+  val SimhashMaxDist = 3
+  val AnnK = 10
+  val NumPlanes = 8
+  val Dims = 64
+
+  private def shingles3(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
+
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q30: exact text dedup via md5-hash groupBy — the 100 TB shuffle
+    // carries 32-byte digests, not documents.
+    "q30_dedup_text_exact" -> { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // q31: exact n-gram Jaccard pairs from a shingle equi-join (the
+    // correctness baseline; q32 is the scale path).
+    "q31_dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(shingles3(s, dir), JaccardThreshold)
+    },
+
+    // q32: MinHash signatures + LSH banding -> candidates -> exact
+    // verify. Candidate generation is an equi-join on (band, hash);
+    // only candidates pay the exact-Jaccard cost.
+    "q32_dedup_minhash_lsh" -> { (s, dir) =>
+      val sh = shingles3(s, dir)
+      val sigs = Dedup.minhashSignatures(sh, NumPerms)
+      val cands = Dedup.lshCandidates(sigs, NumPerms, RowsPerBand)
+      Dedup.verifyJaccard(sh, cands, JaccardThreshold)
+    },
+
+    // q33: 64-bit SimHash + pigeonhole chunk join for Hamming <= 3.
+    "q33_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashNearPairs(Dedup.simhash(shingles3(s, dir)), SimhashMaxDist)
+    },
+
+    // q34: embedding cosine near-dup pairs, blocked by label so the
+    // pair generator is an equi-join (SURVEY §4: never cross join).
+    "q34_dedup_embedding" -> { (s, dir) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding", "label", CosineThreshold)
+    },
+
+    // q35: exact top-k cosine ANN baseline — 5 fixed probes broadcast
+    // against the corpus, ranked per probe.
+    "q35_ann_bruteforce" -> { (s, dir) =>
+      val e = embDouble(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), AnnK)
+    },
+
+    // q36: random-hyperplane LSH ANN — probes meet only same-bucket
+    // corpus vectors; recall vs q35 measured in DedupSimSpec.
+    "q36_ann_lsh" -> { (s, dir) =>
+      val e = embDouble(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), AnnK, NumPlanes, Dims)
+    }
+  )
+
+  private val dotSql =
+    "list_reduce(list_transform(range(1, len(%1$s) + 1), i -> %1$s[CAST(i AS INT)] * %2$s[CAST(i AS INT)]), (acc, x) -> acc + x)"
+  private def dot(a: String, b: String) = dotSql.format(a, b)
+
+  def oracle: Map[String, String] = Map(
+    "q30_dedup_text_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q31_dedup_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+         |              i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) s
+         |       FROM toks),
+         |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= $JaccardThreshold""".stripMargin,
+    "q34_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(${dot("v", "v")}) norm FROM e),
+         |p AS (SELECT a.vec_id vec_a, b.vec_id vec_b,
+         |             ${dot("a.v", "b.v")} / (a.norm * b.norm) cosine
+         |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(cosine, 4) AS cosine
+         |FROM p WHERE cosine >= $CosineThreshold""".stripMargin,
+    "q35_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) norm FROM e),
+         |p AS (SELECT vec_id probe_id, v pv, norm pnorm FROM n WHERE vec_id < 5),
+         |c AS (SELECT probe_id, vec_id,
+         |             ${dot("v", "pv")} / (norm * pnorm) cosine
+         |      FROM n CROSS JOIN p WHERE vec_id != probe_id),
+         |r AS (SELECT probe_id, vec_id, cosine,
+         |             row_number() OVER (PARTITION BY probe_id
+         |                                ORDER BY cosine DESC, vec_id ASC) rk
+         |      FROM c)
+         |SELECT probe_id, rk AS rank, vec_id AS neighbor_id, round(cosine, 4) AS cosine
+         |FROM r WHERE rk <= $AnnK""".stripMargin
+  )
+}
