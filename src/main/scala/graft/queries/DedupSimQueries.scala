@@ -23,7 +23,8 @@ object DedupSimQueries {
   val RowsPerBand = 4
   val SimhashMaxDist = 3
   val AnnK = 10
-  val NumPlanes = 8
+  val AnnTables = 8
+  val AnnPlanesPerTable = 4
   val Dims = 64
 
   private def shingles3(s: SparkSession, dir: String): DataFrame =
@@ -75,11 +76,12 @@ object DedupSimQueries {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), AnnK)
     },
 
-    // q36: random-hyperplane LSH ANN — probes meet only same-bucket
-    // corpus vectors; recall vs q35 measured in DedupSimSpec.
+    // q36: multi-table random-hyperplane LSH ANN (8 tables x 4 planes)
+    // — probes meet the union of their per-table bucket contents;
+    // recall vs q35 measured in DedupSimSpec.
     "q36_ann_lsh" -> { (s, dir) =>
       val e = embDouble(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), AnnK, NumPlanes, Dims)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), AnnK, AnnTables, AnnPlanesPerTable, Dims)
     }
   )
 

@@ -72,14 +72,20 @@ object GeoTextQueries {
     },
 
     // q25: per-nation bbox + internal point (pl_geo.py:216) + count of
-    // points inside a fixed query bbox.
+    // points inside a fixed query bbox. The internal point is computed
+    // from EXACT integer centilat/centilon sums (one double division at
+    // the end) — a plain avg(double) is summation-order-dependent, so
+    // Spark's parallel partial agg and a sequential engine could round
+    // the 4th decimal differently.
     "q25_point_bbox" -> { (s, dir) =>
       Tables
         .customer(s, dir)
         .select(
           col("c_nationkey"),
           syntheticLat(col("c_custkey")).as("lat"),
-          syntheticLon(col("c_custkey")).as("lon")
+          syntheticLon(col("c_custkey")).as("lon"),
+          ((col("c_custkey") * 104729) % 18000).as("lat_m"),
+          ((col("c_custkey") * 7919) % 36000).as("lon_m")
         )
         .groupBy(col("c_nationkey"))
         .agg(
@@ -89,8 +95,8 @@ object GeoTextQueries {
           max(col("lat")).as("max_lat"),
           min(col("lon")).as("min_lon"),
           max(col("lon")).as("max_lon"),
-          round(avg(col("lat")), 4).as("internal_lat"),
-          round(avg(col("lon")), 4).as("internal_lon")
+          round(sum(col("lat_m")).cast("double") / count(lit(1)) / lit(100.0) - lit(90.0), 4).as("internal_lat"),
+          round(sum(col("lon_m")).cast("double") / count(lit(1)) / lit(100.0) - lit(180.0), 4).as("internal_lon")
         )
     },
 
@@ -179,14 +185,17 @@ object GeoTextQueries {
          |  )) WHERE rn = 1""".stripMargin,
     "q25_point_bbox" ->
       s"""SELECT c_nationkey, count(*) AS n_points,
-         |       sum(CASE WHEN lat BETWEEN 0.0 AND 60.0 AND lon BETWEEN -30.0 AND 60.0
-         |                THEN 1 ELSE 0 END) AS n_in_bbox,
+         |       CAST(sum(CASE WHEN lat BETWEEN 0.0 AND 60.0 AND lon BETWEEN -30.0 AND 60.0
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_in_bbox,
          |       min(lat) AS min_lat, max(lat) AS max_lat,
          |       min(lon) AS min_lon, max(lon) AS max_lon,
-         |       round(avg(lat), 4) AS internal_lat, round(avg(lon), 4) AS internal_lon
+         |       round(CAST(sum(lat_m) AS DOUBLE) / count(*) / 100.0 - 90.0, 4) AS internal_lat,
+         |       round(CAST(sum(lon_m) AS DOUBLE) / count(*) / 100.0 - 180.0, 4) AS internal_lon
          |FROM (SELECT c_nationkey,
          |             ${synLatSql("c_custkey")} AS lat,
-         |             ${synLonSql("c_custkey")} AS lon
+         |             ${synLonSql("c_custkey")} AS lon,
+         |             (c_custkey * 104729) % 18000 AS lat_m,
+         |             (c_custkey * 7919) % 36000 AS lon_m
          |      FROM customer)
          |GROUP BY c_nationkey""".stripMargin,
     "q26_token_count" ->

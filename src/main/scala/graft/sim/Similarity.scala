@@ -48,34 +48,76 @@ object Similarity {
       x.toDouble / 0x7fffffffL.toDouble * 2.0 - 1.0
     }
 
-  /** Sign-pattern bucket id from `numPlanes` hyperplanes: bit p set iff
-    * dot(v, plane_p) > 0. Pure Column fold, codegen'd.
+  /** Sign-pattern bucket id from `numPlanes` hyperplanes (plane ids
+    * `planeOffset until planeOffset + numPlanes`): bit p set iff
+    * dot(v, plane_p) > 0. Pure Column fold.
     */
-  def lshBucket(v: Column, numPlanes: Int, dims: Int): Column =
+  def lshBucket(v: Column, numPlanes: Int, dims: Int, planeOffset: Int = 0): Column =
     (0 until numPlanes)
       .map { p =>
-        val w = lit(hyperplane(p, dims).toArray)
+        val w = lit(hyperplane(planeOffset + p, dims).toArray)
         when(dotFold(v, w) > 0, shiftleft(lit(1), p)).otherwise(lit(0))
       }
       .reduce((a, b) => a.bitwiseOR(b))
 
-  /** LSH-bucketed ANN: probes only compare against corpus vectors in
-    * the same bucket. Trades recall for a corpus-partitionable
-    * equi-join; recall is measured in the spec against brute force.
+  /** All `numTables` (table_id, bucket) assignments of a vector, each
+    * table using its own `planesPerTable` independent hyperplanes.
     */
-  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, numPlanes: Int, dims: Int): DataFrame = {
+  def lshTableBuckets(v: Column, numTables: Int, planesPerTable: Int, dims: Int): Column =
+    array((0 until numTables).map { t =>
+      struct(
+        lit(t).as("tbl"),
+        lshBucket(v, planesPerTable, dims, planeOffset = t * planesPerTable).as("bucket")
+      )
+    }: _*)
+
+  /** Multi-table LSH ANN: L independent hash tables of m planes each;
+    * a probe meets the union of its L buckets' corpus vectors. A
+    * single-table/high-plane variant has near-zero recall (P[collide]
+    * decays exponentially in planes); multiple small tables make recall
+    * tunable (1 - (1 - p^m)^L) while each lookup stays a bucket
+    * equi-join — at 100 TB the corpus would be written
+    * bucketBy(tbl, bucket) so probes touch L file groups, not the
+    * whole corpus. Candidates found by several tables are deduped on
+    * (probe_id, vec_id) before ranking.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      numTables: Int,
+      planesPerTable: Int,
+      dims: Int
+  ): DataFrame = {
     val c = corpus
       .select(col("vec_id"), col("v"))
-      .withColumn("bucket", lshBucket(col("v"), numPlanes, dims))
       .withColumn("norm", sqrt(dotFold(col("v"), col("v"))))
+      .select(
+        col("vec_id"),
+        col("v"),
+        col("norm"),
+        explode(lshTableBuckets(col("v"), numTables, planesPerTable, dims)).as("tb")
+      )
+      .select(col("vec_id"), col("v"), col("norm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val p = probes
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-      .withColumn("bucket", lshBucket(col("pv"), numPlanes, dims))
       .withColumn("pnorm", sqrt(dotFold(col("pv"), col("pv"))))
+      .select(
+        col("probe_id"),
+        col("pv"),
+        col("pnorm"),
+        explode(lshTableBuckets(col("pv"), numTables, planesPerTable, dims)).as("tb")
+      )
+      .select(col("probe_id"), col("pv"), col("pnorm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    c.join(broadcast(p), "bucket")
+    c.join(broadcast(p), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", dotFold(col("v"), col("pv")) / (col("norm") * col("pnorm")))
+      .select(
+        col("probe_id"),
+        col("vec_id"),
+        (dotFold(col("v"), col("pv")) / (col("norm") * col("pnorm"))).as("cosine")
+      )
+      .dropDuplicates("probe_id", "vec_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
