@@ -28,7 +28,8 @@ object SparkEntry {
           count(lit(1)).as("n_rows")
         )
     }
-  ) ++ RelationalQueries.queries ++ GeoTextQueries.queries ++ DedupSimQueries.queries
+  ) ++ RelationalQueries.queries ++ GeoTextQueries.queries ++ DedupSimQueries.queries ++
+    EventsQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,5 +42,6 @@ object SparkEntry {
         |       count(*) AS n_rows
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin
-  ) ++ RelationalQueries.oracle ++ GeoTextQueries.oracle ++ DedupSimQueries.oracle
+  ) ++ RelationalQueries.oracle ++ GeoTextQueries.oracle ++ DedupSimQueries.oracle ++
+    EventsQueries.oracle
 }

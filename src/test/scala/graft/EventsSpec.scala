@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Events
+
+class EventsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val ns = Events.NanosPerSecond
+
+  /** Hand-built stream: user 1 has two sessions (gap of 3h between
+    * event 2 and 3), user 2 one session.
+    */
+  private def tiny = {
+    import spark.implicits._
+    Seq(
+      // (event_id, ts_nanos, user_id, event_type, value, props)
+      (1L, 1000L * ns, 1L, "click", 1.10, """{"k": 2}"""),
+      (2L, 2000L * ns, 1L, "click", 2.20, """{"k": 3}"""),
+      (3L, (2000L + 3 * 3600) * ns, 1L, "purchase", 3.30, """{"k": 4}"""),
+      (4L, 1500L * ns, 2L, "click", 4.40, """{"k": 5}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("sessionize splits on gaps > threshold and keeps order") {
+    val sessions = Events.sessionStats(tiny).collect()
+    assert(sessions.length == 3)
+    val u1 = sessions.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(u1.map(_.getLong(1)).toSeq == Seq(0L, 1L)) // session ids 0,1
+    assert(u1(0).getLong(2) == 2L) // first session has 2 events
+    assert(u1(0).getLong(6) == 1000L) // duration_s = 2000-1000
+    assert(math.abs(u1(0).getDouble(5) - 3.30) < 1e-9) // exact centi-sum
+    assert(u1(1).getLong(2) == 1L)
+  }
+
+  test("tumbling windows floor to the window start") {
+    val w = Events.tumblingAgg(tiny, windowNanos = 3600L * ns)
+    val starts = w.select("window_start_ns").as[Long](spark.implicits.newLongEncoder).collect().sorted
+    assert(starts.forall(_ % (3600L * ns) == 0))
+    // events at 1000s,1500s,2000s land in window 0; event at 2000s+3h in window 3
+    assert(starts.head == 0L)
+  }
+
+  test("json props extraction aggregates k per type") {
+    val r = Events.jsonPropsAgg(tiny).collect().map(r => r.getString(0) -> r).toMap
+    assert(r("click").getLong(2) == 2L + 3L + 5L) // sum_k
+    assert(r("click").getLong(5) == 1L) // n_even: k=2
+    assert(r("purchase").getLong(3) == 4L && r("purchase").getLong(4) == 4L)
+  }
+
+  test("q37-q39 run on testdata with sane shapes") {
+    val q = SparkEntry.queries
+    val s37 = q("q37_sessionize")(spark, sf)
+    assert(s37.columns.toSeq == Seq("user_id", "session_id", "n_events", "session_start_us", "session_end_us", "total_value", "duration_s"))
+    // sessions partition all events
+    val totalEvents = s37.agg(sum("n_events")).head.getLong(0)
+    assert(totalEvents == 1000L)
+    val s38 = q("q38_window_agg")(spark, sf)
+    assert(s38.select(sum("n_events")).head.getLong(0) == 1000L)
+    val s39 = q("q39_json_extract")(spark, sf)
+    assert(s39.select(sum("n")).head.getLong(0) == 1000L)
+    assert(s39.filter(col("min_k") < 0 || col("max_k") > 99).count() == 0)
+  }
+}
