@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.streaming.{Events, SessionEvent, StreamingEvents}
+
+case class RawEvent(ts: Long, user_id: Long, event_type: String, value: Double)
+
+/** SURVEY §2.F streaming twin: the SAME events corpus processed as a
+  * stream (MemoryStream micro-batches + watermark) must produce the
+  * SAME answers as the batch operators q37/q38.
+  *
+  * Sentinel events far in the future advance the watermark so all real
+  * windows/sessions close; sentinels are excluded from the comparison.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val ns = Events.NanosPerSecond
+
+  private def eventRows: Seq[RawEvent] =
+    Tables
+      .events(spark, sf)
+      .select("ts", "user_id", "event_type", "value")
+      .as[RawEvent]
+      .collect()
+      .toSeq
+
+  test("streaming tumbling windows match batch q38 on exact columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows
+    val maxTs = rows.map(_.ts).max
+
+    val stream = MemoryStream[RawEvent]
+    val query = StreamingEvents
+      .tumblingAgg(stream.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("win_stream")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(rows)
+      query.processAllAvailable()
+      // advance the watermark far past every real window, twice (the
+      // second batch processes evictions under the advanced watermark)
+      stream.addData(RawEvent(maxTs + 10L * 86400 * ns, -1L, "sentinel", 0.0))
+      query.processAllAvailable()
+      stream.addData(RawEvent(maxTs + 11L * 86400 * ns, -1L, "sentinel", 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark
+      .table("win_stream")
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("window_start_us") * 1000, col("event_type"), col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    val batch = Events
+      .tumblingAgg(Tables.events(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    assert(streamed.keySet == batch.keySet, "window/event_type key sets differ")
+    batch.foreach { case (k, v) => assert(streamed(k) == v, s"window $k differs") }
+  }
+
+  test("stateful streaming sessionize reproduces batch q37 exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows
+    val maxUs = rows.map(_.ts).max / 1000L
+
+    val stream = MemoryStream[SessionEvent]
+    val query = StreamingEvents
+      .sessionize(stream.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("sess_stream")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(rows.map(e => SessionEvent(e.user_id, e.ts / 1000L, math.round(e.value * 100))))
+      query.processAllAvailable()
+      stream.addData(SessionEvent(-1L, maxUs + 10L * 86400 * 1000000L, 0L))
+      query.processAllAvailable()
+      stream.addData(SessionEvent(-1L, maxUs + 11L * 86400 * 1000000L, 0L))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val streamed = spark
+      .table("sess_stream")
+      .filter(col("user_id") >= 0)
+      .collect()
+      .map(r => key(r) -> r.toSeq)
+      .toMap
+
+    val batch = Events
+      .sessionStats(Tables.events(spark, sf))
+      .select("user_id", "session_id", "n_events", "session_start_us", "session_end_us", "total_value", "duration_s")
+      .collect()
+      .map(r => key(r) -> r.toSeq)
+      .toMap
+
+    assert(streamed.keySet == batch.keySet, "session key sets differ")
+    batch.foreach { case (k, v) =>
+      // streaming emits (user, session, n, start, end, total, duration) too
+      assert(streamed(k) == v, s"session $k differs: ${streamed(k)} vs $v")
+    }
+  }
+}
