@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One media record entering the decode stage: opaque bytes + typed
+  * metadata, the layout a 100 TB multimodal lake stores (payload as a
+  * parquet binary column next to its provenance columns).
+  */
+case class MediaRecord(
+    doc_id: Long,
+    fmt: String,
+    payload: Array[Byte],
+    width: Int,
+    height: Int
+)
+
+/** Decoded per-record features. `mean_byte`/`first_byte` stand in for
+  * the real decoded signal (pixel stats, spectrogram bands, …).
+  */
+case class MediaFeatures(
+    doc_id: Long,
+    fmt: String,
+    n_bytes: Int,
+    first_byte: Int,
+    mean_byte: Double
+)
+
+/** Multimodal column plumbing (SURVEY §2.G).
+  *
+  * The reference ingests only tabular/geo data; a training-data lake
+  * adds image/audio/video as opaque binary columns. This module keeps
+  * the Spark-side contract real — binary payload synthesis from
+  * deterministic bytes, typed metadata extraction as codegen'd Column
+  * expressions, and a partition-batched decode stage — while the
+  * actual media decode is STUBBED (this container has no image/audio
+  * libraries; see decodePartition).
+  *
+  * Scale notes: payload synthesis and metadata extraction are scalar
+  * projections (no shuffle, whole-stage codegen). The decode stage is
+  * mapPartitions so a real decoder amortizes model/codec init once per
+  * partition — the same batching shape a Pandas-UDF/mapInPandas
+  * pipeline uses — and its output is a narrow typed Dataset, so the
+  * heavy bytes are dropped as early as possible.
+  */
+object Multimodal {
+
+  /** Magic prefixes by synthetic format (PNG / JPEG / RIFF-WAV). */
+  val Magics: Map[String, String] = Map(
+    "png" -> "89504E47",
+    "jpeg" -> "FFD8FFE0",
+    "wav" -> "52494646"
+  )
+
+  /** Deterministic payload synthesis: a 4-byte magic + 96 bytes derived
+    * from the document text (3 × sha256 hex → unhex). Keeps an exact
+    * hex twin (`payload_hex`) so checksums stay engine-portable.
+    */
+  def synthesize(documents: DataFrame): DataFrame = {
+    val fmtCol = element_at(
+      array(lit("png"), lit("jpeg"), lit("wav")),
+      (col("doc_id") % 3).cast("int") + 1
+    )
+    val magicHex = element_at(
+      array(lit(Magics("png")), lit(Magics("jpeg")), lit(Magics("wav"))),
+      (col("doc_id") % 3).cast("int") + 1
+    )
+    documents
+      .select(
+        col("doc_id"),
+        fmtCol.as("fmt"),
+        concat(magicHex, repeat(sha2(col("text"), 256), 3)).as("payload_hex"),
+        (lit(16) + (col("doc_id") * 37) % 240).cast("int").as("width"),
+        (lit(16) + (col("doc_id") * 53) % 240).cast("int").as("height")
+      )
+      .withColumn("payload", unhex(col("payload_hex")))
+  }
+
+  /** Typed metadata off the binary column: size, magic, format sniffed
+    * FROM THE BYTES (not trusted from the fmt column), checksum.
+    */
+  def extractMeta(media: DataFrame): DataFrame = {
+    val magic = upper(hex(substring(col("payload"), 1, 4)))
+    val sniffed = Magics.foldLeft(lit("unknown")) { case (acc, (name, hexPrefix)) =>
+      when(magic === hexPrefix, name).otherwise(acc)
+    }
+    media.select(
+      col("doc_id"),
+      col("fmt"),
+      sniffed.as("sniffed_fmt"),
+      octet_length(col("payload")).as("byte_size"),
+      magic.as("magic_hex"),
+      col("width"),
+      col("height"),
+      (col("width").cast("long") * col("height")).as("n_pixels"),
+      sha2(col("payload_hex"), 256).as("checksum")
+    )
+  }
+
+  /** Partition-batched decode. A real implementation would initialize
+    * a codec once per partition and decode each payload; the decode
+    * itself is STUBBED with deterministic byte statistics so the
+    * pipeline shape (typed input, per-partition batching, narrow typed
+    * output) is real and testable without media libraries.
+    */
+  def decode(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(decodePartition)
+  }
+
+  private[multimodal] def decodePartition(records: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
+    // STUB: stands in for per-partition codec/model initialization.
+    records.map { r =>
+      val bytes = r.payload
+      val mean =
+        if (bytes.isEmpty) 0.0
+        else bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff)).toDouble / bytes.length
+      MediaFeatures(
+        doc_id = r.doc_id,
+        fmt = r.fmt,
+        n_bytes = bytes.length,
+        first_byte = if (bytes.isEmpty) -1 else bytes(0) & 0xff,
+        mean_byte = math.round(mean * 10000.0) / 10000.0
+      )
+    }
+  }
+}
