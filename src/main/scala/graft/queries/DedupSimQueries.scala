@@ -26,6 +26,10 @@ object DedupSimQueries {
   val AnnTables = 8
   val AnnPlanesPerTable = 4
   val Dims = 64
+  // q34 blocking: 8 tables × 4 sign-bits keeps every sf0.01 threshold
+  // pair while bounding block sizes (see Dedup.embeddingNearDupsLsh).
+  val EmbLshTables = 8
+  val EmbLshPlanes = 4
 
   private def shingles3(s: SparkSession, dir: String): DataFrame =
     Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
@@ -63,10 +67,15 @@ object DedupSimQueries {
       Dedup.simhashNearPairs(Dedup.simhash(shingles3(s, dir)), SimhashMaxDist)
     },
 
-    // q34: embedding cosine near-dup pairs, blocked by label so the
-    // pair generator is an equi-join (SURVEY §4: never cross join).
+    // q34: embedding cosine near-dup pairs, blocked on
+    // (label × sign-bucket LSH) so block size stays bounded as the
+    // corpus grows; unique candidate pairs pay one codegen'd unrolled
+    // dot over pre-normalized vectors. The oracle mirrors the blocking
+    // exactly (axis-aligned sign buckets are plain SQL).
     "q34_dedup_embedding" -> { (s, dir) =>
-      Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding", "label", CosineThreshold)
+      Dedup.embeddingNearDupsLsh(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+        CosineThreshold, EmbLshTables, EmbLshPlanes, Dims)
     },
 
     // q35: exact top-k cosine ANN baseline — 5 fixed probes broadcast
@@ -108,14 +117,31 @@ object DedupSimQueries {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= $JaccardThreshold""".stripMargin,
-    "q34_dedup_embedding" ->
+    "q34_dedup_embedding" -> {
+      // mirror of Dedup.embeddingNearDupsLsh: same sign-bucket tables,
+      // same normalize-then-dot order → bit-identical cosines.
+      def bucketSql(t: Int): String =
+        (0 until EmbLshPlanes)
+          .map(j => s"(CASE WHEN v[${((EmbLshPlanes * t + j) % Dims) + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+      val kb = (0 until EmbLshTables)
+        .map(t => s"SELECT vec_id, label, $t AS tbl, ${bucketSql(t)} AS bucket FROM n")
+        .mkString("\nUNION ALL\n")
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         |n AS (SELECT vec_id, label, v, sqrt(${dot("v", "v")}) norm FROM e),
-         |p AS (SELECT a.vec_id vec_a, b.vec_id vec_b,
-         |             ${dot("a.v", "b.v")} / (a.norm * b.norm) cosine
-         |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |n AS (SELECT vec_id, label, v, list_transform(v, x -> x / norm) nv
+         |      FROM (SELECT vec_id, label, v, sqrt(${dot("v", "v")}) norm FROM e)),
+         |kb AS ($kb),
+         |cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
+         |         FROM kb a JOIN kb b
+         |           ON a.label = b.label AND a.tbl = b.tbl AND a.bucket = b.bucket
+         |          AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, round(cosine, 4) AS cosine
-         |FROM p WHERE cosine >= $CosineThreshold""".stripMargin,
+         |FROM (SELECT vec_a, vec_b, ${dot("na.nv", "nb.nv")} cosine
+         |      FROM cand
+         |      JOIN n na ON na.vec_id = vec_a
+         |      JOIN n nb ON nb.vec_id = vec_b)
+         |WHERE cosine >= $CosineThreshold""".stripMargin
+    },
     "q35_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) norm FROM e),

@@ -51,6 +51,26 @@ class DedupSimSpec extends AnyFunSuite {
     assert(mean >= 0.2, s"mean recall@10 $mean too low")
   }
 
+  test("LSH-blocked embedding near-dups are a high-recall subset of the exact label-blocked pairs") {
+    import graft.dedup.Dedup
+    import graft.sources.Tables
+    val exact = Dedup
+      .embeddingNearDups(Tables.embeddings(spark, sf), "vec_id", "embedding", "label", 0.4)
+      .select("vec_a", "vec_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = SparkEntry
+      .queries("q34_dedup_embedding")(spark, sf)
+      .select("vec_a", "vec_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(lsh.subsetOf(exact), s"LSH blocking emitted non-pairs: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"blocked recall $recall < 0.8 (${lsh.size}/${exact.size})")
+  }
+
   test("exact-dedup groups partition the corpus") {
     val df = SparkEntry.queries("q30_dedup_text_exact")(spark, sf)
     val total = df.agg(org.apache.spark.sql.functions.sum("n_copies")).head.getLong(0)
