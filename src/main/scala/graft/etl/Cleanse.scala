@@ -22,7 +22,14 @@ object Cleanse {
   def replaceInStringColumns(df: DataFrame, from: String, to: String): DataFrame = {
     val cols = df.schema.fields.map { f =>
       if (f.dataType == StringType)
-        regexp_replace(col(f.name), java.util.regex.Pattern.quote(from), to).as(f.name)
+        // quote BOTH sides: the replacement string treats '$'/'\' as
+        // group references, so a literal "$" or "c:\x" would corrupt
+        // output or throw at runtime.
+        regexp_replace(
+          col(f.name),
+          java.util.regex.Pattern.quote(from),
+          java.util.regex.Matcher.quoteReplacement(to)
+        ).as(f.name)
       else col(f.name)
     }
     df.select(cols.toIndexedSeq: _*)

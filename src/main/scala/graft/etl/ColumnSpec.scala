@@ -27,15 +27,20 @@ final case class ColumnSpec(
 
 final case class TableSpec(columns: Seq[ColumnSpec]) {
 
-  /** Select exactly the configured columns, cast + renamed.
-    * Columns missing from `df` are skipped (the reference skips
-    * config columns absent from the source frame, pl_geo.py:210-214).
+  /** Select exactly the configured columns, cast + renamed. Each spec
+    * resolves to the FIRST of (source, aliases...) present in `df` —
+    * the reference's cross-vintage alias handling, where the same
+    * column ships as P1_001N / P001001 / P0010001 depending on Census
+    * vintage (pl_pop_table_columns.py:90-116). Specs with no spelling
+    * present are skipped (pl_geo.py:210-214).
     */
   def apply(df: DataFrame): DataFrame = {
     val present = df.columns.toSet
-    val projected = columns.filter(c => present.contains(c.source)).map { c =>
-      val base = col(c.source)
-      c.castTo.fold(base)(base.cast).as(c.target)
+    val projected = columns.flatMap { c =>
+      (c.source +: c.aliases).find(present.contains).map { resolved =>
+        val base = col(resolved)
+        c.castTo.fold(base)(base.cast).as(c.target)
+      }
     }
     df.select(projected.toIndexedSeq: _*)
   }

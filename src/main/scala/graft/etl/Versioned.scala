@@ -34,8 +34,12 @@ object Versioned {
 
     // Close out live rows for incoming keys. A left join + flag avoids
     // splitting history into two scans (the naive semi/anti pair).
+    // No broadcast hint: an explicit hint FORCES a broadcast regardless
+    // of size, and a full re-import batch (plausible at 100 TB) would
+    // OOM the driver; the key set is aggregated (distinct), so AQE's
+    // runtime stats pick broadcast whenever it actually is small.
     val closed = history
-      .join(broadcastIfSmall(renamedKeys), matchesIncoming, "left")
+      .join(renamedKeys, matchesIncoming, "left")
       .withColumn(
         "valid_to",
         when(col(s"__in_${keys.head}").isNotNull && col("valid_to").isNull, now)
@@ -59,9 +63,4 @@ object Versioned {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
-
-  // Incoming-key sets are usually one import batch — small relative to
-  // history — so hint broadcast; Catalyst ignores the hint if stats say
-  // otherwise under AQE.
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 }

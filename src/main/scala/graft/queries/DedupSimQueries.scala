@@ -31,8 +31,13 @@ object DedupSimQueries {
   val EmbLshTables = 8
   val EmbLshPlanes = 4
 
+  // Shingles with df > 50 are dropped before any self-join (scale
+  // guard against hot-key quadratic joins; at the test scales max df
+  // is 9, so results are unchanged — the oracle mirrors the cap).
+  val MaxShingleDf = 50
+
   private def shingles3(s: SparkSession, dir: String): DataFrame =
-    Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
+    Dedup.dfCapped(Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3), MaxShingleDf)
 
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -104,9 +109,11 @@ object DedupSimQueries {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "q31_dedup_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
          |              i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) s
          |       FROM toks),
+         |dfc AS (SELECT s, count(*) df FROM sh0 GROUP BY s),
+         |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfc USING (s) WHERE df <= $MaxShingleDf),
          |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
          |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -250,12 +250,15 @@ object RelationalQueries {
     },
 
     // q20: config-driven rename/cast (TabularConfig, __init__.py:64-93;
-    // pl_pop_tables.py:172-179 lowercase rename + typed cast).
+    // pl_pop_tables.py:172-179 lowercase rename + typed cast). The
+    // brand spec's canonical spelling is a newer-vintage name absent
+    // from this source, so resolution falls through to the alias —
+    // the P1_001N ↔ P001001 case of pl_pop_table_columns.py:90-116.
     "q20_alias_normalize" -> { (s, dir) =>
       val spec = TableSpec(
         Seq(
           ColumnSpec("p_partkey", "part_id", Some(LongType), aliases = Seq("partkey", "p_pk")),
-          ColumnSpec("p_brand", "brand"),
+          ColumnSpec("brand_v2020", "brand", aliases = Seq("p_brandname", "p_brand")),
           ColumnSpec("p_type", "type_name"),
           ColumnSpec("p_size", "size_d", Some(DoubleType)),
           ColumnSpec("p_retailprice", "retail_price"),
