@@ -19,6 +19,8 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
+      // native graft expressions (graft_dot) for SQL + DataFrame API
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -78,14 +78,17 @@ object DedupSimQueries {
     // dot over pre-normalized vectors. The oracle mirrors the blocking
     // exactly (axis-aligned sign buckets are plain SQL).
     "q34_dedup_embedding" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
       Dedup.embeddingNearDupsLsh(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label",
         CosineThreshold, EmbLshTables, EmbLshPlanes, Dims)
     },
 
     // q35: exact top-k cosine ANN baseline — 5 fixed probes broadcast
-    // against the corpus, ranked per probe.
+    // against the corpus, ranked per probe. Uses the native graft_dot
+    // Expression (registered here for plain driver sessions).
     "q35_ann_bruteforce" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val e = embDouble(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), AnnK)
     },
@@ -94,6 +97,7 @@ object DedupSimQueries {
     // — probes meet the union of their per-table bucket contents;
     // recall vs q35 measured in DedupSimSpec.
     "q36_ann_lsh" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val e = embDouble(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5), AnnK, AnnTables, AnnPlanesPerTable, Dims)
     }

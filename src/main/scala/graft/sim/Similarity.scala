@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup.dotUnrolled
+import graft.functions.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -21,17 +21,17 @@ object Similarity {
   /** Exact top-k cosine neighbors of each probe (probe set must be
     * small — it is broadcast). Excludes self-matches.
     */
-  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int, dims: Int = 64): DataFrame = {
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val c = corpus
       .select(col("vec_id"), col("v"))
-      .withColumn("norm", sqrt(dotUnrolled(col("v"), col("v"), dims)))
+      .withColumn("norm", sqrt(GraftFunctions.dot(col("v"), col("v"))))
     val p = probes
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-      .withColumn("pnorm", sqrt(dotUnrolled(col("pv"), col("pv"), dims)))
+      .withColumn("pnorm", sqrt(GraftFunctions.dot(col("pv"), col("pv"))))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", dotUnrolled(col("v"), col("pv"), dims) / (col("norm") * col("pnorm")))
+      .withColumn("cosine", GraftFunctions.dot(col("v"), col("pv")) / (col("norm") * col("pnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
@@ -56,7 +56,7 @@ object Similarity {
     (0 until numPlanes)
       .map { p =>
         val w = lit(hyperplane(planeOffset + p, dims).toArray)
-        when(dotUnrolled(v, w, dims) > 0, shiftleft(lit(1), p)).otherwise(lit(0))
+        when(GraftFunctions.dot(v, w) > 0, shiftleft(lit(1), p)).otherwise(lit(0))
       }
       .reduce((a, b) => a.bitwiseOR(b))
 
@@ -91,7 +91,7 @@ object Similarity {
   ): DataFrame = {
     val c = corpus
       .select(col("vec_id"), col("v"))
-      .withColumn("norm", sqrt(dotUnrolled(col("v"), col("v"), dims)))
+      .withColumn("norm", sqrt(GraftFunctions.dot(col("v"), col("v"))))
       .select(
         col("vec_id"),
         col("v"),
@@ -101,7 +101,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("norm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val p = probes
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-      .withColumn("pnorm", sqrt(dotUnrolled(col("pv"), col("pv"), dims)))
+      .withColumn("pnorm", sqrt(GraftFunctions.dot(col("pv"), col("pv"))))
       .select(
         col("probe_id"),
         col("pv"),
@@ -115,7 +115,7 @@ object Similarity {
       .select(
         col("probe_id"),
         col("vec_id"),
-        (dotUnrolled(col("v"), col("pv"), dims) / (col("norm") * col("pnorm"))).as("cosine")
+        (GraftFunctions.dot(col("v"), col("pv")) / (col("norm") * col("pnorm"))).as("cosine")
       )
       .dropDuplicates("probe_id", "vec_id")
       .withColumn("rank", row_number().over(w))
