@@ -29,7 +29,7 @@ object SparkEntry {
         )
     }
   ) ++ RelationalQueries.queries ++ GeoTextQueries.queries ++ DedupSimQueries.queries ++
-    EventsQueries.queries ++ MultimodalQueries.queries
+    EventsQueries.queries ++ MultimodalQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,5 +43,5 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin
   ) ++ RelationalQueries.oracle ++ GeoTextQueries.oracle ++ DedupSimQueries.oracle ++
-    EventsQueries.oracle ++ MultimodalQueries.oracle
+    EventsQueries.oracle ++ MultimodalQueries.oracle ++ AnalyticsQueries.oracle
 }

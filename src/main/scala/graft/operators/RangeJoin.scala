@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounded-window range join: pair each probe row with the key-mates
+  * whose timestamp falls in [probe.ts - windowLen, probe.ts).
+  *
+  * A raw inequality join is a per-key nested loop; bucketing both
+  * sides to windowLen-sized time buckets turns it into an equi-join
+  * with a fixed fan-out of 2 (each probe looks at its own bucket and
+  * the previous one), then the exact range predicate filters inside
+  * the bucket pairs — the standard interval-join decomposition every
+  * streaming engine uses. Shuffle keys are (key, bucket); skew in a
+  * hot bucket is AQE's skew-join case.
+  */
+object RangeJoin {
+
+  /** Count (and aggregate) key-mates of `probes` within the trailing
+    * window. Returns every probe row with `n_in_window` (0 when none).
+    */
+  def trailingWindowStats(
+      events: DataFrame,
+      probes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      windowLen: Long,
+      valueCol: String
+  ): DataFrame = {
+    val bucket = (c: Column) => floor(c / lit(windowLen)).cast("long")
+    val e = events.select(
+      col(keyCol).as("__k"),
+      col(tsCol).as("__ets"),
+      col(valueCol).as("__ev"),
+      bucket(col(tsCol)).as("__b")
+    )
+    // probe side explodes to its bucket and the previous one
+    val p = probes
+      .select(col(keyCol), col(tsCol), explode(array(bucket(col(tsCol)) - 1, bucket(col(tsCol)))).as("__b"))
+    val paired = p
+      .join(e, col(keyCol) === col("__k") && p("__b") === e("__b"))
+      .filter(col("__ets") >= col(tsCol) - lit(windowLen) && col("__ets") < col(tsCol))
+    val stats = paired
+      .groupBy(col(keyCol).as("__gk"), col(tsCol).as("__gts"))
+      .agg(count(lit(1)).as("n_in_window"), sum(col("__ev")).as("window_value"))
+    probes
+      .join(
+        stats,
+        col(keyCol) === col("__gk") && col(tsCol) === col("__gts"),
+        "left"
+      )
+      .select(
+        probes.columns.map(col) :+
+          coalesce(col("n_in_window"), lit(0L)).as("n_in_window") :+
+          coalesce(col("window_value"), lit(0L)).as("window_value"): _*
+      )
+  }
+}

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.sources.Tables
+
+/** Round-2 coverage widening (q42-q47): the time-series / sampling /
+  * OLAP operators a pipeline user reaches for next. As-of and range
+  * joins are implemented scale-first (union+window, bucketed
+  * equi-join) rather than as inequality joins; everything is
+  * oracle-checked with integer-exact arithmetic (µs timestamps,
+  * centi-value longs — see Events.scala for the parity rationale).
+  */
+object AnalyticsQueries {
+
+  /** trailing range-join window: 15 min in µs */
+  val RangeWindowUs: Long = 15L * 60 * 1000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q42: as-of join — each purchase matched to the user's latest
+    // preceding (or simultaneous) click. Union + running-last window:
+    // one user_id shuffle, no inequality join.
+    "q42_asof_join" -> { (s, dir) =>
+      val ev = Tables
+        .events(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase").select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click").select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+      AsOfJoin
+        .latestPriorMatch(purchases, clicks, "user_id", "ts_us", Seq("click_id"))
+        .select(
+          col("purchase_id"),
+          col("user_id"),
+          col("ts_us").as("p_ts_us"),
+          col("asof_click_id").as("click_id"),
+          col("asof_ts_us").as("click_ts_us"),
+          expr("(ts_us - asof_ts_us) DIV 1000000").as("gap_s")
+        )
+    },
+
+    // q43: trailing range join — events of the same user in the 15 min
+    // before each error, via time-bucketed equi-join (fan-out 2).
+    "q43_range_join" -> { (s, dir) =>
+      val ev = Tables
+        .events(s, dir)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          expr("ts DIV 1000").as("ts_us"),
+          col("event_type"),
+          expr("CAST(round(value * 100, 0) AS LONG)").as("cv")
+        )
+      val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts_us")
+      RangeJoin.trailingWindowStats(ev, errors, "user_id", "ts_us", RangeWindowUs, "cv")
+    },
+
+    // q44: deterministic stratified sampling — md5-threshold per
+    // stratum (higher keep-rate for English), reproducible across
+    // engines and runs, no RNG state to coordinate at 100 TB.
+    "q44_stratified_sample" -> { (s, dir) =>
+      val rate = when(col("lang") === "en", lit("80000000")).otherwise(lit("33333333"))
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), col("lang"), substring(md5(col("text")), 1, 8).as("bucket_hex"))
+        .filter(col("bucket_hex") < rate)
+    },
+
+    // q45: exact discrete quantiles per group via index selection —
+    // integer position math (floor(p·(n-1))), no interpolation
+    // arithmetic to drift between engines.
+    "q45_quantile_disc" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      val wc = Window.partitionBy(col("l_returnflag"))
+      Tables
+        .lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(col("n")).as("n"),
+          min(when(col("rn") === floor(lit(0.25) * (col("n") - 1)) + 1, col("l_extendedprice"))).as("p25"),
+          min(when(col("rn") === floor(lit(0.5) * (col("n") - 1)) + 1, col("l_extendedprice"))).as("p50"),
+          min(when(col("rn") === floor(lit(0.75) * (col("n") - 1)) + 1, col("l_extendedprice"))).as("p75")
+        )
+    },
+
+    // q46: CUBE rollup with grouping id — all four aggregation levels
+    // in one pass (the hierarchical-spine generalization of q18).
+    "q46_cube" -> { (s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).cast("long").as("gid"),
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows")
+        )
+    },
+
+    // q47: vocabulary build — token frequencies with a min-count floor
+    // and a deterministic global top-k. The post-agg vocab is bounded,
+    // so the final single-partition window is safe at any input scale.
+    "q47_vocab_topk" -> { (s, dir) =>
+      val toks = Tables
+        .documents(s, dir)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20)
+      val w = Window.orderBy(col("n").desc, col("token").asc)
+      toks.withColumn("rank", row_number().over(w)).filter(col("rank") <= 100)
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q42_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) ts_us, event_type FROM events),
+        |u AS (
+        |  SELECT user_id, ts_us, 1 AS side, event_id,
+        |         NULL AS c_id, NULL AS c_ts
+        |  FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 0 AS side, NULL, event_id, ts_us
+        |  FROM ev WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT user_id, ts_us, side, event_id,
+        |         last_value(c_id IGNORE NULLS) OVER
+        |           (PARTITION BY user_id ORDER BY ts_us, side
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+        |         last_value(c_ts IGNORE NULLS) OVER
+        |           (PARTITION BY user_id ORDER BY ts_us, side
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts_us
+        |  FROM u)
+        |SELECT event_id AS purchase_id, user_id, ts_us AS p_ts_us,
+        |       click_id, click_ts_us,
+        |       (ts_us - click_ts_us) // 1000000 AS gap_s
+        |FROM m WHERE side = 1""".stripMargin,
+    "q43_range_join" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+         |                   CAST(round(value * 100, 0) AS BIGINT) cv, event_type
+         |            FROM events),
+         |err AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error')
+         |SELECT e.event_id, e.user_id, e.ts_us,
+         |       count(x.event_id) AS n_in_window,
+         |       CAST(coalesce(sum(x.cv), 0) AS BIGINT) AS window_value
+         |FROM err e LEFT JOIN ev x
+         |  ON x.user_id = e.user_id
+         | AND x.ts_us >= e.ts_us - $RangeWindowUs AND x.ts_us < e.ts_us
+         |GROUP BY e.event_id, e.user_id, e.ts_us""".stripMargin,
+    "q44_stratified_sample" ->
+      """SELECT doc_id, lang, bucket_hex FROM (
+        |  SELECT doc_id, lang, substring(md5(text), 1, 8) AS bucket_hex FROM documents)
+        |WHERE bucket_hex < CASE WHEN lang = 'en' THEN '80000000' ELSE '33333333' END""".stripMargin,
+    "q45_quantile_disc" ->
+      """SELECT l_returnflag, max(n) AS n,
+        |       min(CASE WHEN rn = floor(0.25 * (n - 1)) + 1 THEN l_extendedprice END) AS p25,
+        |       min(CASE WHEN rn = floor(0.5 * (n - 1)) + 1 THEN l_extendedprice END) AS p50,
+        |       min(CASE WHEN rn = floor(0.75 * (n - 1)) + 1 THEN l_extendedprice END) AS p75
+        |FROM (SELECT l_returnflag, l_extendedprice,
+        |             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) rn,
+        |             count(*) OVER (PARTITION BY l_returnflag) n
+        |      FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
+    "q46_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q47_vocab_topk" ->
+      """SELECT token, n, rank FROM (
+        |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+        |  FROM (SELECT token, count(*) AS n
+        |        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |              FROM documents)
+        |        GROUP BY token HAVING count(*) >= 20))
+        |WHERE rank <= 100""".stripMargin
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("as-of join picks the latest prior right row, ties included") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("user_id", "ts_us", "pid")
+    val right = Seq((1L, 100L, 7L), (1L, 150L, 8L), (1L, 999L, 9L))
+      .toDF("user_id", "ts_us", "click_id")
+    val out = AsOfJoin
+      .latestPriorMatch(left, right, "user_id", "ts_us", Seq("click_id"))
+      .collect()
+      .map(r => r.getString(2) -> (if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toMap
+    assert(out("p1") == 7L) // tie at ts 100 matches (<=)
+    assert(out("p2") == 8L) // latest prior, not the later 999
+    assert(out("p3") == -1L) // no right rows for user 2
+  }
+
+  test("q42/q43 cover every purchase/error exactly once") {
+    val q42 = SparkEntry.queries("q42_asof_join")(spark, sf)
+    val nPurchases = graft.sources.Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
+    assert(q42.count() == nPurchases)
+    assert(q42.select("purchase_id").distinct().count() == nPurchases)
+    // matched clicks never come after the purchase
+    assert(q42.filter(col("click_ts_us") > col("p_ts_us")).count() == 0)
+
+    val q43 = SparkEntry.queries("q43_range_join")(spark, sf)
+    val nErrors = graft.sources.Tables.events(spark, sf).filter(col("event_type") === "error").count()
+    assert(q43.count() == nErrors)
+    assert(q43.filter(col("n_in_window") < 0).count() == 0)
+  }
+
+  test("stratified sample keeps roughly the configured per-stratum rates") {
+    val s44 = SparkEntry.queries("q44_stratified_sample")(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val byLang = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s44.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.foreach { case (lang, k) =>
+      val rate = k.toDouble / byLang(lang)
+      val target = if (lang == "en") 0.5 else 0.2
+      assert(math.abs(rate - target) < 0.15, s"$lang rate $rate far from $target")
+    }
+  }
+
+  test("discrete quantiles are actual elements and ordered") {
+    val q = SparkEntry.queries("q45_quantile_disc")(spark, sf).collect()
+    q.foreach { r =>
+      val (p25, p50, p75) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p25 <= p50 && p50 <= p75)
+    }
+  }
+
+  test("cube emits all four grouping levels consistently") {
+    val c = SparkEntry.queries("q46_cube")(spark, sf)
+    val byGid = c.groupBy("gid").agg(sum("n_rows").as("rows")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every level partitions the same 6000 lineitem rows
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    byGid.values.foreach(v => assert(v == 6000L))
+  }
+
+  test("vocab top-k is rank-consecutive and above the floor") {
+    val v = SparkEntry.queries("q47_vocab_topk")(spark, sf).orderBy("rank").collect()
+    assert(v.nonEmpty && v.length <= 100)
+    assert(v.map(_.getInt(2).toLong).toSeq == (1L to v.length).toSeq)
+    assert(v.forall(_.getLong(1) >= 20))
+  }
+}
