@@ -113,6 +113,46 @@ object AnalyticsQueries {
         .filter(col("n") >= 20)
       val w = Window.orderBy(col("n").desc, col("token").asc)
       toks.withColumn("rank", row_number().over(w)).filter(col("rank") <= 100)
+    },
+
+    // q48: TF-IDF-style term weighting, top-3 terms per doc. The score
+    // is tf·N/df (a pure rational — no log, so no libm last-ulp drift
+    // between engines). df comes from one token-keyed aggregate that
+    // AQE broadcasts back onto the (doc, token) counts.
+    "q48_tfidf" -> { (s, dir) =>
+      val docTok = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+      val tf = docTok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // corpus size as a lazy 1-row frame (broadcast), not a driver count
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf") * col("n_docs") / col("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), round(col("score"), 4).as("score"))
+    },
+
+    // q49: bigram language-model counts with conditional probability —
+    // the n-gram statistics stage of an LM data pipeline. Bigram
+    // assembly reuses the index-explode shape (codegen, no lambda).
+    "q49_bigram_counts" -> { (s, dir) =>
+      val toks = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("t"))
+      val bigrams = toks
+        .filter(size(col("t")) >= 2)
+        .select(col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(try_element_at(col("t"), col("i")).as("w1"), try_element_at(col("t"), col("i") + 1).as("w2"))
+      val counts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      val w1Tot = counts.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
+      counts
+        .join(w1Tot, "w1")
+        .filter(col("n") >= 10)
+        .select(col("w1"), col("w2"), col("n"), col("n_w1"), round(col("n") / col("n_w1"), 4).as("p"))
     }
   )
 
@@ -178,6 +218,30 @@ object AnalyticsQueries {
         |        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
         |              FROM documents)
         |        GROUP BY token HAVING count(*) >= 20))
-        |WHERE rank <= 100""".stripMargin
+        |WHERE rank <= 100""".stripMargin,
+    "q48_tfidf" ->
+      """WITH docTok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |                FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM docTok GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |         tf.tf * (SELECT count(*) FROM documents) / dfreq.df AS score
+        |  FROM tf JOIN dfreq USING (token)),
+        |ranked AS (
+        |  SELECT doc_id, token, tf, df, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, token, tf, df, round(score, 4) AS score
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q49_bigram_counts" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |bg AS (SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+        |counts AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2),
+        |tot AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_w1 FROM counts GROUP BY w1)
+        |SELECT counts.w1, w2, n, n_w1, round(n * 1.0 / n_w1, 4) AS p
+        |FROM counts JOIN tot ON counts.w1 = tot.w1
+        |WHERE n >= 10""".stripMargin
   )
 }

@@ -30,6 +30,8 @@ object DedupSimQueries {
   // pair while bounding block sizes (see Dedup.embeddingNearDupsLsh).
   val EmbLshTables = 8
   val EmbLshPlanes = 4
+  val IvfCells = 16
+  val IvfNprobe = 2
 
   // Shingles with df > 50 are dropped before any self-join (scale
   // guard against hot-key quadratic joins; at the test scales max df
@@ -100,6 +102,15 @@ object DedupSimQueries {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val e = embDouble(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5), AnnK, AnnTables, AnnPlanesPerTable, Dims)
+    },
+
+    // q50: IVF-cell ANN — the data-adaptive scale path complementary
+    // to q36's hyperplane LSH. Deterministic centroids make it exactly
+    // oracle-checkable (no RNG in "training").
+    "q50_ann_ivf" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = embDouble(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), AnnK, IvfCells, IvfNprobe)
     }
   )
 
@@ -153,6 +164,30 @@ object DedupSimQueries {
          |      JOIN n nb ON nb.vec_id = vec_b)
          |WHERE cosine >= $CosineThreshold""".stripMargin
     },
+    "q50_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) norm FROM e),
+         |cents AS (SELECT vec_id cent_id, v cv, norm cnorm FROM n WHERE vec_id < $IvfCells),
+         |ca AS (SELECT vec_id, v, norm, cent_id FROM (
+         |    SELECT n.vec_id, n.v, n.norm, cents.cent_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |                              ORDER BY ${dot("n.v", "cents.cv")} / (n.norm * cents.cnorm) DESC,
+         |                                       cents.cent_id ASC) rk
+         |    FROM n CROSS JOIN cents) WHERE rk = 1),
+         |pa AS (SELECT probe_id, pv, pnorm, cent_id FROM (
+         |    SELECT p.vec_id probe_id, p.v pv, p.norm pnorm, cents.cent_id,
+         |           row_number() OVER (PARTITION BY p.vec_id
+         |                              ORDER BY ${dot("p.v", "cents.cv")} / (p.norm * cents.cnorm) DESC,
+         |                                       cents.cent_id ASC) rk
+         |    FROM n p CROSS JOIN cents WHERE p.vec_id < 5) WHERE rk <= $IvfNprobe),
+         |cand AS (SELECT DISTINCT probe_id, ca.vec_id,
+         |                ${dot("ca.v", "pa.pv")} / (ca.norm * pa.pnorm) cosine
+         |         FROM ca JOIN pa USING (cent_id) WHERE ca.vec_id != pa.probe_id),
+         |r AS (SELECT probe_id, vec_id, cosine,
+         |             row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) rk
+         |      FROM cand)
+         |SELECT probe_id, rk AS rank, vec_id AS neighbor_id, round(cosine, 4) AS cosine
+         |FROM r WHERE rk <= $AnnK""".stripMargin,
     "q35_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) norm FROM e),

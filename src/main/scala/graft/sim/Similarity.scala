@@ -81,6 +81,61 @@ object Similarity {
     * whole corpus. Candidates found by several tables are deduped on
     * (probe_id, vec_id) before ranking.
     */
+  /** IVF-style ANN: partition the corpus into `numCells` Voronoi cells
+    * around centroid vectors, then search only each probe's `nprobe`
+    * nearest cells. The complementary scale path to LSH (q36): cells
+    * adapt to the data distribution where hyperplanes are oblivious.
+    *
+    * "Training" is deterministic — the `numCells` lowest-id vectors
+    * serve as centroids (k-means would need RNG state; determinism
+    * keeps the operator engine-portable and rerun-stable). At 100 TB
+    * the corpus would be written bucketBy(cell) so a probe reads
+    * nprobe file groups; the centroid set is dim-table-sized and
+    * broadcast.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      numCells: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val cents = corpus
+      .filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .withColumn("cnorm", sqrt(GraftFunctions.dot(col("cv"), col("cv"))))
+    def assign(df: DataFrame, idCol: String, vCol: String, normCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cent_cos").desc, col("cent_id").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("cent_cos", GraftFunctions.dot(col(vCol), col("cv")) / (col(normCol) * col("cnorm")))
+        .withColumn("cent_rk", row_number().over(w))
+        .filter(col("cent_rk") <= keep)
+        .drop("cv", "cnorm", "cent_cos", "cent_rk")
+    }
+    val c = assign(
+      corpus.select(col("vec_id"), col("v")).withColumn("norm", sqrt(GraftFunctions.dot(col("v"), col("v")))),
+      "vec_id", "v", "norm", 1
+    )
+    val p = assign(
+      probes
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        .withColumn("pnorm", sqrt(GraftFunctions.dot(col("pv"), col("pv")))),
+      "probe_id", "pv", "pnorm", nprobe
+    )
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    c.join(p, "cent_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id"),
+        (GraftFunctions.dot(col("v"), col("pv")) / (col("norm") * col("pnorm"))).as("cosine")
+      )
+      .dropDuplicates("probe_id", "vec_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   def lshTopK(
       corpus: DataFrame,
       probes: DataFrame,

@@ -78,6 +78,18 @@ object StreamingEvents {
         col("n_users_approx")
       )
 
+  /** Streaming ingest dedup — the streaming twin of q30's exact dedup
+    * and the standard idempotent-ingest guard (at-least-once sources
+    * redeliver). dropDuplicatesWithinWatermark bounds the dedup state
+    * to the watermark horizon, so state stays finite on an unbounded
+    * stream — a plain dropDuplicates would grow forever.
+    */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_t", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful gap sessionization via flatMapGroupsWithState with
     * event-time timeout: a user's session closes either when a new
     * event arrives past the gap, or when the watermark passes

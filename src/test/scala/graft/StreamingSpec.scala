@@ -8,6 +8,7 @@ import graft.sources.Tables
 import graft.streaming.{Events, SessionEvent, StreamingEvents}
 
 case class RawEvent(ts: Long, user_id: Long, event_type: String, value: Double)
+case class IngestEvent(event_id: Long, ts: Long)
 
 /** SURVEY §2.F streaming twin: the SAME events corpus processed as a
   * stream (MemoryStream micro-batches + watermark) must produce the
@@ -70,6 +71,34 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(streamed.keySet == batch.keySet, "window/event_type key sets differ")
     batch.foreach { case (k, v) => assert(streamed(k) == v, s"window $k differs") }
+  }
+
+  test("streaming dedup drops at-least-once redeliveries within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables
+      .events(spark, sf)
+      .select("event_id", "ts")
+      .as[IngestEvent]
+      .collect()
+      .toSeq
+      .take(200)
+    val stream = MemoryStream[IngestEvent]
+    val query = StreamingEvents
+      .dedupStream(stream.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(rows) // original delivery
+      query.processAllAvailable()
+      stream.addData(rows) // full redelivery (at-least-once source)
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("dedup_stream")
+    assert(out.count() == 200L, "redelivered events not deduped")
+    assert(out.select("event_id").distinct().count() == 200L)
   }
 
   test("stateful streaming sessionize reproduces batch q37 exactly") {
