@@ -299,6 +299,22 @@ object RelationalQueries {
           concat(Identifiers.pathify(col("n_name")), lit("/"), Identifiers.pathify(col("c_name")))
             .as("canonical_path")
         )
+    },
+
+    // q51: templated column-set creation (templated_columns.py:27-58) —
+    // ONE spec template rendered per vintage binding, then applied as a
+    // config-driven projection. The rendered source falls back through
+    // aliases like q20, so the same template serves vintages that ship
+    // different spellings.
+    "q51_templated_columns" -> { (s, dir) =>
+      val template = Seq(
+        ColumnSpec("${prefix}_partkey", "part_id", Some(LongType)),
+        ColumnSpec("${prefix}_brand", "brand_${vintage}"),
+        ColumnSpec("${prefix}_type", "type_${vintage}"),
+        ColumnSpec("${prefix}_size", "size_${vintage}", Some(DoubleType))
+      )
+      val spec = Templates.renderSpec(template, Map("prefix" -> "p", "vintage" -> "2020"))
+      spec(Tables.part(s, dir))
     }
   )
 
@@ -427,6 +443,10 @@ object RelationalQueries {
       s"""SELECT c_custkey,
          |       concat(c_name, ', ', n_name) AS full_name,
          |       concat(${pathifySql("n_name")}, '/', ${pathifySql("c_name")}) AS canonical_path
-         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q51_templated_columns" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS part_id, p_brand AS brand_2020,
+        |       p_type AS type_2020, CAST(p_size AS DOUBLE) AS size_2020
+        |FROM part""".stripMargin
   )
 }

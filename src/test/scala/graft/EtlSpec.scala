@@ -24,6 +24,16 @@ class EtlSpec extends AnyFunSuite {
     assert(out.head.getLong(0) == 1L)
   }
 
+  test("Templates renders all fields per binding and rejects unbound variables") {
+    import graft.etl.Templates
+    val tpl = Seq(ColumnSpec("${p}_x", "x_${v}", aliases = Seq("${p}_x_old")))
+    val spec = Templates.renderSpec(tpl, Map("p" -> "a", "v" -> "2010"))
+    assert(spec.columns.head == ColumnSpec("a_x", "x_2010", aliases = Seq("a_x_old")))
+    intercept[RuntimeException](Templates.render("${missing}", Map.empty))
+    // replacement values containing '$' must come through literally
+    assert(Templates.render("${p}_y", Map("p" -> "a$b")) == "a$b_y")
+  }
+
   test("replaceInStringColumns treats regex metacharacters literally on both sides") {
     import spark.implicits._
     val df = Seq(("a/b", 1)).toDF("s", "n")
