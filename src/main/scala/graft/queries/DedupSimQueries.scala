@@ -38,6 +38,14 @@ object DedupSimQueries {
   // is 9, so results are unchanged — the oracle mirrors the cap).
   val MaxShingleDf = 50
 
+  // The capped shingle set is referenced up to 8x per query (self-join
+  // sides, size aggregates, df-cap), each reference re-scanning and
+  // re-shingling. Measured at sf0.1, RECOMPUTING wins: the pipeline is
+  // pure codegen (~0.2 s/scan) and persist()-ing the frame cost more
+  // in cache materialization than it saved (bench 40.0 s -> 43.8 s),
+  // so no cache here. At 100 TB the right move is writing shingles
+  // once to a doc_id-bucketed parquet table and reading it back per
+  // stage — document-scan cost dominates there, not locally.
   private def shingles3(s: SparkSession, dir: String): DataFrame =
     Dedup.dfCapped(Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3), MaxShingleDf)
 
