@@ -29,7 +29,8 @@ object SparkEntry {
         )
     }
   ) ++ RelationalQueries.queries ++ GeoTextQueries.queries ++ DedupSimQueries.queries ++
-    EventsQueries.queries ++ MultimodalQueries.queries ++ AnalyticsQueries.queries
+    EventsQueries.queries ++ MultimodalQueries.queries ++ AnalyticsQueries.queries ++
+    AuditQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,5 +44,6 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin
   ) ++ RelationalQueries.oracle ++ GeoTextQueries.oracle ++ DedupSimQueries.oracle ++
-    EventsQueries.oracle ++ MultimodalQueries.oracle ++ AnalyticsQueries.oracle
+    EventsQueries.oracle ++ MultimodalQueries.oracle ++ AnalyticsQueries.oracle ++
+    AuditQueries.oracle
 }

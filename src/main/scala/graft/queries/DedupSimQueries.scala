@@ -119,6 +119,14 @@ object DedupSimQueries {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val e = embDouble(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), AnnK, IvfCells, IvfNprobe)
+    },
+
+    // q55: dup-pair clustering — connected components over the q31
+    // near-dup pairs; each doc labeled with its cluster's minimum
+    // doc_id (the representative a dedup pipeline keeps). Oracle =
+    // DuckDB recursive CTE transitive closure.
+    "q55_dup_clusters" -> { (s, dir) =>
+      Dedup.dupClusters(Dedup.ngramJaccardPairs(shingles3(s, dir), JaccardThreshold))
     }
   )
 
@@ -126,12 +134,11 @@ object DedupSimQueries {
     "list_reduce(list_transform(range(1, len(%1$s) + 1), i -> %1$s[CAST(i AS INT)] * %2$s[CAST(i AS INT)]), (acc, x) -> acc + x)"
   private def dot(a: String, b: String) = dotSql.format(a, b)
 
-  def oracle: Map[String, String] = Map(
-    "q30_dedup_text_exact" ->
-      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
-        |FROM documents GROUP BY md5(text)""".stripMargin,
-    "q31_dedup_ngram_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents),
+  /** q31's pair SQL, shared so q55's transitive closure runs over the
+    * exact same pair definition.
+    */
+  private lazy val q31Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents),
          |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
          |              i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) s
          |       FROM toks),
@@ -146,7 +153,20 @@ object DedupSimQueries {
          |FROM pairs
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
-         |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= $JaccardThreshold""".stripMargin,
+         |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= $JaccardThreshold""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q30_dedup_text_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q31_dedup_ngram_jaccard" -> q31Sql,
+    "q55_dup_clusters" ->
+      s"""WITH RECURSIVE p AS ($q31Sql),
+         |e AS (SELECT doc_a a, doc_b b FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach AS (SELECT a, b FROM e
+         |          UNION
+         |          SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a""".stripMargin,
     "q34_dedup_embedding" -> {
       // mirror of Dedup.embeddingNearDupsLsh: same sign-bucket tables,
       // same normalize-then-dot order → bit-identical cosines.
