@@ -9,9 +9,12 @@ import graft.sources.Tables
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. q56 is the capstone corpus-cleaning pipeline (dedup
+    * canonicalization + langid + quality + length gates in one plan).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q17_star_join")(spark, "/root/testdata/sf0.001")
+    queries("q56_clean_corpus")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](

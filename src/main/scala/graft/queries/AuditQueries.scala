@@ -102,6 +102,31 @@ object AuditQueries {
         .filter(col("n_overlaps") > 0)
     },
 
+    // q56: the capstone corpus-cleaning pipeline — the C4/Gopher-style
+    // filter chain a training-data run executes end-to-end: exact-dedup
+    // canonicalization (keep each text's min doc_id), language gate,
+    // quality floor, length band. Composes q26-q30's building blocks
+    // into ONE plan: a scalar filter chain + one md5 aggregate + one
+    // semi join — Catalyst fuses the scalars into the scan projection.
+    "q56_clean_corpus" -> { (s, dir) =>
+      import graft.text.TextFunctions._
+      val docs = Tables.documents(s, dir)
+      val keepIds = docs
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      docs
+        .join(keepIds, Seq("doc_id"), "left_semi")
+        .select(
+          col("doc_id"),
+          col("lang"),
+          langId(col("text")).as("pred_lang"),
+          qualityScore(col("text"), col("n_chars")).as("quality"),
+          col("n_chars")
+        )
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.5 && col("n_chars").between(100, 2000))
+    },
+
     // q54: CDC vintage diff — classify every key across two dataset
     // vintages as added / removed / changed / unchanged with counts
     // (the reconcile generalization of pl_localities.py:147-157).
@@ -136,7 +161,35 @@ object AuditQueries {
        |  pow(sin(radians($lat2 - $lat1) / 2.0), 2) +
        |  cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2.0), 2)))""".stripMargin
 
+  private def hitsSql(words: Seq[String]) =
+    s"len(regexp_extract_all(text, '\\b(${words.mkString("|")})\\b'))"
+
   def oracle: Map[String, String] = Map(
+    "q56_clean_corpus" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |feat AS (SELECT doc_id, lang, n_chars,
+         |                len(string_split_regex(trim(text), '\\s+')) toks,
+         |                ${hitsSql(Seq("the", "a", "and", "of", "to", "in", "is"))} stop_hits,
+         |                len(regexp_extract_all(text, '[.,!?;:]')) punct_hits,
+         |                ${hitsSql(Seq("the", "and", "of", "is"))} en_hits,
+         |                ${hitsSql(Seq("el", "la", "de", "que"))} es_hits,
+         |                ${hitsSql(Seq("le", "les", "et", "une"))} fr_hits,
+         |                ${hitsSql(Seq("der", "die", "und", "das"))} de_hits
+         |         FROM d),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |         CASE WHEN en_hits > 0 AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+         |              WHEN es_hits > 0 AND es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+         |              WHEN fr_hits > 0 AND fr_hits >= de_hits THEN 'fr'
+         |              WHEN de_hits > 0 THEN 'de' ELSE 'und' END AS pred_lang,
+         |         round(0.5 * least(n_chars / 400.0, 1.0)
+         |               + 0.3 * (stop_hits * 1.0 / toks)
+         |               + 0.2 * (1.0 - punct_hits * 1.0 / toks), 4) AS quality,
+         |         n_chars
+         |  FROM feat)
+         |SELECT doc_id, lang, pred_lang, quality, n_chars FROM scored
+         |WHERE pred_lang = 'en' AND quality >= 0.5 AND n_chars BETWEEN 100 AND 2000""".stripMargin,
     "q52_spatial_grid_join" ->
       s"""WITH pts AS (SELECT c_custkey,
          |                    ${synLatSql("c_custkey")} AS lat,
