@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink formats beyond raw parquet.
+  *
+  * The reference ingests CSV census files and writes into a versioned
+  * store (gerrydb_etl/__init__.py download path; pl_pop_tables.py CSV
+  * loads). graft's equivalents: schema-enforced CSV / JSONL readers
+  * (no inference at scale — a schema scan of 100 TB is a full read)
+  * and a partition-pruned parquet layout for the lake side.
+  */
+object Formats {
+
+  /** CSV with an EXPLICIT schema: inference is disabled on purpose —
+    * at scale, schema inference re-reads the input; a declared schema
+    * also pins types against drifting source files (the reference's
+    * TabularConfig serves the same role).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("mode", "FAILFAST") // corrupt rows fail the ingest, not silently null out
+      .csv(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  /** JSON-lines with explicit schema (same rationale as CSV). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Hive-style partitioned parquet — the lake layout that makes
+    * partition pruning work: a filter on a partition column must show
+    * up as `PartitionFilters` in the scan (asserted in SourcesSpec),
+    * meaning non-matching directories are never opened.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
