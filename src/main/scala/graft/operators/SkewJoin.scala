@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for pathologically hot keys.
+  *
+  * AQE's skew-join split handles most skew by splitting oversized
+  * partitions — but a shuffle join still requires all rows of ONE key
+  * to meet in one place per side pairing, so a single key carrying a
+  * double-digit percentage of a 100 TB fact table stalls its executor
+  * regardless of splits. Salting breaks that key apart: the fact side
+  * gets a deterministic salt in [0, saltFactor); the (small) dim side
+  * is replicated once per salt value; the join key becomes
+  * (key, salt), spreading the hot key over saltFactor tasks.
+  *
+  * Cost model: dim side grows by saltFactor (fine for dim-sized
+  * inputs — use AQE/broadcast instead when the dim fits in memory
+  * anyway; salting matters when the dim is too big to broadcast but
+  * far smaller than the facts).
+  */
+object SkewJoin {
+
+  /** Deterministic per-row salt: hash of the salt columns (stable
+    * across retries — a random salt would break task re-execution
+    * idempotency under speculative execution).
+    */
+  def salt(saltFactor: Int, stableCols: Column*): Column =
+    pmod(xxhash64(stableCols: _*), lit(saltFactor.toLong)).cast("int")
+
+  def saltedJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltFactor: Int,
+      factSaltCols: Seq[String]
+  ): DataFrame = {
+    val saltedFacts = facts.withColumn("__salt", salt(saltFactor, factSaltCols.map(col): _*))
+    val saltedDim = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedFacts.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -136,6 +136,23 @@ object AnalyticsQueries {
         .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), round(col("score"), 4).as("score"))
     },
 
+    // q57: sketch-based approximate statistics — HLL distinct counts
+    // and KLL-style approximate quantiles per group. At 100 TB these
+    // replace their exact counterparts (q45's exact quantile needs a
+    // full sort per group; HLL is one pass, fixed memory). No DuckDB
+    // oracle (sketch internals differ across engines) — AnalyticsSpec
+    // bounds the error against the exact answers instead.
+    "q57_approx_stats" -> { (s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median")
+        )
+    },
+
     // q49: bigram language-model counts with conditional probability —
     // the n-gram statistics stage of an LM data pipeline. Bigram
     // assembly reuses the index-explode shape (codegen, no lambda).

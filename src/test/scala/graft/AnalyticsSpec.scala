@@ -67,6 +67,36 @@ class AnalyticsSpec extends AnyFunSuite {
     byGid.values.foreach(v => assert(v == 6000L))
   }
 
+  test("salted join matches the plain join on skewed data") {
+    import spark.implicits._
+    import graft.operators.SkewJoin
+    // 90% of facts hit one key — the shape AQE split can't fully fix
+    val facts = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 999L, i.toLong)).toDF("k", "payload")
+    val dim = (0L to 999L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+    val plain = facts.join(dim, "k")
+    val salted = SkewJoin.saltedJoin(facts, dim, "k", saltFactor = 8, factSaltCols = Seq("payload"))
+    assert(salted.count() == plain.count())
+    val a = plain.orderBy("k", "payload").collect().toSeq
+    val b = salted.select(plain.columns.map(col): _*).orderBy("k", "payload").collect().toSeq
+    assert(a == b)
+  }
+
+  test("approx sketches stay within error bounds of the exact answers") {
+    import graft.sources.Tables
+    val approx = SparkEntry.queries("q57_approx_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("d"), expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (flag, (d, m)) =>
+      val (ad, am) = approx(flag)
+      assert(math.abs(ad - d).toDouble / d <= 0.05, s"$flag distinct: approx $ad vs exact $d")
+      assert(math.abs(am - m) / m <= 0.05, s"$flag median: approx $am vs exact $m")
+    }
+  }
+
   test("vocab top-k is rank-consecutive and above the floor") {
     val v = SparkEntry.queries("q47_vocab_topk")(spark, sf).orderBy("rank").collect()
     assert(v.nonEmpty && v.length <= 100)
