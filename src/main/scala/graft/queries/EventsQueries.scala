@@ -35,6 +35,33 @@ object EventsQueries {
     // q39: JSON property extraction (get_json_object, codegen'd) + agg.
     "q39_json_extract" -> { (s, dir) =>
       Events.jsonPropsAgg(Tables.events(s, dir))
+    },
+
+    // q58: rolling-window aggregation — each event with the average of
+    // its user's last 5 values (ROWS frame). Exact centi-integer sums
+    // divided once, so parallel partials can't drift; one user_id
+    // shuffle like q37.
+    "q58_rolling_avg" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // order on µs-TRUNCATED time (DuckDB can't see nanos, so ns
+      // ordering could split a tie the oracle sees) + event_id
+      // tiebreak: a ROWS frame over tied timestamps would otherwise be
+      // order-nondeterministic
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-4, 0)
+      Tables
+        .events(s, dir)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          expr("ts DIV 1000").as("ts_us"),
+          Events.centiValue(col("value")).as("cv")
+        )
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("rolling_avg", round(sum(col("cv")).over(w) / col("n_win") / lit(100.0), 4))
+        .drop("cv")
     }
   )
 
@@ -77,6 +104,14 @@ object EventsQueries {
         |FROM (SELECT event_type,
         |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+    "q58_rolling_avg" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       count(*) OVER w AS n_win,
+        |       round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+        |             / (count(*) OVER w) / 100.0, 4) AS rolling_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

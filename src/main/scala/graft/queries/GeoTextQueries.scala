@@ -145,9 +145,6 @@ object GeoTextQueries {
     }
   )
 
-  // q28 needs `text` present when langId is computed: rebuild select.
-  // (kept here so queries map stays a pure literal above)
-
   private def synLonSql(k: String) = s"(($k * 7919) % 36000) / 100.0 - 180.0"
   private def synLatSql(k: String) = s"(($k * 104729) % 18000) / 100.0 - 90.0"
   private def havSql(lat1: String, lon1: String, lat2: String, lon2: String) =

@@ -18,8 +18,6 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
-  private val Q = "" // marker to keep names aligned in reviews
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q02: dim mapping join (pl_localities.py:228 fips→name maps).
     "q02_join_broadcast" -> { (s, dir) =>
