@@ -25,7 +25,11 @@ object AsOfJoin {
     * @param right rows providing the as-of value
     * @param attrs right-side columns to carry onto matching left rows
     *              (emitted as `asof_<name>`, null when no right row
-    *              precedes the left row)
+    *              precedes the left row). attrs.head must be unique
+    *              per (key, ts) — it tiebreaks right rows sharing a
+    *              timestamp (max attr wins), which keeps the match
+    *              deterministic across runs and engines; without it a
+    *              ROWS-ordered last() would pick by partition order.
     */
   def latestPriorMatch(
       left: DataFrame,
@@ -47,9 +51,12 @@ object AsOfJoin {
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
     }
     val unioned = l.unionByName(rAligned.select(l.columns.map(col).toIndexedSeq: _*))
+    // left rows carry a null __carry; coalesce pins them below every
+    // tied right row so the nulls-ordering quirk can't reorder ties
+    val tieBreak = coalesce(col(s"__carry.${attrs.head}"), lit(Long.MinValue))
     val w = Window
       .partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc, col("__side").asc, tieBreak.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__asof", last(col("__carry"), ignoreNulls = true).over(w))

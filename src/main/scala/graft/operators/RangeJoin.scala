@@ -18,6 +18,12 @@ object RangeJoin {
 
   /** Count (and aggregate) key-mates of `probes` within the trailing
     * window. Returns every probe row with `n_in_window` (0 when none).
+    *
+    * Stats are grouped on EVERY probe column (not just key+ts), so two
+    * distinct probe rows sharing a timestamp — plausible once ns
+    * timestamps truncate to µs — each get their own exact counts
+    * instead of a merged double-count. Probe rows must therefore be
+    * distinct rows (carry an id column).
     */
   def trailingWindowStats(
       events: DataFrame,
@@ -27,30 +33,30 @@ object RangeJoin {
       windowLen: Long,
       valueCol: String
   ): DataFrame = {
-    val bucket = (c: Column) => floor(c / lit(windowLen)).cast("long")
+    // bucket key = window-aligned START (c - c mod W): pure 64-bit
+    // integer arithmetic. floor(c / W) through a double corrupts ids
+    // for values past 2^53 — raw nanosecond epochs qualify.
+    val bucket = (c: Column) => c - pmod(c, lit(windowLen))
     val e = events.select(
       col(keyCol).as("__k"),
       col(tsCol).as("__ets"),
       col(valueCol).as("__ev"),
       bucket(col(tsCol)).as("__b")
     )
-    // probe side explodes to its bucket and the previous one
+    // probe side explodes to its bucket start and the previous one
     val p = probes
-      .select(col(keyCol), col(tsCol), explode(array(bucket(col(tsCol)) - 1, bucket(col(tsCol)))).as("__b"))
+      .withColumn("__b", explode(array(bucket(col(tsCol)) - lit(windowLen), bucket(col(tsCol)))))
     val paired = p
       .join(e, col(keyCol) === col("__k") && p("__b") === e("__b"))
       .filter(col("__ets") >= col(tsCol) - lit(windowLen) && col("__ets") < col(tsCol))
+    val probeCols = probes.columns.toSeq
     val stats = paired
-      .groupBy(col(keyCol).as("__gk"), col(tsCol).as("__gts"))
+      .groupBy(probeCols.map(col): _*)
       .agg(count(lit(1)).as("n_in_window"), sum(col("__ev")).as("window_value"))
     probes
-      .join(
-        stats,
-        col(keyCol) === col("__gk") && col(tsCol) === col("__gts"),
-        "left"
-      )
+      .join(stats, probeCols, "left")
       .select(
-        probes.columns.map(col) :+
+        probeCols.map(col) :+
           coalesce(col("n_in_window"), lit(0L)).as("n_in_window") :+
           coalesce(col("window_value"), lit(0L)).as("window_value"): _*
       )

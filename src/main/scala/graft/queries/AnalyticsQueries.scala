@@ -186,10 +186,12 @@ object AnalyticsQueries {
         |m AS (
         |  SELECT user_id, ts_us, side, event_id,
         |         last_value(c_id IGNORE NULLS) OVER
-        |           (PARTITION BY user_id ORDER BY ts_us, side
+        |           (PARTITION BY user_id
+        |            ORDER BY ts_us, side, coalesce(c_id, -9223372036854775808)
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
         |         last_value(c_ts IGNORE NULLS) OVER
-        |           (PARTITION BY user_id ORDER BY ts_us, side
+        |           (PARTITION BY user_id
+        |            ORDER BY ts_us, side, coalesce(c_id, -9223372036854775808)
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts_us
         |  FROM u)
         |SELECT event_id AS purchase_id, user_id, ts_us AS p_ts_us,

@@ -20,9 +20,11 @@ object AuditQueries {
     // lat/lon grid and exploding each centroid to its grid cell +
     // 8 neighbors turns it into an equi-join with bounded fan-out,
     // then exact haversine refines within candidates. The classic
-    // distributed spatial-join decomposition. Falls back to the
-    // global nearest only for cells with no candidate (none here:
-    // 10-degree cells vs well-spread centroids).
+    // distributed spatial-join decomposition. NOTE: the inner join
+    // means points outside every centroid's 3x3 block get NO
+    // assignment (dropped) — callers wanting total coverage must
+    // widen the cell size or union an exact pass over the remainder
+    // (q24 is that exact pass).
     "q52_spatial_grid_join" -> { (s, dir) =>
       import s.implicits._
       val cellDeg = 10.0

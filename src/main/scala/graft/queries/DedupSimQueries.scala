@@ -84,8 +84,8 @@ object DedupSimQueries {
 
     // q34: embedding cosine near-dup pairs, blocked on
     // (label × sign-bucket LSH) so block size stays bounded as the
-    // corpus grows; unique candidate pairs pay one codegen'd unrolled
-    // dot over pre-normalized vectors. The oracle mirrors the blocking
+    // corpus grows; unique candidate pairs pay one native graft_dot
+    // over pre-normalized vectors. The oracle mirrors the blocking
     // exactly (axis-aligned sign buckets are plain SQL).
     "q34_dedup_embedding" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)

@@ -10,16 +10,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 case class SessionEvent(user_id: Long, ts_us: Long, cv: Long)
 
-/** Per-user open-session state: the running session plus the id the
-  * NEXT closed session will take (so streaming session ids reproduce
-  * the batch q37 numbering exactly).
+/** Per-user sessionizer state: the id the NEXT emitted session takes
+  * (so streaming ids reproduce the batch q37 numbering even across
+  * timeouts) plus the buffered not-yet-final events (parallel arrays;
+  * bounded by the watermark horizon — see StreamingEvents.sessionize).
   */
 case class UserSessionState(
     nextId: Long,
-    startUs: Long,
-    endUs: Long,
-    n: Long,
-    cvSum: Long
+    tsUs: Array[Long],
+    cv: Array[Long]
 )
 
 /** One closed session — schema-aligned with batch Events.sessionStats. */
@@ -91,14 +90,21 @@ object StreamingEvents {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Stateful gap sessionization via flatMapGroupsWithState with
-    * event-time timeout: a user's session closes either when a new
-    * event arrives past the gap, or when the watermark passes
-    * session_end + gap (timeout) — so sessions are emitted without
-    * waiting for the user to come back.
+    * event-time timeout. Events BUFFER in state until the watermark
+    * proves their session final: every future event has event-time >=
+    * the watermark (Spark drops later rows from stateful-op input), so
+    * a session is immutable exactly when session_end + gap < watermark
+    * — nothing admissible can extend, bridge, or merge-left into it.
+    * Emitting only final sessions makes the output bit-equal to batch
+    * q37 under ANY arrival order the watermark admits (a merge-on-
+    * arrival design mislabels cross-batch out-of-order events that
+    * precede the open session).
     *
-    * Within one micro-batch a group's events arrive unordered; they
-    * are sorted here (a user's per-batch burst is bounded, same
-    * assumption as the batch window sort).
+    * State is bounded: per user, the buffered events span at most
+    * (gap + watermark delay) of event time, and the state record keeps
+    * the next session ordinal so numbering survives timeouts (an empty
+    * tombstone remains after a flush; one tiny record per user ever
+    * seen — the price of stable ids).
     */
   def sessionize(
       events: Dataset[SessionEvent],
@@ -108,15 +114,26 @@ object StreamingEvents {
     val spark = events.sparkSession
     import spark.implicits._
 
-    def close(userId: Long, st: UserSessionState): SessionRow =
+    // split sorted (ts, cv) pairs into gap-delimited sessions
+    def sessionsOf(ts: Array[Long], cv: Array[Long]): Seq[(Array[Long], Array[Long])] = {
+      if (ts.isEmpty) return Nil
+      val cuts = Seq.newBuilder[Int]
+      cuts += 0
+      var i = 1
+      while (i < ts.length) { if (ts(i) - ts(i - 1) > gapUs) cuts += i; i += 1 }
+      val starts = cuts.result() :+ ts.length
+      starts.sliding(2).map { case Seq(a, b) => (ts.slice(a, b), cv.slice(a, b)) }.toSeq
+    }
+
+    def emit(userId: Long, id: Long, ts: Array[Long], cv: Array[Long]): SessionRow =
       SessionRow(
         user_id = userId,
-        session_id = st.nextId,
-        n_events = st.n,
-        session_start_us = st.startUs,
-        session_end_us = st.endUs,
-        total_value = st.cvSum / 100.0,
-        duration_s = (st.endUs - st.startUs) / 1000000L
+        session_id = id,
+        n_events = ts.length.toLong,
+        session_start_us = ts.head,
+        session_end_us = ts.last,
+        total_value = cv.sum / 100.0,
+        duration_s = (ts.last - ts.head) / 1000000L
       )
 
     def update(
@@ -124,33 +141,28 @@ object StreamingEvents {
         batch: Iterator[SessionEvent],
         state: GroupState[UserSessionState]
     ): Iterator[SessionRow] = {
-      if (state.hasTimedOut) {
-        // Watermark passed end + gap: the open session is final.
-        val out = state.getOption.map(close(userId, _)).iterator
-        state.remove()
-        out
-      } else {
-        val sorted = batch.toSeq.sortBy(_.ts_us)
-        var open = state.getOption
-        val closed = Seq.newBuilder[SessionRow]
-        sorted.foreach { e =>
-          open match {
-            case Some(st) if e.ts_us - st.endUs <= gapUs =>
-              open = Some(st.copy(endUs = math.max(st.endUs, e.ts_us), n = st.n + 1, cvSum = st.cvSum + e.cv))
-            case Some(st) =>
-              closed += close(userId, st)
-              open = Some(UserSessionState(st.nextId + 1, e.ts_us, e.ts_us, 1L, e.cv))
-            case None =>
-              open = Some(UserSessionState(0L, e.ts_us, e.ts_us, 1L, e.cv))
-          }
+      val prev = state.getOption.getOrElse(UserSessionState(0L, Array.empty, Array.empty))
+      val incoming = batch.toArray
+      val (allTs, allCv) =
+        if (incoming.isEmpty) (prev.tsUs, prev.cv)
+        else {
+          val merged = (prev.tsUs.zip(prev.cv) ++ incoming.map(e => (e.ts_us, e.cv))).sortBy(_._1)
+          (merged.map(_._1), merged.map(_._2))
         }
-        open.foreach { st =>
-          state.update(st)
-          // Timeout once the watermark proves no in-gap event can arrive.
-          state.setTimeoutTimestamp(st.endUs / 1000L + gapUs / 1000L + 1L)
-        }
-        closed.result().iterator
+      val watermarkUs = state.getCurrentWatermarkMs() * 1000L
+      val sessions = sessionsOf(allTs, allCv)
+      // final = no admissible future event (ts >= watermark) can touch it
+      val (closed, open) = sessions.partition { case (ts, _) => ts.last + gapUs < watermarkUs }
+      val out = closed.zipWithIndex.map { case ((ts, cv), i) => emit(userId, prev.nextId + i, ts, cv) }
+      val remTs = open.flatMap(_._1).toArray
+      val remCv = open.flatMap(_._2).toArray
+      state.update(UserSessionState(prev.nextId + closed.size, remTs, remCv))
+      if (remTs.nonEmpty) {
+        // fire once the watermark passes the last buffered session's
+        // end + gap: by then every buffered session is final
+        state.setTimeoutTimestamp((remTs.max + gapUs) / 1000L + 1L)
       }
+      out.iterator
     }
 
     events

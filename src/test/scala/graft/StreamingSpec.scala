@@ -101,6 +101,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == 200L)
   }
 
+  test("session numbering survives a timeout flush (return-after-idle user)") {
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    val gapUs = Events.SessionGapNanos / 1000L // 2h
+    val base = 1700000000L * us
+    val stream = MemoryStream[SessionEvent]
+    val query = StreamingEvents
+      .sessionize(stream.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("sess_renum")
+      .outputMode("append")
+      .start()
+    try {
+      // burst 1: two events, one session
+      stream.addData(SessionEvent(7L, base, 100L), SessionEvent(7L, base + 60L * us, 200L))
+      query.processAllAvailable()
+      // another user far in the future advances the watermark past
+      // burst 1's end + gap -> user 7 times out and session 0 flushes
+      stream.addData(SessionEvent(-1L, base + 100L * 3600L * us, 0L))
+      query.processAllAvailable()
+      stream.addData(SessionEvent(-1L, base + 101L * 3600L * us, 0L))
+      query.processAllAvailable()
+      assert(
+        spark.table("sess_renum").filter(col("user_id") === 7L).count() == 1L,
+        "burst 1 should have flushed via timeout"
+      )
+      // burst 2: user 7 returns (>= watermark); must be session_id 1, not 0
+      val t2 = base + 102L * 3600L * us
+      stream.addData(SessionEvent(7L, t2, 300L))
+      query.processAllAvailable()
+      stream.addData(SessionEvent(-1L, t2 + 200L * 3600L * us, 0L))
+      query.processAllAvailable()
+      stream.addData(SessionEvent(-1L, t2 + 201L * 3600L * us, 0L))
+      query.processAllAvailable()
+    } finally query.stop()
+    val sessions = spark
+      .table("sess_renum")
+      .filter(col("user_id") === 7L)
+      .orderBy("session_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(sessions.toSeq == Seq((0L, 2L), (1L, 1L)), s"got ${sessions.toSeq}")
+  }
+
   test("stateful streaming sessionize reproduces batch q37 exactly") {
     implicit val sqlCtx = spark.sqlContext
     val rows = eventRows
