@@ -45,4 +45,22 @@ object Formats {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed managed table: rows are hash-distributed into a fixed
+    * number of buckets BY KEY at write time, so a join or aggregation
+    * on that key later needs NO shuffle at all — both sides' bucket i
+    * files are read by the same task (SourcesSpec asserts the bucketed
+    * join plan is exchange-free). This is the materialization every
+    * "at 100 TB, bucketBy(...)" scale note in this codebase refers
+    * to: pay one shuffle at ingest, amortize it over every downstream
+    * key-join/agg. Buckets should be sized so one bucket ≈ one task's
+    * memory (numBuckets ≈ data size / 128-256 MB).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }

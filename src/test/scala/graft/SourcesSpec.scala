@@ -36,6 +36,49 @@ class SourcesSpec extends AnyFunSuite {
     )
   }
 
+  test("FAILFAST CSV ingest rejects corrupt rows instead of nulling them") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("graft_bad_csv")
+    Files.writeString(java.nio.file.Paths.get(dir, "bad.csv"), "id,n\n1,2\nnot_a_number,x\n")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("n", LongType)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Formats.readCsv(spark, dir, schema).collect()
+    }
+    assert(ex.getMessage.contains("Malformed") || ex.getCause != null)
+  }
+
+  test("bucketed tables join without any shuffle") {
+    // clean slate: DROP leaves files behind if a prior run died mid-write
+    Seq("bk_cust", "bk_ord").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val left = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+    val right = Tables.orders(spark, sf).select(col("o_custkey"), col("o_totalprice"))
+    Formats.writeBucketed(left, "bk_cust", "c_custkey", 8)
+    Formats.writeBucketed(right.withColumnRenamed("o_custkey", "c_custkey"), "bk_ord", "c_custkey", 8)
+    val joined = spark.table("bk_cust").join(spark.table("bk_ord"), "c_custkey")
+    // correctness
+    assert(joined.count() == left.join(right, left("c_custkey") === right("o_custkey")).count())
+    // the join must co-locate on bucket files: a sort-merge join with
+    // NO shuffle exchange on either side (disable AQE/broadcast so the
+    // planner can't sidestep the bucketed path on this tiny input)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = spark.table("bk_cust").join(spark.table("bk_ord"), "c_custkey").queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge bucketed join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("partitioned parquet writes prune partitions on read") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity", "l_returnflag")
     val dir = tmpDir("graft_part")
