@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions.call_function
   * registration into the session's FunctionRegistry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
+    // rewrite interpreted aggregate(zip_with(..)) dot products into the
+    // native codegen'd expression (bit-exact; see RewriteDotProduct)
+    ext.injectOptimizerRule(_ => new graft.plans.RewriteDotProduct)
+  }
 }
 
 object GraftFunctions {

@@ -34,6 +34,28 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("the optimizer rewrites aggregate(zip_with(...)) dot products to graft_dot") {
+    // non-literal input: a foldable source would be constant-folded
+    // into a LocalRelation before the rewrite can be observed
+    val base = spark
+      .range(3)
+      .select(
+        col("id"),
+        transform(sequence(lit(1), lit(4)), i => i.cast("double") + col("id")).as("a"),
+        transform(sequence(lit(1), lit(4)), i => i.cast("double") * 2 + col("id")).as("b")
+      )
+    val df = base.select(col("id"), Dedup.dotFold(col("a"), col("b")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), s"rule did not fire:\n$optimized")
+    // id=0: a=[1,2,3,4], b=[2,4,6,8] -> 1*2+2*4+3*6+4*8 = 60
+    assert(df.orderBy("id").head.getDouble(1) == 60.0)
+    // a non-matching fold (different seed) must NOT be rewritten
+    val other = base
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(1.0), (acc, x) => acc + x).as("d"))
+    assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    assert(other.orderBy("d").head.getDouble(0) == 61.0)
+  }
+
   test("graft_dot is callable from SQL via the session extension") {
     import spark.implicits._
     Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("dot_in")
