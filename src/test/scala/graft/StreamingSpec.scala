@@ -101,6 +101,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == 200L)
   }
 
+  test("stream-static dim enrichment matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows.take(300)
+    val nation = Tables.nation(spark, sf) // static dim; broadcast per micro-batch
+    val stream = MemoryStream[RawEvent]
+    val enriched = stream
+      .toDF()
+      .withColumn("n_nationkey", col("user_id") % 25)
+      .join(broadcast(nation), "n_nationkey")
+      .select(col("ts"), col("user_id"), col("n_name"))
+    val query = enriched.writeStream.format("memory").queryName("enrich_stream").outputMode("append").start()
+    try {
+      stream.addData(rows)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("enrich_stream")
+    val batch = rows
+      .toDF()
+      .withColumn("n_nationkey", col("user_id") % 25)
+      .join(nation, "n_nationkey")
+    assert(streamed.count() == batch.count())
+    val a = streamed.groupBy("n_name").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = batch.groupBy("n_name").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("session numbering survives a timeout flush (return-after-idle user)") {
     implicit val sqlCtx = spark.sqlContext
     val us = 1000000L
