@@ -22,11 +22,18 @@ import org.apache.spark.sql.types._
   * formulations (IEEE addition is order-sensitive; the order is part
   * of the contract here).
   *
-  * Null handling: null arrays propagate null (BinaryExpression's
-  * null-safe path); null ELEMENTS are not supported (embedding
-  * vectors are dense by contract).
+  * Null handling matches the interpreted
+  * `aggregate(zip_with(a, b, *), 0.0, +)` fold EXACTLY — this is what
+  * lets RewriteDotProduct substitute one for the other globally:
+  * null arrays propagate null; arrays of different lengths yield null
+  * (zip_with null-pads the shorter side, and the multiply/add fold
+  * turns any null into a null result); a null ELEMENT likewise yields
+  * null.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  // can return null for non-null inputs (length mismatch, null element)
+  override def nullable: Boolean = true
 
   // manual check (ExpectsInputTypes' AbstractDataType is private[sql])
   override def checkInputDataTypes(): TypeCheckResult =
@@ -46,10 +53,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -65,12 +74,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         val i = ctx.freshName("dotI")
         val acc = ctx.freshName("dotAcc")
         s"""
-           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |final int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $acc += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |  ${ev.value} = $acc;
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       }
     )

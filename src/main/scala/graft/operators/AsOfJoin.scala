@@ -25,11 +25,13 @@ object AsOfJoin {
     * @param right rows providing the as-of value
     * @param attrs right-side columns to carry onto matching left rows
     *              (emitted as `asof_<name>`, null when no right row
-    *              precedes the left row). attrs.head must be unique
-    *              per (key, ts) — it tiebreaks right rows sharing a
-    *              timestamp (max attr wins), which keeps the match
-    *              deterministic across runs and engines; without it a
-    *              ROWS-ordered last() would pick by partition order.
+    *              precedes the left row). When attrs.head is an
+    *              integral column unique per (key, ts), it tiebreaks
+    *              right rows sharing a timestamp (max attr wins) so
+    *              the match is deterministic across runs and engines;
+    *              for non-integral or absent attrs the tiebreak is
+    *              skipped and tied right rows resolve by partition
+    *              order (document ts uniqueness in that case).
     */
   def latestPriorMatch(
       left: DataFrame,
@@ -52,11 +54,23 @@ object AsOfJoin {
     }
     val unioned = l.unionByName(rAligned.select(l.columns.map(col).toIndexedSeq: _*))
     // left rows carry a null __carry; coalesce pins them below every
-    // tied right row so the nulls-ordering quirk can't reorder ties
-    val tieBreak = coalesce(col(s"__carry.${attrs.head}"), lit(Long.MinValue))
+    // tied right row so the nulls-ordering quirk can't reorder ties.
+    // Only integral attr types get the tiebreak (coalesce with a
+    // bigint sentinel would fail analysis or sort surprisingly for
+    // other types).
+    val tieBreak = attrs.headOption
+      .filter { a =>
+        right.schema(a).dataType match {
+          case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+              org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+            true
+          case _ => false
+        }
+      }
+      .map(a => coalesce(col(s"__carry.$a").cast("long"), lit(Long.MinValue)).asc)
     val w = Window
       .partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__side").asc, tieBreak.asc)
+      .orderBy(Seq(col(tsCol).asc, col("__side").asc) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__asof", last(col("__carry"), ignoreNulls = true).over(w))

@@ -19,17 +19,19 @@ object RangeJoin {
   /** Count (and aggregate) key-mates of `probes` within the trailing
     * window. Returns every probe row with `n_in_window` (0 when none).
     *
-    * Stats are grouped on EVERY probe column (not just key+ts), so two
-    * distinct probe rows sharing a timestamp — plausible once ns
-    * timestamps truncate to µs — each get their own exact counts
-    * instead of a merged double-count. Probe rows must therefore be
-    * distinct rows (carry an id column).
+    * `idCol` must uniquely identify probe rows (never null): stats are
+    * computed per probe ID — two probes sharing (key, ts) each get
+    * exact counts — and joined back by the ID alone, so nullable
+    * payload columns can't break the join and the 2×-exploded shuffle
+    * carries only (id, key, ts), never the probe payload (same narrow-
+    * shuffle rule as the dedup LSH paths).
     */
   def trailingWindowStats(
       events: DataFrame,
       probes: DataFrame,
       keyCol: String,
       tsCol: String,
+      idCol: String,
       windowLen: Long,
       valueCol: String
   ): DataFrame = {
@@ -43,20 +45,20 @@ object RangeJoin {
       col(valueCol).as("__ev"),
       bucket(col(tsCol)).as("__b")
     )
-    // probe side explodes to its bucket start and the previous one
+    // probe side explodes NARROW to its bucket start and the previous one
     val p = probes
+      .select(col(idCol), col(keyCol), col(tsCol))
       .withColumn("__b", explode(array(bucket(col(tsCol)) - lit(windowLen), bucket(col(tsCol)))))
     val paired = p
       .join(e, col(keyCol) === col("__k") && p("__b") === e("__b"))
       .filter(col("__ets") >= col(tsCol) - lit(windowLen) && col("__ets") < col(tsCol))
-    val probeCols = probes.columns.toSeq
     val stats = paired
-      .groupBy(probeCols.map(col): _*)
+      .groupBy(col(idCol).as("__sid"))
       .agg(count(lit(1)).as("n_in_window"), sum(col("__ev")).as("window_value"))
     probes
-      .join(stats, probeCols, "left")
+      .join(stats, col(idCol) === col("__sid"), "left")
       .select(
-        probeCols.map(col) :+
+        probes.columns.toSeq.map(col) :+
           coalesce(col("n_in_window"), lit(0L)).as("n_in_window") :+
           coalesce(col("window_value"), lit(0L)).as("window_value"): _*
       )

@@ -54,7 +54,7 @@ object AnalyticsQueries {
           expr("CAST(round(value * 100, 0) AS LONG)").as("cv")
         )
       val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts_us")
-      RangeJoin.trailingWindowStats(ev, errors, "user_id", "ts_us", RangeWindowUs, "cv")
+      RangeJoin.trailingWindowStats(ev, errors, "user_id", "ts_us", "event_id", RangeWindowUs, "cv")
     },
 
     // q44: deterministic stratified sampling — md5-threshold per

@@ -39,10 +39,12 @@ case class SessionRow(
   *
   * Scale notes: both operators are the canonical scalable streaming
   * shapes — watermarked windowed aggregation (state bounded by
-  * windows-in-flight × event_types) and per-key mapGroupsWithState
-  * (state bounded by one open session per active user; event-time
-  * timeout evicts idle users). No stream-stream join, no unbounded
-  * state.
+  * windows-in-flight × event_types) and per-key flatMapGroupsWithState
+  * sessionization whose LIVE state is bounded by the watermark horizon
+  * per active user, plus one small tombstone record per user ever seen
+  * (kept deliberately so session numbering survives idle periods — the
+  * tradeoff is documented on sessionize; drop the tombstone if ids may
+  * restart). No stream-stream join.
   */
 object StreamingEvents {
 
@@ -158,9 +160,12 @@ object StreamingEvents {
       val remCv = open.flatMap(_._2).toArray
       state.update(UserSessionState(prev.nextId + closed.size, remTs, remCv))
       if (remTs.nonEmpty) {
-        // fire once the watermark passes the last buffered session's
-        // end + gap: by then every buffered session is final
-        state.setTimeoutTimestamp((remTs.max + gapUs) / 1000L + 1L)
+        // fire once the watermark passes the EARLIEST open session's
+        // end + gap — that session is final exactly then; waiting for
+        // the last one would delay earlier sessions' emission by up to
+        // the buffered span
+        val earliestEnd = open.head._1.last
+        state.setTimeoutTimestamp((earliestEnd + gapUs) / 1000L + 1L)
       }
       out.iterator
     }

@@ -64,5 +64,8 @@ class FunctionsSpec extends AnyFunSuite {
     // null array propagates null
     val n = spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), b) AS d FROM dot_in").head
     assert(n.isNullAt(0))
+    // interpreted-fold parity: length mismatch and null elements -> null
+    assert(spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS d").head.isNullAt(0))
+    assert(spark.sql("SELECT graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS d").head.isNullAt(0))
   }
 }
