@@ -1,0 +1,136 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.streaming.Events
+
+/** Randomized semantic checks of the hand-built operators against
+  * brute-force in-memory references — deterministic seeds, shapes that
+  * include exact timestamp ties, singleton groups, empty matches, and
+  * chain-shaped dup graphs (the cases a fixed example suite misses).
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("as-of join equals the brute-force latest-prior reference on random inputs") {
+    import spark.implicits._
+    for (seed <- 0 until 6) {
+      val rnd = new Random(seed)
+      // small ts range forces ties; clicks get unique ids for tiebreak
+      val lefts = (1 to 30).map(i => (rnd.nextInt(3).toLong, rnd.nextInt(40).toLong, i.toLong))
+      val rights = (1 to 25).map(i => (rnd.nextInt(3).toLong, rnd.nextInt(40).toLong, 100L + i))
+      val l = lefts.toDF("k", "ts", "lid")
+      val r = rights.toDF("k", "ts", "rid")
+      val got = AsOfJoin
+        .latestPriorMatch(l, r, "k", "ts", Seq("rid"))
+        .collect()
+        .map(row => row.getLong(2) -> (if (row.isNullAt(4)) -1L else row.getLong(4)))
+        .toMap
+      lefts.foreach { case (k, ts, lid) =>
+        val cands = rights.filter(rr => rr._1 == k && rr._2 <= ts)
+        val expect =
+          if (cands.isEmpty) -1L
+          else {
+            val maxTs = cands.map(_._2).max
+            cands.filter(_._2 == maxTs).map(_._3).max // max rid among tied ts
+          }
+        assert(got(lid) == expect, s"seed=$seed left=$lid k=$k ts=$ts")
+      }
+    }
+  }
+
+  test("batch sessionization equals the naive reference on random inputs") {
+    import spark.implicits._
+    for (seed <- 0 until 6) {
+      val rnd = new Random(100 + seed)
+      val gapUs = 10L
+      val evs = (1 to 40).map(i => (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(200).toLong * 1000L))
+      val df = evs.toDF("event_id", "user_id", "ts").withColumn("value", lit(1.0))
+      val got = Events
+        .sessionStats(df, gapNanos = gapUs * 1000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      // naive reference in Scala (ts already ns -> µs is DIV 1000)
+      evs.groupBy(_._2).foreach { case (user, rows) =>
+        val ts = rows.map(_._3 / 1000L).sorted
+        var sessions = List[List[Long]]()
+        ts.foreach { t =>
+          sessions match {
+            case cur :: rest if t - cur.head <= gapUs => sessions = (t :: cur) :: rest
+            case _ => sessions = List(t) :: sessions
+          }
+        }
+        val expected = sessions.reverse.map(s => (s.length.toLong, s.min, s.max))
+        expected.zipWithIndex.foreach { case ((n, lo, hi), i) =>
+          assert(got((user, i.toLong)) == ((n, lo, hi)), s"seed=$seed user=$user session=$i")
+        }
+      }
+    }
+  }
+
+  test("dup clustering equals BFS components on random graphs — both execution paths") {
+    import spark.implicits._
+    for ((seed, forceIterative) <- Seq((7, false), (8, true), (9, true))) {
+      val rnd = new Random(seed)
+      // chain-heavy graphs: long diameters stress label propagation
+      val n = 30
+      val edges = (1 until n).flatMap { i =>
+        if (rnd.nextDouble() < 0.6) Some((i - 1).toLong -> i.toLong) else None
+      } ++ (1 to 8).map(_ => rnd.nextInt(n).toLong -> rnd.nextInt(n).toLong)
+      val pairs = edges
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val df = pairs.toDF("doc_a", "doc_b")
+      val limit = if (forceIterative) 0L else 5000000L
+      val got = Dedup
+        .dupClusters(df, singleTaskEdgeLimit = limit)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      // BFS reference
+      val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expect = scala.collection.mutable.HashMap[Long, Long]()
+      nodes.sorted.foreach { start =>
+        if (!expect.contains(start)) {
+          val comp = scala.collection.mutable.Set(start)
+          var frontier = List(start)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(adj.getOrElse(_, Nil)).filterNot(comp.contains)
+            comp ++= frontier
+          }
+          val label = comp.min
+          comp.foreach(c => expect(c) = label)
+        }
+      }
+      nodes.foreach(id => assert(got(id) == expect(id), s"seed=$seed iterative=$forceIterative node=$id"))
+    }
+  }
+
+  test("range join equals the naive reference on random inputs") {
+    import spark.implicits._
+    for (seed <- 0 until 4) {
+      val rnd = new Random(200 + seed)
+      val w = 50L
+      val evs = (1 to 60).map(i => (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(300).toLong, rnd.nextInt(100).toLong))
+      val e = evs.toDF("event_id", "k", "ts", "cv")
+      val probes = evs.take(20).map(r => (r._1, r._2, r._3)).toDF("event_id", "k", "ts")
+      val got = RangeJoin
+        .trailingWindowStats(e, probes, "k", "ts", "event_id", w, "cv")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      evs.take(20).foreach { case (id, k, ts, _) =>
+        val in = evs.filter(r => r._2 == k && r._3 >= ts - w && r._3 < ts)
+        assert(got(id) == ((in.length.toLong, in.map(_._4).sum)), s"seed=$seed probe=$id")
+      }
+    }
+  }
+}
