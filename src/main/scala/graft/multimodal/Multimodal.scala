@@ -97,6 +97,38 @@ object Multimodal {
     )
   }
 
+  /** Frame sampling: slice `nFrames` evenly-strided fixed-length byte
+    * windows out of each payload (the video-frame / audio-window
+    * extraction shape), as pure Column expressions — the explode
+    * multiplies rows, not payload copies per frame beyond the slice.
+    * Real decoders replace the byte slice with a codec call inside
+    * [[decode]]; the slicing/striding/explode plumbing is what Spark
+    * owns either way.
+    */
+  def frameSample(media: DataFrame, nFrames: Int, frameLen: Int): DataFrame = {
+    val total = octet_length(col("payload"))
+    // stride so frame i starts at floor(i * (total - frameLen) / (n-1))
+    val frames = transform(
+      sequence(lit(0), lit(nFrames - 1)),
+      i => {
+        val start = (i * (total - lit(frameLen))).cast("long") / lit(math.max(nFrames - 1, 1).toLong)
+        struct(
+          i.as("frame_id"),
+          substring(col("payload"), start.cast("int") + lit(1), lit(frameLen)).as("frame")
+        )
+      }
+    )
+    media
+      .select(col("doc_id"), col("fmt"), explode(frames).as("f"))
+      .select(
+        col("doc_id"),
+        col("fmt"),
+        col("f.frame_id").as("frame_id"),
+        octet_length(col("f.frame")).as("frame_bytes"),
+        upper(hex(substring(col("f.frame"), 1, 2))).as("frame_head_hex")
+      )
+  }
+
   /** Partition-batched decode. A real implementation would initialize
     * a codec once per partition and decode each payload; the decode
     * itself is STUBBED with deterministic byte statistics so the

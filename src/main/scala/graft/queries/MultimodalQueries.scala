@@ -24,6 +24,11 @@ object MultimodalQueries {
     },
     "q41_ingest_manifest" -> { (s, dir) =>
       Ingest.manifest(Tables.documents(s, dir))
+    },
+    // q59: frame sampling — 4 evenly-strided 16-byte windows per
+    // payload (video-frame / audio-window extraction plumbing).
+    "q59_frame_sample" -> { (s, dir) =>
+      Multimodal.frameSample(Multimodal.synthesize(Tables.documents(s, dir)), nFrames = 4, frameLen = 16)
     }
   )
 
@@ -47,6 +52,24 @@ object MultimodalQueries {
         |       CAST(width AS BIGINT) * height AS n_pixels,
         |       sha256(payload_hex) AS checksum
         |FROM m""".stripMargin,
+    "q59_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '89504E47' WHEN 1 THEN 'FFD8FFE0' ELSE '52494646' END
+        |           || repeat(sha256(text), 3) AS payload_hex
+        |  FROM documents),
+        |f AS (SELECT doc_id, fmt, payload_hex,
+        |             unnest(range(0, 4)) AS frame_id,
+        |             octet_length(from_hex(payload_hex)) AS total
+        |      FROM m),
+        |pos AS (SELECT doc_id, fmt, payload_hex, frame_id,
+        |               (frame_id * (total - 16)) // 3 AS s
+        |        FROM f)
+        |SELECT doc_id, fmt, CAST(frame_id AS INT) AS frame_id,
+        |       octet_length(from_hex(substring(payload_hex, CAST(2 * s + 1 AS INT), 32))) AS frame_bytes,
+        |       upper(substring(payload_hex, CAST(2 * s + 1 AS INT), 4)) AS frame_head_hex
+        |FROM pos""".stripMargin,
     "q41_ingest_manifest" ->
       """SELECT source, count(*) AS n_files,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
