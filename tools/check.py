@@ -31,6 +31,14 @@ def main() -> None:
     out = sys.argv[1]
     with open(f"{out}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # staleness guard: a failed sbt compile leaves the PREVIOUS dump in
+    # place, and grep-filtered pipelines can hide that — surface any
+    # dump/oracle drift instead of silently checking old results
+    import os
+    dumped = {d for d in os.listdir(out) if not d.endswith(".json")}
+    missing_dump = set(oracles) - dumped
+    if missing_dump:
+        print(f"WARNING: oracle entries with NO dump (failed query or stale dump?): {sorted(missing_dump)}")
     names = sys.argv[2:] or sorted(oracles)
     con = duckdb.connect()
     for t in TABLES:
