@@ -136,6 +136,25 @@ object AnalyticsQueries {
         .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), round(col("score"), 4).as("score"))
     },
 
+    // q60: month-over-month growth — calendar bucketing + lag analytics
+    // (the reporting twin of the event-time windows in q38). Months are
+    // UTC wall-clock truncations on both engines; the month key travels
+    // as epoch millis so no date-type drift can bite the compare.
+    "q60_mom_growth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables
+        .orders(s, dir)
+        .groupBy(expr("unix_millis(CAST(date_trunc('MONTH', o_orderdate) AS TIMESTAMP))").as("month_ms"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("month_ms"))
+      monthly
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn(
+          "mom_pct",
+          when(col("prev_revenue").isNotNull, round((col("revenue") - col("prev_revenue")) / col("prev_revenue"), 4))
+        )
+    },
+
     // q57: sketch-based approximate statistics — HLL distinct counts
     // and KLL-style approximate quantiles per group. At 100 TB these
     // replace their exact counterparts (q45's exact quantile needs a
@@ -253,6 +272,16 @@ object AnalyticsQueries {
         |  FROM scored)
         |SELECT doc_id, rank, token, tf, df, round(score, 4) AS score
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q60_mom_growth" ->
+      """WITH monthly AS (
+        |  SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+        |         round(sum(o_totalprice), 2) AS revenue,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT month_ms, revenue, n_orders, prev_revenue,
+        |       CASE WHEN prev_revenue IS NOT NULL
+        |            THEN round((revenue - prev_revenue) / prev_revenue, 4) END AS mom_pct
+        |FROM (SELECT *, lag(revenue) OVER (ORDER BY month_ms) AS prev_revenue FROM monthly)""".stripMargin,
     "q49_bigram_counts" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
         |bg AS (SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
