@@ -107,11 +107,17 @@ object Multimodal {
     */
   def frameSample(media: DataFrame, nFrames: Int, frameLen: Int): DataFrame = {
     val total = octet_length(col("payload"))
-    // stride so frame i starts at floor(i * (total - frameLen) / (n-1))
+    // stride so frame i starts at floor(i * (total - frameLen) / (n-1));
+    // span is clamped at 0 (payload shorter than a frame must not yield a
+    // negative start — Spark's substring would count from the END of the
+    // payload while other engines floor-divide differently), and operands
+    // are widened to long BEFORE the multiply (multi-GB payloads would
+    // overflow 32-bit int arithmetic).
+    val span = greatest(total - lit(frameLen), lit(0)).cast("long")
     val frames = transform(
       sequence(lit(0), lit(nFrames - 1)),
       i => {
-        val start = (i * (total - lit(frameLen))).cast("long") / lit(math.max(nFrames - 1, 1).toLong)
+        val start = (i.cast("long") * span) / lit(math.max(nFrames - 1, 1).toLong)
         struct(
           i.as("frame_id"),
           substring(col("payload"), start.cast("int") + lit(1), lit(frameLen)).as("frame")

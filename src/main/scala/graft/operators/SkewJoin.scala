@@ -28,6 +28,13 @@ object SkewJoin {
   def salt(saltFactor: Int, stableCols: Column*): Column =
     pmod(xxhash64(stableCols: _*), lit(saltFactor.toLong)).cast("int")
 
+  /** `factSaltCols` MUST vary within a single join-key group (use a
+    * row-unique column like a primary key): the salt is a deterministic
+    * hash of these columns, so columns constant within the hot key —
+    * the join key itself being the degenerate case — give every hot-key
+    * row the SAME salt and the operator silently degenerates to a plain
+    * join while still paying the saltFactor× dim replication.
+    */
   def saltedJoin(
       facts: DataFrame,
       dim: DataFrame,
@@ -35,6 +42,11 @@ object SkewJoin {
       saltFactor: Int,
       factSaltCols: Seq[String]
   ): DataFrame = {
+    require(
+      !factSaltCols.toSet.subsetOf(Set(key)),
+      s"factSaltCols $factSaltCols must include a column that varies within join key '$key'; " +
+        "salting on the key alone assigns one salt per key and degenerates to a plain join"
+    )
     val saltedFacts = facts.withColumn("__salt", salt(saltFactor, factSaltCols.map(col): _*))
     val saltedDim = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -64,7 +64,7 @@ object MultimodalQueries {
         |             octet_length(from_hex(payload_hex)) AS total
         |      FROM m),
         |pos AS (SELECT doc_id, fmt, payload_hex, frame_id,
-        |               (frame_id * (total - 16)) // 3 AS s
+        |               (frame_id * greatest(CAST(total AS BIGINT) - 16, 0)) // 3 AS s
         |        FROM f)
         |SELECT doc_id, fmt, CAST(frame_id AS INT) AS frame_id,
         |       octet_length(from_hex(substring(payload_hex, CAST(2 * s + 1 AS INT), 32))) AS frame_bytes,
