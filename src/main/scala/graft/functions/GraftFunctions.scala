@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions.call_function
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.dotDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
     // rewrite interpreted aggregate(zip_with(..)) dot products into the
     // native codegen'd expression (bit-exact; see RewriteDotProduct)
     ext.injectOptimizerRule(_ => new graft.plans.RewriteDotProduct)
@@ -26,22 +26,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
-  val dotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-    (children: Seq[Expression]) => DotProduct(children.head, children(1))
+  private def lit(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+  }
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))
+    ),
+    (
+      FunctionIdentifier("graft_strhash2"),
+      new ExpressionInfo(classOf[StrHash2].getName, "graft_strhash2"),
+      (children: Seq[Expression]) => StrHash2(children.head)
+    ),
+    (
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashAgg(children.head, lit(children(1)))
+    ),
+    (
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashAgg(children.head)
+    )
   )
 
   /** Idempotently register graft's functions in an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(dotDescriptor._1)) {
-      registry.registerFunction(dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+    descriptors.foreach { d =>
+      if (!registry.functionExists(d._1)) registry.registerFunction(d._1, d._2, d._3)
     }
   }
 
-  /** Column-API entry point; requires the function registered in the
+  /** Column-API entry points; require the functions registered in the
     * resolving session (extension or ensureRegistered).
     */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def strhash2(s: Column): Column = call_function("graft_strhash2", s)
+
+  def minhash(h: Column, numPerms: Int): Column =
+    call_function("graft_minhash", h, org.apache.spark.sql.functions.lit(numPerms))
+
+  def simhash(h: Column): Column = call_function("graft_simhash", h)
 }

@@ -9,11 +9,13 @@ import graft.sources.Tables
 
 /** §2.D deduplication (q30-q34) + §2.E similarity search (q35-q36).
   *
-  * Exact-oracle queries (q30/q31/q34/q35) use only arithmetic both
-  * engines evaluate bit-identically (md5, integer joins, sequential
-  * double folds). Hash-dependent ops (q32 minhash, q33 simhash, q36
-  * lsh) get the driver's rows-only check + ScalaTest verification
-  * against their exact counterparts at sf0.001.
+  * Exact-oracle queries use only arithmetic both engines evaluate
+  * bit-identically (md5, integer joins, sequential double folds). The
+  * MinHash/SimHash pipelines (q32/q33) hash with graft's PORTABLE
+  * polynomial hash (PortableHash: BIGINT-safe Horner folds), so their
+  * oracles reproduce signatures, band keys and Hamming distances
+  * exactly — only q36 (random-hyperplane LSH, seeded JVM RNG) keeps
+  * the rows-only check + ScalaTest recall verification.
   */
 object DedupSimQueries {
 
@@ -134,16 +136,22 @@ object DedupSimQueries {
     "list_reduce(list_transform(range(1, len(%1$s) + 1), i -> %1$s[CAST(i AS INT)] * %2$s[CAST(i AS INT)]), (acc, x) -> acc + x)"
   private def dot(a: String, b: String) = dotSql.format(a, b)
 
+  /** Shared CTE prefix: tokens → word trigrams → df-cap — the string
+    * twin of Dedup.shingles + dfCapped.
+    */
+  private val shingleCtes: String =
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+       |              i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) s
+       |       FROM toks),
+       |dfc AS (SELECT s, count(*) df FROM sh0 GROUP BY s),
+       |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfc USING (s) WHERE df <= $MaxShingleDf)""".stripMargin
+
   /** q31's pair SQL, shared so q55's transitive closure runs over the
     * exact same pair definition.
     */
   private lazy val q31Sql: String =
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents),
-         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-         |              i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) s
-         |       FROM toks),
-         |dfc AS (SELECT s, count(*) df FROM sh0 GROUP BY s),
-         |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfc USING (s) WHERE df <= $MaxShingleDf),
+    s"""WITH $shingleCtes,
          |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
          |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -155,11 +163,91 @@ object DedupSimQueries {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= $JaccardThreshold""".stripMargin
 
+  private val P = graft.functions.PortableHash.P
+
+  /** DuckDB twin of graft_strhash2 (PortableHash): two Horner folds
+    * over code points mod P, packed as h1 * 2^31 + h2. list_reduce
+    * seeds with the first element, which equals the fold-from-zero
+    * first step since codepoints are < P.
+    */
+  private def strhash2Sql(s: String): String = {
+    def fold(base: Long) =
+      s"list_reduce(list_transform(range(1, length($s) + 1), i -> CAST(ord(substr($s, CAST(i AS INT), 1)) AS BIGINT)), " +
+        s"(acc, c) -> (acc * $base + c) % $P)"
+    s"(CASE WHEN length($s) = 0 THEN 0 ELSE ${fold(31)} * 2147483648 + ${fold(37)} END)"
+  }
+
+  /** Spark-side identical MinHash permutation: (A_p * (h % P) + B_p) % P. */
+  private def permSql(p: Int): String =
+    s"(${graft.functions.PortableHash.permA(p)} * (h % $P) + ${graft.functions.PortableHash.permB(p)}) % $P"
+
+  /** Band-key Horner fold over rowsPerBand signature mins (mirror of
+    * Dedup.bandKey).
+    */
+  private def bandKeySql(b: Int): String =
+    (b * RowsPerBand until (b + 1) * RowsPerBand)
+      .map(p => s"mh_$p")
+      .foldLeft("0")((acc, v) => s"(($acc * 33 + $v) % $P)")
+
+  private lazy val q32Sql: String = {
+    val mins = (0 until NumPerms).map(p => s"min(${permSql(p)}) AS mh_$p").mkString(",\n|            ")
+    val bands = (0 until NumPerms / RowsPerBand)
+      .map(b => s"SELECT doc_id, $b AS band_id, ${bandKeySql(b)} AS band_key FROM sig")
+      .mkString("\n|  UNION ALL\n|  ")
+    s"""WITH $shingleCtes,
+       |hh AS (SELECT doc_id, ${strhash2Sql("s")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins
+       |        FROM hh GROUP BY doc_id),
+       |bands AS (
+       |  $bands
+       |),
+       |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
+       |iv AS (SELECT doc_a, doc_b, count(*) inter
+       |       FROM sh a JOIN cand c ON a.doc_id = c.doc_a
+       |       JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |       GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+       |FROM iv
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= $JaccardThreshold""".stripMargin
+  }
+
+  private lazy val q33Sql: String = {
+    val bits = graft.functions.SimHashAgg.Bits
+    val votes = (0 until bits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
+      .mkString(",\n|              ")
+    val sig = (0 until bits)
+      .map(j => s"(CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val chunkBits = bits / (SimhashMaxDist + 1)
+    val mask = (1L << chunkBits) - 1
+    s"""WITH $shingleCtes,
+       |hh AS (SELECT doc_id, ${strhash2Sql("s")} AS h FROM sh),
+       |votes AS (SELECT doc_id, $votes
+       |          FROM hh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sig AS simhash FROM votes),
+       |ch AS (SELECT doc_id, simhash, c AS chunk_id, (simhash >> CAST(c * $chunkBits AS INT)) & $mask AS chunk_val
+       |       FROM sig CROSS JOIN (SELECT unnest(range(0, ${SimhashMaxDist + 1})) AS c) cc),
+       |pr AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, a.simhash sa, b.simhash sb
+       |       FROM ch a JOIN ch b
+       |         ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM pr WHERE bit_count(xor(sa, sb)) <= $SimhashMaxDist""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q30_dedup_text_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "q31_dedup_ngram_jaccard" -> q31Sql,
+    "q32_dedup_minhash_lsh" -> q32Sql,
+    "q33_dedup_simhash" -> q33Sql,
     "q55_dup_clusters" ->
       s"""WITH RECURSIVE p AS ($q31Sql),
          |e AS (SELECT doc_a a, doc_b b FROM p UNION SELECT doc_b, doc_a FROM p),
