@@ -41,15 +41,21 @@ object DedupSimQueries {
   val MaxShingleDf = 50
 
   // The capped shingle set is referenced up to 8x per query (self-join
-  // sides, size aggregates, df-cap), each reference re-scanning and
-  // re-shingling. Measured at sf0.1, RECOMPUTING wins: the pipeline is
-  // pure codegen (~0.2 s/scan) and persist()-ing the frame cost more
-  // in cache materialization than it saved (bench 40.0 s -> 43.8 s),
-  // so no cache here. At 100 TB the right move is writing shingles
-  // once to a doc_id-bucketed parquet table and reading it back per
-  // stage — document-scan cost dominates there, not locally.
+  // sides, size aggregates, df-cap hot branch), and the physical plan
+  // materializes the whole scan→explode→hash→distinct→anti-join
+  // pipeline SEPARATELY for each reference (AQE broadcasts the small
+  // sides, so no exchange reuse kicks in). localCheckpoint runs it
+  // once and every reference reads the materialized blocks — bench at
+  // sf0.1: q31 3.0→2.3 s, q32 2.9→2.1 s, q33 1.9→1.0 s, q55
+  // 3.1→2.7 s. (Round 2 measured lazy
+  // persist() LOSING; the difference here is eager checkpointing plus
+  // lineage truncation, which also shrinks every downstream plan.) At
+  // 100 TB the same role is played by writing shingles once to a
+  // doc_id-bucketed parquet table and reading it back per stage.
   private def shingles3(s: SparkSession, dir: String): DataFrame =
-    Dedup.dfCapped(Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3), MaxShingleDf)
+    Dedup
+      .dfCapped(Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3), MaxShingleDf)
+      .localCheckpoint()
 
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     Tables
