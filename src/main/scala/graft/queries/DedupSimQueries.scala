@@ -129,6 +129,32 @@ object DedupSimQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), AnnK, IvfCells, IvfNprobe)
     },
 
+    // q66: sketch-only similarity estimation — Jaccard estimated from
+    // signature agreement (matching minima / numPerms) for LSH
+    // candidate pairs, WITHOUT re-joining shingles. This is the true
+    // 100 TB path: after signatures are built, similarity costs one
+    // 64-slot array comparison per candidate pair instead of a
+    // shingle-set intersection. The portable hash makes the estimates
+    // oracle-exact.
+    "q66_minhash_est" -> { (s, dir) =>
+      val sigs = Dedup.minhashSignatures(shingles3(s, dir), NumPerms).localCheckpoint()
+      val cands = Dedup.lshCandidates(sigs, NumPerms, RowsPerBand)
+      cands
+        .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), "doc_b")
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), m -> m))").as("n_match")
+        )
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          col("n_match"),
+          round(col("n_match").cast("double") / NumPerms, 4).as("est_jaccard")
+        )
+    },
+
     // q55: dup-pair clustering — connected components over the q31
     // near-dup pairs; each doc labeled with its cluster's minimum
     // doc_id (the representative a dedup pipeline keeps). Oracle =
@@ -247,7 +273,34 @@ object DedupSimQueries {
        |FROM pr WHERE bit_count(xor(sa, sb)) <= $SimhashMaxDist""".stripMargin
   }
 
+  private lazy val q66Sql: String = {
+    val mins = (0 until NumPerms).map(p => s"min(${permSql(p)}) AS mh_$p").mkString(",\n|            ")
+    val bands = (0 until NumPerms / RowsPerBand)
+      .map(b => s"SELECT doc_id, $b AS band_id, ${bandKeySql(b)} AS band_key FROM sig")
+      .mkString("\n|  UNION ALL\n|  ")
+    val matches = (0 until NumPerms)
+      .map(p => s"(CASE WHEN a.mh_$p = b.mh_$p THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $shingleCtes,
+       |hh AS (SELECT doc_id, ${strhash2Sql("s")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins
+       |        FROM hh GROUP BY doc_id),
+       |bands AS (
+       |  $bands
+       |),
+       |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST($matches AS INT) AS n_match,
+       |       round(CAST($matches AS DOUBLE) / $NumPerms, 4) AS est_jaccard
+       |FROM cand
+       |JOIN sig a ON a.doc_id = doc_a
+       |JOIN sig b ON b.doc_id = doc_b""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q66_minhash_est" -> q66Sql,
     "q30_dedup_text_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

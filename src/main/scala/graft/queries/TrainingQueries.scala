@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.TextFunctions
+
+/** §2.J LLM-training-data curation operators (round 3).
+  *
+  * The stages between raw crawl and training shards that q26-q34 do
+  * not yet cover: PII redaction, repetition filtering (Gopher-style),
+  * train/eval contamination checks, URL-keyed dedup, character-class
+  * quality, and tokenizer OOV-rate evaluation. The reference's string
+  * cleansing (gerrydb_etl/bootstrap/pl_geo.py:103-107) is the same
+  * normalize-then-derive shape at census scale; these extend it to
+  * corpus scale.
+  *
+  * Every operator is a scalar projection or a key-bounded aggregate /
+  * equi-join — no cross joins, no driver-side loops — and every one is
+  * DuckDB-oracle-checked (PII/URLs are synthesized deterministically
+  * from doc_id, the q40/q59 pattern, since the synthetic corpus has
+  * none of its own).
+  */
+object TrainingQueries {
+
+  val DupRatioFlag = 0.6
+  val TopRatioFlag = 0.1
+  val ContamN = 5
+  val OovVocabSize = 100
+  val OovMinCount = 20
+
+  /** Deterministic PII injection: every 3rd doc gets an email, every
+    * 5th a phone number, appended to the text.
+    */
+  private def withPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"), col("doc_id"), lit("@example.org")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"), lpad((col("doc_id") * 7) % 10000, 4, "0")))
+          .otherwise(lit(""))
+      ).as("raw")
+    )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q61: PII redaction — count and strip emails/phones as one scalar
+    // projection (scan-bound at 100 TB; the regex chain rides the
+    // parquet scan inside whole-stage codegen). Output carries the
+    // md5 of the redacted text so the oracle checks the full rewrite
+    // without shipping document bodies.
+    "q61_pii_redact" -> { (s, dir) =>
+      withPii(Tables.documents(s, dir)).select(
+        col("doc_id"),
+        regexp_count(col("raw"), lit(TextFunctions.EmailRe)).as("n_emails"),
+        regexp_count(col("raw"), lit(TextFunctions.PhoneRe)).as("n_phones"),
+        md5(TextFunctions.redactPii(col("raw"))).as("redacted_md5")
+      )
+    },
+
+    // q62: Gopher-style repetition filter — duplicate-token ratio and
+    // top-token frequency ratio per doc. One explode + two aggregates
+    // (token counts per doc, then per-doc rollup): the shuffle carries
+    // (doc_id, token) counts, never documents.
+    "q62_repetition_filter" -> { (s, dir) =>
+      val tokCounts = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      tokCounts
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_toks"), count(lit(1)).as("n_distinct"), max(col("cnt")).as("top_cnt"))
+        .select(
+          col("doc_id"),
+          col("n_toks"),
+          col("n_distinct"),
+          col("top_cnt"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_toks"), 4).as("dup_ratio"),
+          round(col("top_cnt").cast("double") / col("n_toks"), 4).as("top_ratio"),
+          (
+            (lit(1.0) - col("n_distinct").cast("double") / col("n_toks")) > DupRatioFlag ||
+              (col("top_cnt").cast("double") / col("n_toks")) > TopRatioFlag
+          ).as("flagged")
+        )
+    },
+
+    // q63: train/eval contamination — eval docs (doc_id % 10 == 0)
+    // sharing any 5-gram with a train doc, with shared-shingle and
+    // touched-train-doc counts. Candidates come from the df-capped
+    // portable-hash shingle equi-join (the q31/q32 machinery at n=5);
+    // at 100 TB the eval side is tiny and broadcasts.
+    "q63_contamination" -> { (s, dir) =>
+      val sh = graft.dedup.Dedup
+        .dfCapped(
+          graft.dedup.Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", ContamN),
+          DedupSimQueries.MaxShingleDf
+        )
+        .localCheckpoint()
+      val evalSide = sh.filter(col("doc_id") % 10 === 0).withColumnRenamed("doc_id", "eval_doc")
+      val trainSide = sh.filter(col("doc_id") % 10 =!= 0).withColumnRenamed("doc_id", "train_doc")
+      evalSide
+        .join(trainSide, "shingle")
+        .groupBy(col("eval_doc"))
+        .agg(
+          countDistinct(col("shingle")).as("n_shared_shingles"),
+          countDistinct(col("train_doc")).as("n_train_docs")
+        )
+    },
+
+    // q64: URL canonicalization + dedup — normalize (lowercase, strip
+    // query, strip trailing slash) then group: the canonical key is
+    // what shuffles, one row per crawled URL variant never travels
+    // beyond its aggregate.
+    "q64_url_dedup" -> { (s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          concat(
+            lit("https://"),
+            col("source"),
+            lit(".example.com/docs/"),
+            col("doc_id") % 40,
+            when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 2 === 0, concat(lit("?utm="), col("doc_id"))).otherwise(lit(""))
+          ).as("url")
+        )
+        .groupBy(TextFunctions.urlCanonical(col("url")).as("canonical_url"))
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("keep_doc"))
+    },
+
+    // q65: character-class quality — per-class frequencies and a Gini
+    // diversity score (1 - sum p_i^2). Rational arithmetic with a fixed
+    // evaluation order, so both engines produce bit-identical doubles
+    // (no log/entropy libm drift). Pure scalar projection.
+    "q65_char_classes" -> { (s, dir) =>
+      val n = length(col("text")).cast("double")
+      val letters = regexp_count(col("text"), lit("[a-zA-Z]")).cast("double")
+      val digits = regexp_count(col("text"), lit("[0-9]")).cast("double")
+      val spaces = regexp_count(col("text"), lit("\\s")).cast("double")
+      val other = n - letters - digits - spaces
+      val gini =
+        lit(1.0) - (((letters / n) * (letters / n) + (digits / n) * (digits / n)) +
+          (spaces / n) * (spaces / n) + (other / n) * (other / n))
+      Tables
+        .documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(
+          col("doc_id"),
+          letters.cast("long").as("n_letters"),
+          digits.cast("long").as("n_digits"),
+          spaces.cast("long").as("n_spaces"),
+          other.cast("long").as("n_other"),
+          round(gini, 4).as("char_gini")
+        )
+    },
+
+    // q67: tokenizer OOV rate — per-doc fraction of token occurrences
+    // outside the q47 top-k vocabulary. The vocabulary is a bounded
+    // top-k (broadcast); the token stream never shuffles, only the
+    // per-doc counts do.
+    "q67_oov_rate" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tokens = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+      val vocab = tokens
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= OovMinCount)
+        .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
+        .filter(col("rank") <= OovVocabSize)
+        .select(col("token"), lit(1).as("in_vocab"))
+      tokens
+        .join(broadcast(vocab), Seq("token"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_toks"),
+          sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov")
+        )
+        .select(
+          col("doc_id"),
+          col("n_toks"),
+          col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_toks"), 4).as("oov_rate")
+        )
+    }
+  )
+
+  // NOTE: this string is interpolated into oracle SQL that gets
+  // .stripMargin applied again — concat operators must not start a
+  // line or the second strip eats one pipe of `||`.
+  private val piiSynthSql: String =
+    "SELECT doc_id, text || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.org' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END) " +
+      "AS raw FROM documents"
+
+  def oracle: Map[String, String] = Map(
+    "q61_pii_redact" ->
+      s"""WITH p AS ($piiSynthSql)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(raw, '${TextFunctions.EmailRe}')) AS INT) AS n_emails,
+         |       CAST(len(regexp_extract_all(raw, '${TextFunctions.PhoneRe}')) AS INT) AS n_phones,
+         |       md5(regexp_replace(regexp_replace(raw, '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+         |                          '${TextFunctions.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM p""".stripMargin,
+    "q62_repetition_filter" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+         |cnt AS (SELECT doc_id, tok, count(*) AS cnt FROM tc GROUP BY doc_id, tok),
+         |agg AS (SELECT doc_id,
+         |               CAST(sum(cnt) AS BIGINT) AS n_toks,
+         |               count(*) AS n_distinct,
+         |               CAST(max(cnt) AS BIGINT) AS top_cnt
+         |        FROM cnt GROUP BY doc_id)
+         |SELECT doc_id, n_toks, n_distinct, top_cnt,
+         |       round(1.0 - CAST(n_distinct AS DOUBLE) / n_toks, 4) AS dup_ratio,
+         |       round(CAST(top_cnt AS DOUBLE) / n_toks, 4) AS top_ratio,
+         |       ((1.0 - CAST(n_distinct AS DOUBLE) / n_toks) > $DupRatioFlag
+         |        OR (CAST(top_cnt AS DOUBLE) / n_toks) > $TopRatioFlag) AS flagged
+         |FROM agg""".stripMargin,
+    "q63_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(t) - ${ContamN - 1}, 1) + 1),
+         |              i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + ${ContamN - 1}), ' '))) s
+         |       FROM toks),
+         |dfc AS (SELECT s, count(*) df FROM sh0 GROUP BY s),
+         |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfc USING (s) WHERE df <= ${DedupSimQueries.MaxShingleDf})
+         |SELECT e.doc_id AS eval_doc,
+         |       count(DISTINCT e.s) AS n_shared_shingles,
+         |       count(DISTINCT t.doc_id) AS n_train_docs
+         |FROM sh e JOIN sh t ON e.s = t.s AND e.doc_id % 10 = 0 AND t.doc_id % 10 != 0
+         |GROUP BY e.doc_id""".stripMargin,
+    "q64_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://' || source || '.example.com/docs/' || (doc_id % 40)
+        |         || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+        |         || (CASE WHEN doc_id % 2 = 0 THEN '?utm=' || doc_id ELSE '' END) AS url
+        |  FROM documents)
+        |SELECT regexp_replace(regexp_replace(lower(url), '\?.*$', '', 'g'), '/+$', '', 'g') AS canonical_url,
+        |       count(*) AS n_urls,
+        |       min(doc_id) AS keep_doc
+        |FROM u GROUP BY 1""".stripMargin,
+    "q65_char_classes" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS DOUBLE) AS n,
+        |         CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) AS l,
+        |         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS d,
+        |         CAST(len(regexp_extract_all(text, '\s')) AS DOUBLE) AS sp
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id,
+        |       CAST(l AS BIGINT) AS n_letters,
+        |       CAST(d AS BIGINT) AS n_digits,
+        |       CAST(sp AS BIGINT) AS n_spaces,
+        |       CAST(n - l - d - sp AS BIGINT) AS n_other,
+        |       round(1.0 - (((l/n)*(l/n) + (d/n)*(d/n)) + (sp/n)*(sp/n)
+        |                    + ((n-l-d-sp)/n)*((n-l-d-sp)/n)), 4) AS char_gini
+        |FROM c""".stripMargin,
+    "q67_oov_rate" ->
+      s"""WITH tokens AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+         |                FROM documents),
+         |vocab AS (SELECT token FROM (
+         |    SELECT token, row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+         |    FROM tokens GROUP BY token HAVING count(*) >= $OovMinCount)
+         |  WHERE rank <= $OovVocabSize)
+         |SELECT doc_id, count(*) AS n_toks,
+         |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS oov_rate
+         |FROM tokens t LEFT JOIN vocab v ON t.token = v.token
+         |GROUP BY doc_id""".stripMargin
+  )
+}

@@ -77,6 +77,26 @@ object TextFunctions {
         s"(acc, i) -> (acc * 31 + ascii(substr($textCol, i, 1))) % 1000000007)"
     )
 
+  /** PII patterns for redaction. Lowercase classes suffice for the
+    * synthesized corpus; a production list adds unicode classes and
+    * more ids (IPs, IBANs, …) — the machinery is the same regex chain.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** Redact PII in place: emails then phones, global replacement. A
+    * scalar projection — redaction over 100 TB is scan-bound, no
+    * shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** URL canonicalization: lowercase, strip the query string, strip
+    * trailing slashes — the normalize step before URL-keyed dedup.
+    */
+  def urlCanonical(url: Column): Column =
+    regexp_replace(regexp_replace(lower(url), "\\?.*$", ""), "/+$", "")
+
   /** Character shingles (overlapping n-grams) of `text` as an array —
     * the unit of Jaccard/MinHash dedup. transform over a sequence keeps
     * it codegen-friendly; shingle count is length-n+1 per doc.

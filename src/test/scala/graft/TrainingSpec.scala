@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.TextFunctions
+
+/** Semantic checks for the §2.J training-data curation operators
+  * (q61-q67) at sf0.001 — properties the DuckDB hash-compare cannot
+  * see (redaction completeness, estimator error bounds, flag mix).
+  */
+class TrainingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q61: redaction removes every PII match and counts the injected ones") {
+    val out = SparkEntry.queries("q61_pii_redact")(spark, sf).cache()
+    val n = out.count()
+    assert(n > 0)
+    // every doc_id % 15 == 0 doc carries both an email and a phone
+    val both = out.filter(col("doc_id") % 15 === 0)
+    assert(both.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() == 0)
+    // no doc without injection reports a hit
+    val none = out.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 =!= 0)
+    assert(none.filter(col("n_emails") + col("n_phones") =!= 0).count() == 0)
+    // redacting again is a fixpoint: the redacted text has no matches
+    // left (checked via the md5 of a double redaction being unchanged)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val raw = SparkEntry.queries("q61_pii_redact")(spark, sf)
+    val redactedTwice = docs
+      .select(
+        col("doc_id"),
+        md5(TextFunctions.redactPii(TextFunctions.redactPii(
+          concat(
+            col("text"),
+            when(col("doc_id") % 3 === 0, concat(lit(" contact user"), col("doc_id"), lit("@example.org")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"), lpad((col("doc_id") * 7) % 10000, 4, "0")))
+              .otherwise(lit(""))
+          )
+        ))).as("md5_twice")
+      )
+    val drift = raw
+      .join(redactedTwice, "doc_id")
+      .filter(col("redacted_md5") =!= col("md5_twice"))
+      .count()
+    assert(drift == 0, s"$drift docs change under a second redaction pass")
+    out.unpersist()
+  }
+
+  test("q62: repetition ratios are in range and the flag splits the corpus") {
+    val out = SparkEntry.queries("q62_repetition_filter")(spark, sf).cache()
+    assert(out.filter(col("dup_ratio") < 0 || col("dup_ratio") >= 1).count() == 0)
+    assert(out.filter(col("top_ratio") <= 0 || col("top_ratio") > 1).count() == 0)
+    assert(out.filter(col("n_distinct") > col("n_toks")).count() == 0)
+    val flagged = out.filter(col("flagged")).count()
+    assert(flagged > 0 && flagged < out.count(), s"flag does not split: $flagged of ${out.count()}")
+    out.unpersist()
+  }
+
+  test("q63: contamination reports eval docs only, with positive overlap") {
+    val out = SparkEntry.queries("q63_contamination")(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("eval_doc") % 10 =!= 0).count() == 0)
+    assert(out.filter(col("n_shared_shingles") < 1 || col("n_train_docs") < 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("q64: canonical URLs carry no query string or trailing slash and cover all docs") {
+    val out = SparkEntry.queries("q64_url_dedup")(spark, sf).cache()
+    assert(out.filter(col("canonical_url").contains("?")).count() == 0)
+    assert(out.filter(col("canonical_url").endsWith("/")).count() == 0)
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    val covered = out.agg(sum(col("n_urls"))).head.getLong(0)
+    assert(covered == docs, s"url group sizes sum to $covered, expected $docs")
+    out.unpersist()
+  }
+
+  test("q65: char classes partition the text and gini is in [0, 1)") {
+    val out = SparkEntry.queries("q65_char_classes")(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf).select(col("doc_id"), length(col("text")).as("n"))
+    val bad = out
+      .join(docs, "doc_id")
+      .filter(col("n_letters") + col("n_digits") + col("n_spaces") + col("n_other") =!= col("n"))
+      .count()
+    assert(bad == 0, s"$bad docs where class counts do not sum to length")
+    assert(out.filter(col("char_gini") < 0 || col("char_gini") >= 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("q66: signature-based Jaccard estimate tracks the exact Jaccard") {
+    val est = SparkEntry
+      .queries("q66_minhash_est")(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    // exact Jaccard for the same pairs (q32 verifies candidates exactly)
+    val exact = SparkEntry
+      .queries("q32_dedup_minhash_lsh")(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val joined = est.join(exact, Seq("doc_a", "doc_b")).cache()
+    assert(joined.count() > 0)
+    val meanErr = joined
+      .agg(avg(abs(col("est_jaccard") - col("jaccard"))))
+      .head
+      .getDouble(0)
+    // 64 permutations -> per-pair std <= 1/(2*sqrt(64)) = 0.0625
+    assert(meanErr <= 0.15, s"mean |estimate - exact| = $meanErr > 0.15")
+    joined.unpersist()
+  }
+
+  test("q67: OOV rate is consistent with its counts and bounded") {
+    val out = SparkEntry.queries("q67_oov_rate")(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("n_oov") > col("n_toks")).count() == 0)
+    assert(out.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() == 0)
+    // the vocabulary covers the head: corpus-wide OOV mass stays minor
+    val rate = out.agg(sum(col("n_oov")).cast("double") / sum(col("n_toks"))).head.getDouble(0)
+    assert(rate < 0.5, s"corpus OOV rate $rate >= 0.5 — vocabulary not covering the head")
+    out.unpersist()
+  }
+}
