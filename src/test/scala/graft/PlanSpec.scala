@@ -48,6 +48,25 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "q01 lost partial aggregation")
   }
 
+  test("q61 reads only the columns the redaction needs") {
+    val p = plan("q61_pii_redact")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), "q61 scan not pruned to (doc_id, text)")
+  }
+
+  test("q67 broadcasts the vocabulary, never shuffles the token stream for the join") {
+    val p = plan("q67_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), "vocab join not broadcast")
+  }
+
+  test("q66 estimates similarity from signatures alone — no document re-scan") {
+    // after the signature checkpoint, candidate generation and
+    // estimation must run entirely off the materialized sketches: a
+    // parquet scan in the plan would mean the shingle pipeline leaked
+    // back in (the thing sketch-only estimation exists to avoid)
+    val p = plan("q66_minhash_est")
+    assert(!p.contains("Scan parquet"), s"q66 re-scans source data:\n$p")
+  }
+
   test("whole-stage codegen covers the dedup hot path") {
     // adaptive plans only materialize codegen stages lazily; disable
     // AQE for the assertion so the wrappers render in the plan string
