@@ -30,6 +30,18 @@ object Profile {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       filters.isEmpty || filters.exists(n.contains)
     }
+    if (args.contains("--shuffles")) {
+      // shuffle census: data exchanges (shuffle) vs broadcast exchanges
+      // per initial physical plan — the inputs to PlanSpec's budgets
+      selected.foreach { case (name, fn) =>
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val shuffles = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).size
+        val bcasts = "BroadcastExchange".r.findAllIn(p).size
+        println(s"""[shuffles] "$name" -> $shuffles, // bcast=$bcasts""")
+      }
+      spark.stop()
+      return
+    }
     selected.foreach { case (name, fn) =>
       if (explain) fn(spark, sfDir).explain("formatted")
       val times = (1 to reps).map { _ =>

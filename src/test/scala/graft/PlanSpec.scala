@@ -67,6 +67,96 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Scan parquet"), s"q66 re-scans source data:\n$p")
   }
 
+  // Shuffle budget per operator: the number of data exchanges
+  // (Exchange hash/range/single — broadcast exchanges excluded, they
+  // are the CHEAP alternative) in the initial physical plan. At 100 TB
+  // every extra shuffle is the dominant cost, so a plan change that
+  // adds one should fail loudly here, not surface as a mystery
+  // regression in a cluster run. Budgets are the measured counts at
+  // HEAD (sf-independent — identical at sf0.001 and sf0.01); queries
+  // that localCheckpoint an upstream stage are budgeted on the
+  // post-checkpoint plan.
+  private val shuffleBudget: Map[String, Int] = Map(
+    "q01_agg" -> 1,
+    "q02_join_broadcast" -> 1,
+    "q03_filter_project" -> 0,
+    "q04_dedup_exact" -> 1,
+    "q05_anti_join" -> 0,
+    "q06_union_reconcile" -> 0,
+    "q07_derived_id" -> 0,
+    "q08_group_collect" -> 1,
+    "q09_conditional_class" -> 1,
+    "q10_collision_merge" -> 1,
+    "q11_melt" -> 0,
+    "q12_pivot" -> 2,
+    "q13_scd2_upsert" -> 1,
+    "q14_window_latest" -> 1,
+    "q15_modal_agg" -> 2,
+    "q16_sort_topk" -> 0,
+    "q17_star_join" -> 1,
+    "q18_rollup" -> 1,
+    "q19_semi_join" -> 0,
+    "q20_alias_normalize" -> 0,
+    "q21_path_overrides" -> 0,
+    "q22_string_template" -> 0,
+    "q23_utm_zone" -> 2,
+    "q24_haversine" -> 1,
+    "q25_point_bbox" -> 1,
+    "q26_token_count" -> 0,
+    "q27_quality_score" -> 0,
+    "q28_langid" -> 0,
+    "q29_fingerprint" -> 0,
+    "q30_dedup_text_exact" -> 1,
+    "q31_dedup_ngram_jaccard" -> 3,
+    "q32_dedup_minhash_lsh" -> 4,
+    "q33_dedup_simhash" -> 2,
+    "q34_dedup_embedding" -> 1,
+    "q35_ann_bruteforce" -> 1,
+    "q36_ann_lsh" -> 2,
+    "q37_sessionize" -> 1,
+    "q38_window_agg" -> 2,
+    "q39_json_extract" -> 1,
+    "q40_multimodal_meta" -> 0,
+    "q41_ingest_manifest" -> 1,
+    "q42_asof_join" -> 1,
+    "q43_range_join" -> 2,
+    "q44_stratified_sample" -> 0,
+    "q45_quantile_disc" -> 1,
+    "q46_cube" -> 1,
+    "q47_vocab_topk" -> 1,
+    "q48_tfidf" -> 5,
+    "q49_bigram_counts" -> 3,
+    "q50_ann_ivf" -> 6,
+    "q51_templated_columns" -> 0,
+    "q52_spatial_grid_join" -> 1,
+    "q53_interval_audit" -> 1,
+    "q54_cdc_diff" -> 3,
+    "q55_dup_clusters" -> 1,
+    "q56_clean_corpus" -> 1,
+    "q57_approx_stats" -> 1,
+    "q58_rolling_avg" -> 1,
+    "q59_frame_sample" -> 0,
+    "q60_mom_growth" -> 2,
+    "q61_pii_redact" -> 0,
+    "q62_repetition_filter" -> 2,
+    "q63_contamination" -> 2,
+    "q64_url_dedup" -> 1,
+    "q65_char_classes" -> 0,
+    "q66_minhash_est" -> 1,
+    "q67_oov_rate" -> 2
+  )
+
+  test("no operator exceeds its shuffle budget") {
+    val missing = SparkEntry.queries.keySet -- shuffleBudget.keySet
+    assert(missing.isEmpty, s"new operators need a shuffle budget: $missing")
+    val over = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      val shuffles = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).size
+      if (shuffles > shuffleBudget(name)) Some(s"$name: $shuffles > ${shuffleBudget(name)}") else None
+    }
+    assert(over.isEmpty, s"shuffle budget exceeded:\n${over.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the dedup hot path") {
     // adaptive plans only materialize codegen stages lazily; disable
     // AQE for the assertion so the wrappers render in the plan string
