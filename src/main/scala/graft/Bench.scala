@@ -26,9 +26,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen/scan init otherwise lands entirely on
-    // the alphabetically-first query and distorts its number
+    // the alphabetically-first query and distorts its number. Scans
+    // warm the parquet reader + each table's footer/codec path; the
+    // QUERIES still run cold (their plan compilation is part of the
+    // measurement).
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
-    spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
+      .foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
+      }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
