@@ -299,8 +299,47 @@ object DedupSimQueries {
        |JOIN sig b ON b.doc_id = doc_b""".stripMargin
   }
 
+  /** q36 oracle: the hyperplane weights are PURE DATA (deterministic
+    * LCG over (plane, dim) — Similarity.hyperplane), so they embed as
+    * literal DOUBLE[] arrays whose shortest-round-trip decimal reprs
+    * parse back to the identical doubles. Bucket bits and cosines then
+    * use the same sequential-fold dot order as every other embedding
+    * oracle, making the whole ANN pipeline bit-reproducible.
+    */
+  private lazy val q36Sql: String = {
+    def planeLit(p: Int): String =
+      "([" + Similarity.hyperplane(p, Dims).map(_.toString).mkString(", ") + "]::DOUBLE[])"
+    def bucketSql(t: Int): String =
+      (0 until AnnPlanesPerTable)
+        .map { j =>
+          s"(CASE WHEN ${dot("v", planeLit(t * AnnPlanesPerTable + j))} > 0 THEN ${1 << j} ELSE 0 END)"
+        }
+        .mkString(" + ")
+    val kb = (0 until AnnTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bucket FROM n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) norm FROM e),
+       |kb AS ($kb),
+       |pb AS (SELECT vec_id AS probe_id, tbl, bucket FROM kb WHERE vec_id < 5),
+       |cand AS (SELECT DISTINCT pb.probe_id, c.vec_id
+       |         FROM kb c JOIN pb ON c.tbl = pb.tbl AND c.bucket = pb.bucket
+       |         WHERE c.vec_id != pb.probe_id),
+       |r AS (SELECT probe_id, cand.vec_id,
+       |             ${dot("a.v", "p.v")} / (a.norm * p.norm) AS cosine
+       |      FROM cand
+       |      JOIN n a ON a.vec_id = cand.vec_id
+       |      JOIN n p ON p.vec_id = cand.probe_id),
+       |rk AS (SELECT probe_id, vec_id, cosine,
+       |              row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) rk
+       |       FROM r)
+       |SELECT probe_id, rk AS rank, vec_id AS neighbor_id, round(cosine, 4) AS cosine
+       |FROM rk WHERE rk <= $AnnK""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q66_minhash_est" -> q66Sql,
+    "q36_ann_lsh" -> q36Sql,
     "q30_dedup_text_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
