@@ -62,6 +62,60 @@ object EventsQueries {
         .withColumn("n_win", count(lit(1)).over(w))
         .withColumn("rolling_avg", round(sum(col("cv")).over(w) / col("n_win") / lit(100.0), 4))
         .drop("cv")
+    },
+
+    // q68: conversion funnel view → click → purchase with strict
+    // temporal ordering (first click AFTER first view, first purchase
+    // AFTER that click). Three user-keyed min-aggregates chained by
+    // joins — each stage's frame is one row per surviving user, so
+    // the chain stays user-partitioned and tiny. All comparisons in
+    // µs (ts DIV 1000): DuckDB cannot see nanos, so a nanos-strict
+    // `>` could count a pair the oracle misses.
+    "q68_funnel" -> { (s, dir) =>
+      val ev = Tables
+        .events(s, dir)
+        .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+      val v = ev.filter(col("event_type") === "view").groupBy(col("user_id")).agg(min(col("ts_us")).as("tv"))
+      val c = ev
+        .filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts_us") > col("tv"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("tc"))
+      val p = ev
+        .filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts_us") > col("tc"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("tp"))
+      // one user-keyed left-join chain, then ONE global aggregate
+      // counting stage survivors (non-null stage timestamps) — not
+      // three separate count frames
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .agg(count(col("tv")).as("n_view"), count(col("tc")).as("n_click"), count(col("tp")).as("n_purchase"))
+        .select(
+          col("n_view"),
+          col("n_click"),
+          col("n_purchase"),
+          round(col("n_click").cast("double") / col("n_view"), 4).as("view_to_click"),
+          round(col("n_purchase").cast("double") / col("n_click"), 4).as("click_to_purchase")
+        )
+    },
+
+    // q69: weekly retention cohorts — users grouped by first-seen week,
+    // counted at each later week offset. The (user, week) distinct
+    // bounds every downstream frame by users × weeks; week ids are µs
+    // integer division so both engines bucket identically.
+    "q69_retention" -> { (s, dir) =>
+      val wk = Tables
+        .events(s, dir)
+        .select(col("user_id"), expr("(ts DIV 1000) DIV 604800000000").as("week"))
+        .distinct()
+      val cohort = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      wk.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
     }
   )
 
@@ -112,6 +166,26 @@ object EventsQueries {
         |             / (count(*) OVER w) / 100.0, 4) AS rolling_avg
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q68_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(ts_us) AS tc
+        |      FROM ev e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > tv GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ts_us) AS tp
+        |      FROM ev e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > tc GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase,
+        |       round(CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM v), 4) AS view_to_click,
+        |       round(CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM c), 4) AS click_to_purchase""".stripMargin,
+    "q69_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+        |FROM wk JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

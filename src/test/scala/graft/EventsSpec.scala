@@ -63,4 +63,30 @@ class EventsSpec extends AnyFunSuite {
     assert(s39.select(sum("n")).head.getLong(0) == 1000L)
     assert(s39.filter(col("min_k") < 0 || col("max_k") > 99).count() == 0)
   }
+
+  test("q68 funnel stages shrink monotonically and rates are consistent") {
+    val r = SparkEntry.queries("q68_funnel")(spark, sf).head
+    val (nv, nc, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nv >= nc && nc >= np, s"funnel not monotone: $nv >= $nc >= $np")
+    assert(nv > 0 && np > 0, "degenerate funnel (no entries or no conversions)")
+    assert(r.getDouble(3) == math.round(nc.toDouble / nv * 10000) / 10000.0)
+    assert(r.getDouble(4) == math.round(np.toDouble / nc * 10000) / 10000.0)
+  }
+
+  test("q69 retention: offset 0 is each cohort's peak and covers every user") {
+    val ret = SparkEntry.queries("q69_retention")(spark, sf).cache()
+    assert(ret.filter(col("week_offset") < 0).count() == 0)
+    // offset-0 count = cohort size >= count at any later offset
+    val byCohort = ret
+      .groupBy("cohort_week")
+      .agg(
+        max(when(col("week_offset") === 0, col("n_users")).otherwise(0L)).as("w0"),
+        max(when(col("week_offset") > 0, col("n_users")).otherwise(0L)).as("later")
+      )
+    assert(byCohort.filter(col("w0") < col("later")).count() == 0, "a later offset exceeds cohort size")
+    val users = graft.sources.Tables.events(spark, sf).select("user_id").distinct().count()
+    val w0Total = ret.filter(col("week_offset") === 0).agg(sum("n_users")).head.getLong(0)
+    assert(w0Total == users, s"offset-0 totals $w0Total != $users distinct users")
+    ret.unpersist()
+  }
 }

@@ -143,7 +143,9 @@ class PlanSpec extends AnyFunSuite {
     "q64_url_dedup" -> 1,
     "q65_char_classes" -> 0,
     "q66_minhash_est" -> 1,
-    "q67_oov_rate" -> 2
+    "q67_oov_rate" -> 2,
+    "q68_funnel" -> 6,
+    "q69_retention" -> 3
   )
 
   test("no operator exceeds its shuffle budget") {
