@@ -29,6 +29,7 @@ object TrainingQueries {
   val ContamN = 5
   val OovVocabSize = 100
   val OovMinCount = 20
+  val ShardTokenBudget = 2048
 
   /** Deterministic PII injection: every 3rd doc gets an email, every
     * 5th a phone number, appended to the text.
@@ -158,6 +159,49 @@ object TrainingQueries {
         )
     },
 
+    // q70: source-weighted data mixing — each source keeps a
+    // config-driven fraction of its documents via the deterministic
+    // md5-threshold coin (q44's technique: an 8-hex-digit prefix
+    // compared against the fraction as a hex threshold; 'g' sorts
+    // after every hex digit = keep-all). Output is the per-source
+    // mixing report. One aggregate, no row explosion, and re-running
+    // selects the same documents — the property a resumable 100 TB
+    // mixing job needs.
+    "q70_source_mixing" -> { (s, dir) =>
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val thr = when(srcNum % 4 === 0, lit("g"))
+        .when(srcNum % 4 === 1, lit("80000000"))
+        .when(srcNum % 4 === 2, lit("40000000"))
+        .otherwise(lit("1999999a"))
+      Tables
+        .documents(s, dir)
+        .select(col("source"), (substring(md5(col("text")), 1, 8) < thr).cast("long").as("kept"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+        .withColumn("kept_ratio", round(col("n_kept").cast("double") / col("n_docs"), 4))
+    },
+
+    // q71: token-budget shard packing — documents packed into shards of
+    // ~budget tokens per source via a running token cumsum (shard id =
+    // tokens-before DIV budget). The window is per-source (bounded),
+    // arithmetic is integer-only, and the assignment is deterministic
+    // and resumable — the sequence-packing step before writing
+    // training shards.
+    "q71_token_shards" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), col("source"), TextFunctions.tokenCountWs(col("text")).cast("long").as("n_toks"))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("n_toks"),
+          expr(s"(cum - n_toks) DIV $ShardTokenBudget").as("shard_id")
+        )
+    },
+
     // q67: tokenizer OOV rate — per-doc fraction of token occurrences
     // outside the q47 top-k vocabulary. The vocabulary is a bounded
     // top-k (broadcast); the token stream never shuffles, only the
@@ -262,6 +306,28 @@ object TrainingQueries {
         |       round(1.0 - (((l/n)*(l/n) + (d/n)*(d/n)) + (sp/n)*(sp/n)
         |                    + ((n-l-d-sp)/n)*((n-l-d-sp)/n)), 4) AS char_gini
         |FROM c""".stripMargin,
+    "q70_source_mixing" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         CASE WHEN substring(md5(text), 1, 8) <
+        |                   (CASE CAST(substr(source, 4) AS INT) % 4
+        |                      WHEN 0 THEN 'g' WHEN 1 THEN '80000000'
+        |                      WHEN 2 THEN '40000000' ELSE '1999999a' END)
+        |              THEN 1 ELSE 0 END AS kept
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(kept) AS BIGINT) AS n_kept,
+        |       round(CAST(sum(kept) AS DOUBLE) / count(*), 4) AS kept_ratio
+        |FROM d GROUP BY source""".stripMargin,
+    "q71_token_shards" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+         |  FROM documents)
+         |SELECT doc_id, source, n_toks,
+         |       (CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - n_toks)
+         |         // $ShardTokenBudget AS shard_id
+         |FROM t""".stripMargin,
     "q67_oov_rate" ->
       s"""WITH tokens AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
          |                FROM documents),

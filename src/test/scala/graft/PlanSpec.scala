@@ -145,7 +145,9 @@ class PlanSpec extends AnyFunSuite {
     "q66_minhash_est" -> 1,
     "q67_oov_rate" -> 2,
     "q68_funnel" -> 6,
-    "q69_retention" -> 3
+    "q69_retention" -> 3,
+    "q70_source_mixing" -> 1,
+    "q71_token_shards" -> 1
   )
 
   test("no operator exceeds its shuffle budget") {

@@ -106,6 +106,31 @@ class TrainingSpec extends AnyFunSuite {
     joined.unpersist()
   }
 
+  test("q70: keep-all sources keep everything; the coin is deterministic") {
+    val out = SparkEntry.queries("q70_source_mixing")(spark, sf).cache()
+    val keepAll = out.filter(expr("CAST(substr(source, 4) AS INT) % 4 = 0"))
+    assert(keepAll.count() > 0)
+    assert(keepAll.filter(col("n_kept") =!= col("n_docs")).count() == 0, "a keep-all source dropped docs")
+    assert(out.filter(col("n_kept") > col("n_docs")).count() == 0)
+    // deterministic: a second evaluation selects the identical counts
+    val again = SparkEntry.queries("q70_source_mixing")(spark, sf)
+    assert(out.select("source", "n_kept").except(again.select("source", "n_kept")).count() == 0)
+    out.unpersist()
+  }
+
+  test("q71: shards respect the token budget modulo one straddling doc") {
+    val out = SparkEntry.queries("q71_token_shards")(spark, sf).cache()
+    val budget = graft.queries.TrainingQueries.ShardTokenBudget
+    val maxDoc = out.agg(max(col("n_toks"))).head.getLong(0)
+    val shardTotals = out.groupBy(col("source"), col("shard_id")).agg(sum(col("n_toks")).as("toks"))
+    // a shard closes once the cumsum crosses the budget, so it can
+    // exceed it by at most the straddling document
+    assert(shardTotals.filter(col("toks") > budget + maxDoc).count() == 0)
+    // shard ids start at 0 for every source
+    assert(out.groupBy("source").agg(min("shard_id").as("m")).filter(col("m") =!= 0).count() == 0)
+    out.unpersist()
+  }
+
   test("q67: OOV rate is consistent with its counts and bounded") {
     val out = SparkEntry.queries("q67_oov_rate")(spark, sf).cache()
     assert(out.count() > 0)
