@@ -91,6 +91,34 @@ object StreamingEvents {
       .withWatermark("ts_t", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream attribution join: each click joins the same user's
+    * views from the preceding `horizon`. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can
+    * evict matched/unmatchable rows from state — the two requirements
+    * that make a stream-stream join runnable on an unbounded stream
+    * (an unbounded-condition join would buffer both streams forever).
+    * At 100 TB/day the state held is one horizon's worth of views per
+    * user, independent of stream length.
+    */
+  def attributionJoin(
+      views: DataFrame,
+      clicks: DataFrame,
+      watermarkDelay: String = "2 hours"
+  ): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), timestamp_micros(expr("ts DIV 1000")).as("view_t"))
+      .withWatermark("view_t", watermarkDelay)
+    val c = clicks
+      .select(col("user_id").as("c_user"), timestamp_micros(expr("ts DIV 1000")).as("click_t"))
+      .withWatermark("click_t", watermarkDelay)
+    c.join(v, expr("c_user = v_user AND click_t >= view_t AND click_t <= view_t + interval 1 hour"))
+      .select(
+        col("c_user").as("user_id"),
+        unix_micros(col("view_t")).as("view_us"),
+        unix_micros(col("click_t")).as("click_us")
+      )
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState with
     * event-time timeout. Events BUFFER in state until the watermark
     * proves their session final: every future event has event-time >=

@@ -127,6 +127,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows
+    val maxTs = rows.map(_.ts).max
+    val views = MemoryStream[RawEvent]
+    val clicks = MemoryStream[RawEvent]
+    val joined = StreamingEvents.attributionJoin(views.toDF(), clicks.toDF())
+    val query = joined.writeStream.format("memory").queryName("attr_stream").outputMode("append").start()
+    try {
+      views.addData(rows.filter(_.event_type == "view"))
+      clicks.addData(rows.filter(_.event_type == "click"))
+      query.processAllAvailable()
+      // advance BOTH watermarks past every real event, twice
+      for (d <- Seq(10L, 11L)) {
+        val sentinel = RawEvent(maxTs + d * 86400 * ns, -1L, "sentinel", 0.0)
+        views.addData(sentinel); clicks.addData(sentinel)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark
+      .table("attr_stream")
+      .filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val ev = Tables.events(spark, sf).select(col("user_id"), expr("ts DIV 1000").as("t"), col("event_type"))
+    val batch = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("t").as("click_us"))
+      .join(
+        ev.filter(col("event_type") === "view").select(col("user_id"), col("t").as("view_us")),
+        Seq("user_id")
+      )
+      .filter(col("click_us") >= col("view_us") && col("click_us") <= col("view_us") + 3600000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+      .toSet
+    assert(batch.nonEmpty, "test data has no attribution pairs — spec is vacuous")
+    assert(streamed == batch, s"stream/batch attribution differs: ${streamed.diff(batch)} / ${batch.diff(streamed)}")
+  }
+
   test("session numbering survives a timeout flush (return-after-idle user)") {
     implicit val sqlCtx = spark.sqlContext
     val us = 1000000L
