@@ -146,6 +146,44 @@ object Multimodal {
     media.mapPartitions(decodePartition)
   }
 
+  /** Partition-batched resize to a bounding box (preserving aspect
+    * ratio) — the standard image-normalization stage before feature
+    * extraction. The pixel resampling itself is STUBBED (no codec in
+    * this container): output dimensions are the real aspect-fit
+    * arithmetic, and the payload is truncated proportionally to the
+    * area ratio so downstream size accounting is exercised. The Spark
+    * contract — typed Dataset in/out, per-partition batching so a real
+    * resampler initializes once per partition — is the production
+    * shape.
+    */
+  def resize(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rs => resizePartition(rs, maxW, maxH))
+  }
+
+  private[multimodal] def resizePartition(
+      records: Iterator[MediaRecord],
+      maxW: Int,
+      maxH: Int
+  ): Iterator[MediaRecord] = {
+    // STUB: stands in for per-partition resampler initialization.
+    records.map { r =>
+      if (r.width <= maxW && r.height <= maxH) r
+      else {
+        val scale = math.min(maxW.toDouble / r.width, maxH.toDouble / r.height)
+        // round, not floor: the binding axis lands exactly on the box
+        // edge and the other axis stays nearest-to-aspect
+        val nw = math.max(1, math.min(maxW, math.round(r.width * scale).toInt))
+        val nh = math.max(1, math.min(maxH, math.round(r.height * scale).toInt))
+        val keep = math.max(
+          1,
+          math.ceil(r.payload.length.toDouble * (nw.toLong * nh) / (r.width.toLong * r.height)).toInt
+        )
+        r.copy(width = nw, height = nh, payload = r.payload.take(keep))
+      }
+    }
+  }
+
   private[multimodal] def decodePartition(records: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
     // STUB: stands in for per-partition codec/model initialization.
     records.map { r =>

@@ -39,6 +39,29 @@ class MultimodalSpec extends AnyFunSuite {
     fRows.foreach(f => assert(again(f.doc_id) == f.mean_byte))
   }
 
+  test("resize stub fits every record inside the box, preserving aspect ratio") {
+    import spark.implicits._
+    val ds = media.select("doc_id", "fmt", "payload", "width", "height").as[MediaRecord]
+    val before = ds.collect().map(r => r.doc_id -> r).toMap
+    val resized = Multimodal.resize(ds.repartition(4), maxW = 64, maxH = 64).collect()
+    assert(resized.length == before.size)
+    resized.foreach { r =>
+      val o = before(r.doc_id)
+      assert(r.width <= 64 && r.height <= 64, s"doc ${r.doc_id} not fitted: ${r.width}x${r.height}")
+      if (o.width <= 64 && o.height <= 64) {
+        assert(r.width == o.width && r.height == o.height, "already-fitting record must pass through")
+        assert(r.payload.length == o.payload.length)
+      } else {
+        // the binding axis lands exactly on the box edge, orientation
+        // is preserved, payload only shrinks
+        assert(r.width == 64 || r.height == 64, s"no axis binds for ${r.doc_id}: ${r.width}x${r.height}")
+        if (o.width > o.height) assert(r.width >= r.height, s"orientation flipped for ${r.doc_id}")
+        if (o.height > o.width) assert(r.height >= r.width, s"orientation flipped for ${r.doc_id}")
+        assert(r.payload.length <= o.payload.length)
+      }
+    }
+  }
+
   test("ingest manifest partitions the corpus and has stable hashes") {
     val man = Ingest.manifest(Tables.documents(spark, sf)).collect()
     assert(man.map(_.getLong(1)).sum == 500L)
