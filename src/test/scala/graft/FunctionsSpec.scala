@@ -68,4 +68,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS d").head.isNullAt(0))
     assert(spark.sql("SELECT graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS d").head.isNullAt(0))
   }
+
+  test("graft_strhash2 matches the reference fold and is SQL-callable") {
+    import graft.functions.PortableHash
+    GraftFunctions.ensureRegistered(spark)
+    // reference fold, written independently of the production loop
+    def ref(s: String): Long = {
+      val cps = s.codePoints().toArray
+      def fold(base: Long) = cps.foldLeft(0L)((acc, c) => (acc * base + c) % PortableHash.P)
+      fold(31) * 2147483648L + fold(37)
+    }
+    for (s <- Seq("", "a", "the quick brown fox", "x" * 500, "naïve café")) {
+      val got = spark.sql(s"SELECT graft_strhash2('${s.replace("'", "''")}') AS h").head.getLong(0)
+      assert(got == ref(s), s"hash mismatch for '$s'")
+      assert(got >= 0, "hash must be non-negative (62-bit)")
+    }
+  }
+
+  test("graft_minhash equals per-permutation min over the same arithmetic") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val hs = Seq(5L, 999999937L, (1L << 61) + 17L, 0L)
+    val got = hs
+      .toDF("h")
+      .agg(GraftFunctions.minhash(col("h"), 8).as("mh"))
+      .head
+      .getSeq[Long](0)
+    import graft.functions.PortableHash.{P, permA, permB}
+    val want = (0 until 8).map(p => hs.map(h => (permA(p) * (h % P) + permB(p)) % P).min)
+    assert(got == want, s"$got != $want")
+  }
+
+  test("graft_simhash votes per bit with ties resolving to 0") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    // two inputs: bit 0 set in both -> vote +2 -> 1; bit 1 set in one
+    // of two -> tie 0 -> 0; bit 2 set in neither -> -2 -> 0
+    val sig = Seq(3L, 1L).toDF("h").agg(GraftFunctions.simhash(col("h"))).head.getLong(0)
+    assert(sig == 1L, s"expected 1, got $sig")
+    // single input reproduces its own low 60 bits
+    val h = (1L << 59) | 0x5aL
+    val one = Seq(h).toDF("h").agg(GraftFunctions.simhash(col("h"))).head.getLong(0)
+    assert(one == h, s"single-row simhash must echo the hash: $one != $h")
+  }
 }
