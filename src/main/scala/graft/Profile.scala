@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc profiling main: times a subset of SparkEntry queries (args =
   * name substrings; empty = all) with N repetitions, printing per-run
@@ -11,20 +10,23 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.Profile q31 q33 --reps=2 --explain"
   */
 object Profile {
+
+  /** Data-exchange count in a physical plan string (broadcast
+    * exchanges excluded — they are the cheap alternative). The ONE
+    * counting rule shared by the --shuffles census and PlanSpec's
+    * budget assertion, so the measurement tool and the gate cannot
+    * drift apart.
+    */
+  def countShuffles(plan: String): Int =
+    "Exchange (hash|range|SinglePartition)".r.findAllIn(plan).size
+
   def main(args: Array[String]): Unit = {
     val reps = args.collectFirst { case a if a.startsWith("--reps=") => a.drop(7).toInt }.getOrElse(1)
     val explain = args.contains("--explain")
     val filters = args.filterNot(_.startsWith("--"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
@@ -35,9 +37,8 @@ object Profile {
       // per initial physical plan — the inputs to PlanSpec's budgets
       selected.foreach { case (name, fn) =>
         val p = fn(spark, sfDir).queryExecution.executedPlan.toString
-        val shuffles = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).size
         val bcasts = "BroadcastExchange".r.findAllIn(p).size
-        println(s"""[shuffles] "$name" -> $shuffles, // bcast=$bcasts""")
+        println(s"""[shuffles] "$name" -> ${Profile.countShuffles(p)}, // bcast=$bcasts""")
       }
       spark.stop()
       return

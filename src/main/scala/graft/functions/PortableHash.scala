@@ -25,9 +25,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * All intermediates fit a signed 64-bit integer (acc < 2^31, so
   * acc * 37 + cp < 2^37), which is exactly what makes the same fold
   * expressible in DuckDB BIGINT arithmetic (see DedupSimQueries'
-  * oracle SQL). Collision rate is the 62-bit birthday bound —
-  * negligible at any feasible shingle-set size, same regime as the
-  * xxhash64 it replaces.
+  * oracle SQL).
+  *
+  * Collision regimes — the 62-bit birthday bound applies ONLY to uses
+  * that compare the full packed hash (shingle equality joins:
+  * q31/q32's verify, q55, q63). The MinHash permutations reduce to
+  * h mod P first, so THAT path is 31-bit: above ~2^31 distinct
+  * shingles collisions are forced, and signature-only estimates
+  * (q66) acquire a small upward bias. q32 is immune (exact verify on
+  * candidates); a corpus at that scale should widen the permutation
+  * input (two independent 31-bit mulmods) before trusting q66's
+  * estimates unverified.
   */
 object PortableHash {
 

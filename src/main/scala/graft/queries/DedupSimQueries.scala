@@ -49,9 +49,12 @@ object DedupSimQueries {
   // sf0.1: q31 3.0→2.3 s, q32 2.9→2.1 s, q33 1.9→1.0 s, q55
   // 3.1→2.7 s. (Round 2 measured lazy
   // persist() LOSING; the difference here is eager checkpointing plus
-  // lineage truncation, which also shrinks every downstream plan.) At
-  // 100 TB the same role is played by writing shingles once to a
-  // doc_id-bucketed parquet table and reading it back per stage.
+  // lineage truncation, which also shrinks every downstream plan.)
+  // Lifecycle: checkpoint blocks are MEMORY_AND_DISK (evictable) and
+  // ContextCleaner frees them once the frame is unreachable — bounded
+  // for per-query use; a long-lived service should instead
+  // materialize shingles ONCE per corpus snapshot (at 100 TB: a
+  // doc_id-bucketed parquet table) rather than per query call.
   private def shingles3(s: SparkSession, dir: String): DataFrame =
     Dedup
       .dfCapped(Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3), MaxShingleDf)

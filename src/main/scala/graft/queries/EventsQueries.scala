@@ -98,8 +98,13 @@ object EventsQueries {
           col("n_view"),
           col("n_click"),
           col("n_purchase"),
-          round(col("n_click").cast("double") / col("n_view"), 4).as("view_to_click"),
-          round(col("n_purchase").cast("double") / col("n_click"), 4).as("click_to_purchase")
+          // empty stages -> NULL rate, not DIVIDE_BY_ZERO: Spark 4
+          // runs ANSI mode by default, where 0.0/0.0 THROWS (the
+          // DuckDB oracle returns NULL for the same division)
+          when(col("n_view") > 0, round(col("n_click").cast("double") / col("n_view"), 4))
+            .as("view_to_click"),
+          when(col("n_click") > 0, round(col("n_purchase").cast("double") / col("n_click"), 4))
+            .as("click_to_purchase")
         )
     },
 

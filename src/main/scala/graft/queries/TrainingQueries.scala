@@ -32,9 +32,11 @@ object TrainingQueries {
   val ShardTokenBudget = 2048
 
   /** Deterministic PII injection: every 3rd doc gets an email, every
-    * 5th a phone number, appended to the text.
+    * 5th a phone number, appended to the text. Public so TrainingSpec
+    * tests redaction against the SAME injection recipe (a private
+    * copy there would silently drift).
     */
-  private def withPii(docs: DataFrame): DataFrame =
+  def withPii(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       concat(

@@ -12,6 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sizing, not this code.
   */
 object Tables {
+
+  /** Every input table — the single inventory Bench's scan warmup and
+    * any whole-lake operation iterate (keep in sync by adding loaders
+    * below AND a name here).
+    */
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings"
+  )
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

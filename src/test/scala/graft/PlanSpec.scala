@@ -154,8 +154,7 @@ class PlanSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- shuffleBudget.keySet
     assert(missing.isEmpty, s"new operators need a shuffle budget: $missing")
     val over = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val p = plan(name)
-      val shuffles = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).size
+      val shuffles = Profile.countShuffles(plan(name))
       if (shuffles > shuffleBudget(name)) Some(s"$name: $shuffles > ${shuffleBudget(name)}") else None
     }
     assert(over.isEmpty, s"shuffle budget exceeded:\n${over.mkString("\n")}")

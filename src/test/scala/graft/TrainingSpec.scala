@@ -23,23 +23,15 @@ class TrainingSpec extends AnyFunSuite {
     val none = out.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 =!= 0)
     assert(none.filter(col("n_emails") + col("n_phones") =!= 0).count() == 0)
     // redacting again is a fixpoint: the redacted text has no matches
-    // left (checked via the md5 of a double redaction being unchanged)
-    val docs = graft.sources.Tables.documents(spark, sf)
-    val raw = SparkEntry.queries("q61_pii_redact")(spark, sf)
-    val redactedTwice = docs
+    // left (checked via the md5 of a double redaction being unchanged);
+    // reuses the production injection recipe so the check cannot drift
+    val redactedTwice = graft.queries.TrainingQueries
+      .withPii(graft.sources.Tables.documents(spark, sf))
       .select(
         col("doc_id"),
-        md5(TextFunctions.redactPii(TextFunctions.redactPii(
-          concat(
-            col("text"),
-            when(col("doc_id") % 3 === 0, concat(lit(" contact user"), col("doc_id"), lit("@example.org")))
-              .otherwise(lit("")),
-            when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"), lpad((col("doc_id") * 7) % 10000, 4, "0")))
-              .otherwise(lit(""))
-          )
-        ))).as("md5_twice")
+        md5(TextFunctions.redactPii(TextFunctions.redactPii(col("raw")))).as("md5_twice")
       )
-    val drift = raw
+    val drift = out
       .join(redactedTwice, "doc_id")
       .filter(col("redacted_md5") =!= col("md5_twice"))
       .count()
