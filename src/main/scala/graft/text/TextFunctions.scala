@@ -35,6 +35,13 @@ object TextFunctions {
   /** Composite quality score in [0, 1]: length saturation + stopword
     * density - punctuation density. Mirrors the standard C4/Gopher-style
     * length/stopword/punct heuristics over a `documents` table.
+    *
+    * Known edge: the score is a double rounded to 4dp, and a value
+    * landing within half an ulp of a .00005 boundary can round
+    * differently across engines (observed once at sf0.001; the sf0.01
+    * gate has no such tie). A tie-proof variant would compute in
+    * integer permyriads end-to-end — not done because the double
+    * formulation matches the reference heuristics verbatim.
     */
   def qualityScore(text: Column, nChars: Column): Column = {
     val toks = tokenCountWs(text).cast("double")
