@@ -27,15 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * expressible in DuckDB BIGINT arithmetic (see DedupSimQueries'
   * oracle SQL).
   *
-  * Collision regimes — the 62-bit birthday bound applies ONLY to uses
-  * that compare the full packed hash (shingle equality joins:
-  * q31/q32's verify, q55, q63). The MinHash permutations reduce to
-  * h mod P first, so THAT path is 31-bit: above ~2^31 distinct
-  * shingles collisions are forced, and signature-only estimates
-  * (q66) acquire a small upward bias. q32 is immune (exact verify on
-  * candidates); a corpus at that scale should widen the permutation
-  * input (two independent 31-bit mulmods) before trusting q66's
-  * estimates unverified.
+  * Collision regimes — the 62-bit birthday bound applies to every
+  * consumer: shingle equality joins (q31/q32's verify, q55, q63)
+  * compare the full packed hash, and the MinHash permutations consume
+  * BOTH 31-bit halves (two independent mulmods, [[perm]]), so two
+  * distinct shingles permute identically only if they collide in the
+  * full 62-bit hash. Signature-only estimates (q66) therefore carry
+  * no 31-bit truncation bias.
   */
 object PortableHash {
 
@@ -47,13 +45,34 @@ object PortableHash {
   val Base1: Long = 31L
   val Base2: Long = 37L
 
-  /** Deterministic MinHash permutation coefficients in [1, P):
-    * perm_p(h) = (A(p) * (h mod P) + B(p)) mod P. Derived from a
-    * splitmix-style integer recurrence so they are reproducible
-    * constants — the oracle SQL embeds the same values as literals.
+  /** Low-half mask: h mod 2^31. */
+  val Mask31: Long = 0x7FFFFFFFL
+
+  /** Deterministic MinHash permutation coefficients in [1, P) — see
+    * [[perm]]. Derived from a splitmix-style integer recurrence so
+    * they are reproducible constants — the oracle SQL embeds the same
+    * values as literals.
     */
-  def permA(p: Int): Long = mix(2L * p + 1L)
-  def permB(p: Int): Long = mix(2L * p + 2L)
+  def permA(p: Int): Long = mix(3L * p + 1L)
+  def permB(p: Int): Long = mix(3L * p + 2L)
+  def permC(p: Int): Long = mix(3L * p + 3L)
+
+  /** MinHash permutation consuming the FULL 62-bit hash as two
+    * independent 31-bit mulmods:
+    *
+    *   perm_p(h) = (A_p * (h div 2^31)) mod P
+    *             + (B_p * (h mod 2^31)) mod P
+    *             + C_p                        , all mod P
+    *
+    * Each product < 2^62 and the final sum < 3 * 2^31, so every
+    * intermediate stays in signed-64 range — the same expression runs
+    * in DuckDB BIGINT arithmetic (DedupSimQueries.permSql). Using both
+    * halves (not h mod P) means two shingles permute identically only
+    * on a full 62-bit hash collision; a (h mod P)-input permutation
+    * would be 31-bit and bias q66's estimates above ~2^31 shingles.
+    */
+  def perm(a: Long, b: Long, c: Long, h: Long): Long =
+    ((a * (h >>> 31)) % P + (b * (h & Mask31)) % P + c) % P
 
   private def mix(i: Long): Long = {
     var x = i * 6364136223846793005L + 1442695040888963407L

@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
 
 /** Native MinHash signature aggregate: `graft_minhash(h, numPerms)`
   * over [[PortableHash]] 62-bit shingle hashes → `array<bigint>` of
-  * per-permutation minima, perm_p(h) = (A_p * (h mod P) + B_p) mod P.
+  * per-permutation minima, perm_p = [[PortableHash.perm]] (two
+  * independent 31-bit mulmods over the hash's halves).
   *
   * Why a custom aggregate (SURVEY preference tier b): the builtin
   * formulation is numPerms separate `min(...)` aggregate columns — a
@@ -33,6 +34,7 @@ case class MinHashAgg(
 
   private val as: Array[Long] = Array.tabulate(numPerms)(PortableHash.permA)
   private val bs: Array[Long] = Array.tabulate(numPerms)(PortableHash.permB)
+  private val cs: Array[Long] = Array.tabulate(numPerms)(PortableHash.permC)
 
   override def children: Seq[Expression] = Seq(child)
 
@@ -54,10 +56,12 @@ case class MinHashAgg(
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val hm = java.lang.Math.floorMod(v.asInstanceOf[Long], PortableHash.P)
+      val h = v.asInstanceOf[Long]
+      val hi = h >>> 31
+      val lo = h & PortableHash.Mask31
       var p = 0
       while (p < numPerms) {
-        val x = (as(p) * hm + bs(p)) % PortableHash.P
+        val x = ((as(p) * hi) % PortableHash.P + (bs(p) * lo) % PortableHash.P + cs(p)) % PortableHash.P
         if (x < buffer(p)) buffer(p) = x
         p += 1
       }
@@ -74,7 +78,10 @@ case class MinHashAgg(
     buffer
   }
 
-  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+  // clone: never alias the live mutable buffer into a Catalyst value —
+  // safe under today's output-projection copy, fragile against
+  // execution-path changes (e.g. sort-based fallback buffer reuse).
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer.clone())
 
   override def serialize(buffer: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 * numPerms)

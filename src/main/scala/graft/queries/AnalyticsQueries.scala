@@ -102,17 +102,21 @@ object AnalyticsQueries {
     },
 
     // q47: vocabulary build — token frequencies with a min-count floor
-    // and a deterministic global top-k. The post-agg vocab is bounded,
-    // so the final single-partition window is safe at any input scale.
+    // and a deterministic global top-k. orderBy+limit plans as a
+    // distributed TakeOrdered (per-partition top-k, k-sized merge);
+    // the rank window then runs over only the k survivors — a global
+    // row_number over the full above-floor vocabulary would funnel it
+    // through one partition at 100 TB.
     "q47_vocab_topk" -> { (s, dir) =>
-      val toks = Tables
+      val top = Tables
         .documents(s, dir)
         .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 20)
-      val w = Window.orderBy(col("n").desc, col("token").asc)
-      toks.withColumn("rank", row_number().over(w)).filter(col("rank") <= 100)
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(100)
+      top.withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
     },
 
     // q48: TF-IDF-style term weighting, top-3 terms per doc. The score

@@ -171,7 +171,7 @@ object AuditQueries {
       s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          |d AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
          |feat AS (SELECT doc_id, lang, n_chars,
-         |                len(string_split_regex(trim(text), '\\s+')) toks,
+         |                len(string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}')) toks,
          |                ${hitsSql(Seq("the", "a", "and", "of", "to", "in", "is"))} stop_hits,
          |                len(regexp_extract_all(text, '[.,!?;:]')) punct_hits,
          |                ${hitsSql(Seq("the", "and", "of", "is"))} en_hits,

@@ -175,7 +175,7 @@ object DedupSimQueries {
     * twin of Dedup.shingles + dfCapped.
     */
   private val shingleCtes: String =
-    s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents),
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}') t FROM documents),
        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
        |              i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) s
        |       FROM toks),
@@ -212,9 +212,14 @@ object DedupSimQueries {
     s"(CASE WHEN length($s) = 0 THEN 0 ELSE ${fold(31)} * 2147483648 + ${fold(37)} END)"
   }
 
-  /** Spark-side identical MinHash permutation: (A_p * (h % P) + B_p) % P. */
-  private def permSql(p: Int): String =
-    s"(${graft.functions.PortableHash.permA(p)} * (h % $P) + ${graft.functions.PortableHash.permB(p)}) % $P"
+  /** Spark-side identical MinHash permutation (PortableHash.perm): two
+    * independent 31-bit mulmods over the hash's halves — every
+    * intermediate fits DuckDB BIGINT.
+    */
+  private def permSql(p: Int): String = {
+    import graft.functions.PortableHash.{permA, permB, permC}
+    s"((${permA(p)} * (h // 2147483648)) % $P + (${permB(p)} * (h % 2147483648)) % $P + ${permC(p)}) % $P"
+  }
 
   /** Band-key Horner fold over rowsPerBand signature mins (mirror of
     * Dedup.bandKey).

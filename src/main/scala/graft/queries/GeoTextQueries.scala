@@ -196,19 +196,19 @@ object GeoTextQueries {
          |      FROM customer)
          |GROUP BY c_nationkey""".stripMargin,
     "q26_token_count" ->
-      """SELECT doc_id,
-        |       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+      s"""SELECT doc_id,
+        |       len(string_split_regex(trim(text), '$WsRun')) AS ws_tokens,
         |       len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens
         |FROM documents""".stripMargin,
     "q27_quality_score" ->
       s"""SELECT doc_id,
-         |       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |       len(string_split_regex(trim(text), '$WsRun')) AS n_tokens,
          |       ${hitsSql(stopEn)} AS stop_hits,
          |       len(regexp_extract_all(text, '[.,!?;:]')) AS punct_hits,
          |       round(0.5 * least(n_chars / 400.0, 1.0)
-         |             + 0.3 * (${hitsSql(stopEn)} * 1.0 / len(string_split_regex(trim(text), '\\s+')))
+         |             + 0.3 * (${hitsSql(stopEn)} * 1.0 / len(string_split_regex(trim(text), '$WsRun')))
          |             + 0.2 * (1.0 - len(regexp_extract_all(text, '[.,!?;:]')) * 1.0
-         |                            / len(string_split_regex(trim(text), '\\s+'))), 4) AS quality
+         |                            / len(string_split_regex(trim(text), '$WsRun'))), 4) AS quality
          |FROM documents""".stripMargin,
     "q28_langid" ->
       s"""SELECT doc_id,

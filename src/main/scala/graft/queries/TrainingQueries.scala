@@ -70,7 +70,7 @@ object TrainingQueries {
     "q62_repetition_filter" -> { (s, dir) =>
       val tokCounts = Tables
         .documents(s, dir)
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(col("doc_id"), explode(split(trim(col("text")), TextFunctions.WsRun)).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
       tokCounts
@@ -143,7 +143,7 @@ object TrainingQueries {
       val n = length(col("text")).cast("double")
       val letters = regexp_count(col("text"), lit("[a-zA-Z]")).cast("double")
       val digits = regexp_count(col("text"), lit("[0-9]")).cast("double")
-      val spaces = regexp_count(col("text"), lit("\\s")).cast("double")
+      val spaces = regexp_count(col("text"), lit(TextFunctions.WsClass)).cast("double")
       val other = n - letters - digits - spaces
       val gini =
         lit(1.0) - (((letters / n) * (letters / n) + (digits / n) * (digits / n)) +
@@ -209,16 +209,19 @@ object TrainingQueries {
     // top-k (broadcast); the token stream never shuffles, only the
     // per-doc counts do.
     "q67_oov_rate" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val tokens = Tables
         .documents(s, dir)
         .select(col("doc_id"), explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+      // Top-k via orderBy+limit = distributed TakeOrdered (per-partition
+      // top-k, then a k-sized driver merge) — a global row_number window
+      // here would funnel the whole above-min-count vocabulary through
+      // one partition at 100 TB.
       val vocab = tokens
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= OovMinCount)
-        .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
-        .filter(col("rank") <= OovVocabSize)
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(OovVocabSize)
         .select(col("token"), lit(1).as("in_vocab"))
       tokens
         .join(broadcast(vocab), Seq("token"), "left_outer")
@@ -256,7 +259,7 @@ object TrainingQueries {
          |FROM p""".stripMargin,
     "q62_repetition_filter" ->
       s"""WITH tc AS (
-         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '${TextFunctions.WsRun}')) AS tok FROM documents),
          |cnt AS (SELECT doc_id, tok, count(*) AS cnt FROM tc GROUP BY doc_id, tok),
          |agg AS (SELECT doc_id,
          |               CAST(sum(cnt) AS BIGINT) AS n_toks,
@@ -270,7 +273,7 @@ object TrainingQueries {
          |        OR (CAST(top_cnt AS DOUBLE) / n_toks) > $TopRatioFlag) AS flagged
          |FROM agg""".stripMargin,
     "q63_contamination" ->
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '${TextFunctions.WsRun}') t FROM documents),
          |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(t) - ${ContamN - 1}, 1) + 1),
          |              i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + ${ContamN - 1}), ' '))) s
          |       FROM toks),
@@ -293,12 +296,12 @@ object TrainingQueries {
         |       min(doc_id) AS keep_doc
         |FROM u GROUP BY 1""".stripMargin,
     "q65_char_classes" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT doc_id,
         |         CAST(length(text) AS DOUBLE) AS n,
         |         CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) AS l,
         |         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS d,
-        |         CAST(len(regexp_extract_all(text, '\s')) AS DOUBLE) AS sp
+        |         CAST(len(regexp_extract_all(text, '${TextFunctions.WsClass}')) AS DOUBLE) AS sp
         |  FROM documents WHERE length(text) > 0)
         |SELECT doc_id,
         |       CAST(l AS BIGINT) AS n_letters,
@@ -324,7 +327,7 @@ object TrainingQueries {
     "q71_token_shards" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,
-         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+         |         CAST(len(string_split_regex(trim(text), '${TextFunctions.WsRun}')) AS BIGINT) AS n_toks
          |  FROM documents)
          |SELECT doc_id, source, n_toks,
          |       (CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - n_toks)

@@ -15,8 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Explicit whitespace class. Java regex `\s` is `[ \t\n\x0B\f\r]`
+    * but DuckDB's RE2 `\s` excludes `\x0B`, so a corpus containing a
+    * vertical tab would tokenize differently in the oracle. Every
+    * tokenizer/counter on BOTH engines uses this class verbatim — the
+    * engines agree by construction, not by corpus luck.
+    */
+  val WsClass: String = "[ \\t\\n\\x0B\\f\\r]"
+
+  /** A run of whitespace: the token delimiter. */
+  val WsRun: String = WsClass + "+"
+
   /** Whitespace token count: split on runs of whitespace after trim. */
-  def tokenCountWs(text: Column): Column = size(split(trim(text), "\\s+"))
+  def tokenCountWs(text: Column): Column = size(split(trim(text), WsRun))
 
   /** BPE-ish token count: maximal runs of lowercase alphanumerics. */
   def tokenCountRe(text: Column): Column = regexp_count(text, lit("[a-z0-9]+"))
@@ -113,7 +124,7 @@ object TextFunctions {
 
   /** Word shingles: n-grams of whitespace tokens, space-joined. */
   def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
+    val toks = split(trim(text), WsRun)
     transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n)))

@@ -94,8 +94,8 @@ class FunctionsSpec extends AnyFunSuite {
       .agg(GraftFunctions.minhash(col("h"), 8).as("mh"))
       .head
       .getSeq[Long](0)
-    import graft.functions.PortableHash.{P, permA, permB}
-    val want = (0 until 8).map(p => hs.map(h => (permA(p) * (h % P) + permB(p)) % P).min)
+    import graft.functions.PortableHash.{perm, permA, permB, permC}
+    val want = (0 until 8).map(p => hs.map(h => perm(permA(p), permB(p), permC(p), h)).min)
     assert(got == want, s"$got != $want")
   }
 
