@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
 import graft.sources.Tables
 
 /** Round-2 coverage widening (q42-q47): the time-series / sampling /
@@ -193,6 +193,36 @@ object AnalyticsQueries {
         .join(w1Tot, "w1")
         .filter(col("n") >= 10)
         .select(col("w1"), col("w2"), col("n"), col("n_w1"), round(col("n") / col("n_w1"), 4).as("p"))
+    },
+
+    // q75: hot-key join via deterministic salting — the SkewJoin
+    // operator run end-to-end and driver-checked against a plain-join
+    // oracle (the salt must be invisible in the result). Facts get a
+    // salt hashed from (l_orderkey, l_linenumber) — row-varying within
+    // any hot part key — and the part dim replicates 8×, spreading
+    // each part's rows over 8 tasks. Use when a key is too hot for
+    // AQE's partition splits AND the dim is too big to broadcast; the
+    // oracle equality is exactly the operator's contract.
+    "q75_skew_join" -> { (s, dir) =>
+      val facts = Tables
+        .lineitem(s, dir)
+        .select(
+          col("l_partkey"),
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity"),
+          col("l_extendedprice"),
+          col("l_discount")
+        )
+      val dim = Tables.part(s, dir).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      SkewJoin
+        .saltedJoin(facts, dim, "l_partkey", 8, Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue")
+        )
     }
   )
 
@@ -294,6 +324,11 @@ object AnalyticsQueries {
         |tot AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_w1 FROM counts GROUP BY w1)
         |SELECT counts.w1, w2, n, n_w1, round(n * 1.0 / n_w1, 4) AS p
         |FROM counts JOIN tot ON counts.w1 = tot.w1
-        |WHERE n >= 10""".stripMargin
+        |WHERE n >= 10""".stripMargin,
+    "q75_skew_join" ->
+      """SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin
   )
 }

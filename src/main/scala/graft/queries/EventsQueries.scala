@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.AsOfJoin
 import graft.sources.Tables
 import graft.streaming.Events
 
@@ -121,8 +122,81 @@ object EventsQueries {
       wk.join(cohort, "user_id")
         .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
+    },
+
+    // q74: last-touch attribution — each purchase attributed to the
+    // same user's most recent click no older than 30 minutes. The
+    // batch twin of StreamingSpec's stream-stream attribution join,
+    // built on AsOfJoin's union + running-last formulation: ONE
+    // user_id shuffle, linear per key, no inequality join. The
+    // unconstrained latest-prior click is found first; the horizon is
+    // a post-filter (if the latest prior click is too old, every
+    // earlier one is older still — so this is exact, not a heuristic).
+    // Ties at one µs resolve to the max click_id on both engines.
+    "q74_attribution" -> { (s, dir) =>
+      val ev = Tables
+        .events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      AsOfJoin
+        .latestPriorMatch(purchases, clicks, "user_id", "ts_us", Seq("click_id"))
+        .select(
+          col("purchase_id"),
+          col("user_id"),
+          col("ts_us"),
+          when(col("ts_us") - col("asof_ts_us") <= AttributionHorizonUs, col("asof_click_id")).as("click_id"),
+          when(col("ts_us") - col("asof_ts_us") <= AttributionHorizonUs, col("ts_us") - col("asof_ts_us"))
+            .as("gap_us")
+        )
+    },
+
+    // q77: sliding-window aggregation — 1-hour windows every 15
+    // minutes. Each event belongs to exactly 4 windows, materialized
+    // by an explicit explode (bounded fan-out = width/hop) and then
+    // ONE aggregate: at 100 TB the fan-out factor, not the window
+    // count, is what multiplies the shuffle, and it stays constant.
+    "q77_sliding_windows" -> { (s, dir) =>
+      val ev = Tables
+        .events(s, dir)
+        .select(
+          col("event_type"),
+          col("user_id"),
+          expr("ts DIV 1000").as("ts_us"),
+          Events.centiValue(col("value")).as("cv")
+        )
+      ev.select(
+          col("event_type"),
+          col("user_id"),
+          col("cv"),
+          col("ts_us"),
+          explode(expr(s"sequence(0L, ${SlideWindowHops - 1}L)")).as("j")
+        )
+        .select(
+          col("event_type"),
+          col("user_id"),
+          col("cv"),
+          (expr(s"(ts_us DIV $SlideHopUs) * $SlideHopUs") - col("j") * SlideHopUs).as("window_start_us")
+        )
+        .groupBy(col("window_start_us"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          (sum(col("cv")) / 100.0).as("total_value")
+        )
     }
   )
+
+  /** q74: attribution horizon, 30 minutes in µs. */
+  val AttributionHorizonUs: Long = 30L * 60L * 1000000L
+
+  /** q77: window hop (15 min in µs); window width = 4 hops = 1 h. */
+  val SlideHopUs: Long = 15L * 60L * 1000000L
+  val SlideWindowHops: Int = 4
 
   private val gapNs = Events.SessionGapNanos
   private val hourNs = Events.NanosPerHour
@@ -191,6 +265,30 @@ object EventsQueries {
         |cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id)
         |SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
         |FROM wk JOIN cohort USING (user_id)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q74_attribution" ->
+      s"""WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us
+         |           FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+         |      FROM events WHERE event_type = 'click'),
+         |j AS (SELECT p.purchase_id, c.click_id, c.cts,
+         |             row_number() OVER (PARTITION BY p.purchase_id
+         |                                ORDER BY c.cts DESC, c.click_id DESC) AS rk
+         |      FROM p JOIN c ON p.user_id = c.user_id AND c.cts <= p.ts_us),
+         |b AS (SELECT purchase_id, click_id, cts FROM j WHERE rk = 1)
+         |SELECT p.purchase_id, p.user_id, p.ts_us,
+         |       CASE WHEN p.ts_us - b.cts <= $AttributionHorizonUs THEN b.click_id END AS click_id,
+         |       CASE WHEN p.ts_us - b.cts <= $AttributionHorizonUs THEN p.ts_us - b.cts END AS gap_us
+         |FROM p LEFT JOIN b USING (purchase_id)""".stripMargin,
+    "q77_sliding_windows" ->
+      s"""WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS ts_us,
+         |                  CAST(round(value * 100, 0) AS BIGINT) AS cv FROM events),
+         |x AS (SELECT event_type, user_id, cv,
+         |             (ts_us // $SlideHopUs) * $SlideHopUs - j * $SlideHopUs AS window_start_us
+         |      FROM e CROSS JOIN (SELECT unnest(range(0, $SlideWindowHops)) AS j) js)
+         |SELECT window_start_us, event_type, count(*) AS n_events,
+         |       count(DISTINCT user_id) AS n_users,
+         |       sum(cv) / 100.0 AS total_value
+         |FROM x GROUP BY 1, 2""".stripMargin
   )
 }

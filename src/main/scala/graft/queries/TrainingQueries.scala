@@ -30,6 +30,14 @@ object TrainingQueries {
   val OovVocabSize = 100
   val OovMinCount = 20
   val ShardTokenBudget = 2048
+  // q72: context-window chunking — 64-token windows, stride 48
+  // (16-token overlap), the pre-tokenization chunk step for training /
+  // retrieval indexing.
+  val ChunkTokens = 64
+  val ChunkStride = 48
+  // q78: exact heavy hitters — tokens with share >= 1/HeavyHitterDenom
+  // of all occurrences (threshold compared in integers: no fp boundary).
+  val HeavyHitterDenom = 500
 
   /** Deterministic PII injection: every 3rd doc gets an email, every
     * 5th a phone number, appended to the text. Public so TrainingSpec
@@ -236,6 +244,120 @@ object TrainingQueries {
           col("n_oov"),
           round(col("n_oov").cast("double") / col("n_toks"), 4).as("oov_rate")
         )
+    },
+
+    // q72: context-window chunking — each doc split into 64-token
+    // windows at stride 48 (16-token overlap), the chunking step
+    // before tokenization for training or retrieval indexing. One
+    // scalar projection + a bounded explode (fan-out = n_toks/48): no
+    // shuffle at all, the chunk stream goes straight to the sink. The
+    // chunk body travels as an md5 so the oracle checks the exact
+    // reassembled text without shipping it.
+    "q72_doc_chunks" -> { (s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), TextFunctions.WsRun).as("__toks"))
+        .select(col("doc_id"), col("__toks"), size(col("__toks")).as("n_toks"))
+        .select(
+          col("doc_id"),
+          col("__toks"),
+          col("n_toks"),
+          // Spark DIV yields bigint; sequence needs matching endpoint
+          // types, so the whole range is built in bigint.
+          explode(
+            expr(s"sequence(0L, (greatest(n_toks - $ChunkTokens, 0) + ${ChunkStride - 1}) DIV $ChunkStride)")
+          ).as("chunk_id")
+        )
+        .select(
+          col("doc_id"),
+          col("chunk_id"),
+          (col("chunk_id") * ChunkStride + 1).as("tok_start"),
+          least(lit(ChunkTokens).cast("long"), col("n_toks") - col("chunk_id") * ChunkStride).as("n_chunk_toks"),
+          md5(
+            concat_ws(
+              " ",
+              slice(col("__toks"), (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkTokens))
+            )
+          ).as("chunk_md5")
+        )
+    },
+
+    // q73: deterministic group representative via arg-max aggregate —
+    // keep the longest doc per (source, lang), ties to the smallest
+    // doc_id. max_by over a single composite BIGINT ranking key
+    // (n_chars * 2^32 - doc_id; assumes doc_id < 2^32, documented) is
+    // ONE hash aggregate with map-side partials — the scale-correct
+    // alternative to the row_number-window idiom, which shuffles every
+    // row of a group into one partition just to keep one of them.
+    "q73_argmax_rep" -> { (s, dir) =>
+      val rk = col("n_chars") * lit(4294967296L) - col("doc_id")
+      Tables
+        .documents(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          max_by(col("doc_id"), rk).as("rep_doc"),
+          max(col("n_chars")).as("rep_chars"),
+          count(lit(1)).as("n_docs")
+        )
+    },
+
+    // q76: BM25 term weighting (rational-idf variant: (N-df+0.5)/
+    // (df+0.5) — no log, so no libm last-ulp drift between engines),
+    // top-3 terms per doc. Same plan shape as q48: token-keyed df agg
+    // broadcast back onto (doc, token) counts; corpus stats ride a
+    // 1-row broadcast; the per-doc rank window is bounded by each
+    // doc's vocabulary.
+    "q76_bm25" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docTok = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+      // tf feeds THREE consumers (join left side, df agg, dl agg); the
+      // eager checkpoint runs the scan→explode→agg pipeline once
+      // instead of once per reference (the q66/shingles pattern —
+      // AQE's broadcasts defeat ReusedExchange on self-references).
+      val tf = docTok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")).localCheckpoint()
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
+      tf.join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("idf", (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        .withColumn(
+          "score",
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+        )
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), round(col("score"), 4).as("score"))
+    },
+
+    // q78: exact corpus heavy hitters — tokens carrying >= 1/500 of
+    // all token occurrences. One token-keyed aggregate + a 1-row
+    // broadcast total; the threshold compares in integers
+    // (cnt * 500 >= total) so no float boundary can flip membership.
+    // The exact-count twin of a count-min/SpaceSaving sketch: at
+    // 100 TB the aggregate output (distinct tokens) is the only
+    // shuffled data, and the hitters themselves are tiny.
+    "q78_heavy_hitters" -> { (s, dir) =>
+      // counts is read twice (total + filter) — checkpoint so the
+      // token explode runs once; the materialized frame is only the
+      // distinct-token vocabulary, tiny next to the token stream.
+      val counts = Tables
+        .documents(s, dir)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      counts
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * HeavyHitterDenom >= col("total"))
+        .select(col("token"), col("cnt"), round(col("cnt").cast("double") / col("total"), 6).as("share"))
     }
   )
 
@@ -344,6 +466,46 @@ object TrainingQueries {
          |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
          |       round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS oov_rate
          |FROM tokens t LEFT JOIN vocab v ON t.token = v.token
-         |GROUP BY doc_id""".stripMargin
+         |GROUP BY doc_id""".stripMargin,
+    "q72_doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '${TextFunctions.WsRun}') tk FROM documents),
+         |n AS (SELECT doc_id, tk, len(tk) AS n_toks,
+         |             1 + (greatest(len(tk) - $ChunkTokens, 0) + ${ChunkStride - 1}) // $ChunkStride AS n_chunks
+         |      FROM t),
+         |c AS (SELECT doc_id, tk, n_toks, unnest(range(0, n_chunks)) AS chunk_id FROM n)
+         |SELECT doc_id, chunk_id,
+         |       chunk_id * $ChunkStride + 1 AS tok_start,
+         |       least($ChunkTokens, n_toks - chunk_id * $ChunkStride) AS n_chunk_toks,
+         |       md5(array_to_string(list_slice(tk, CAST(chunk_id * $ChunkStride + 1 AS INT),
+         |                                      CAST(chunk_id * $ChunkStride + $ChunkTokens AS INT)), ' ')) AS chunk_md5
+         |FROM c""".stripMargin,
+    "q73_argmax_rep" ->
+      """SELECT source, lang,
+        |       arg_max(doc_id, n_chars * 4294967296 - doc_id) AS rep_doc,
+        |       max(n_chars) AS rep_chars,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY source, lang""".stripMargin,
+    "q76_bm25" ->
+      """WITH dt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+        |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfr.df,
+        |              ((st.n_docs - dfr.df + CAST(0.5 AS DOUBLE)) / (dfr.df + CAST(0.5 AS DOUBLE)))
+        |              * (tf.tf * CAST(2.2 AS DOUBLE))
+        |              / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |                 + CAST(0.75 AS DOUBLE) * (dl.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))) AS score
+        |       FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
+        |rk AS (SELECT doc_id, token, tf, df, score,
+        |              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+        |       FROM sc)
+        |SELECT doc_id, rank, token, tf, df, round(score, 4) AS score FROM rk WHERE rank <= 3""".stripMargin,
+    "q78_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+         |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+         |SELECT token, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+         |FROM c CROSS JOIN s WHERE cnt * $HeavyHitterDenom >= total""".stripMargin
   )
 }

@@ -89,4 +89,45 @@ class EventsSpec extends AnyFunSuite {
     assert(w0Total == users, s"offset-0 totals $w0Total != $users distinct users")
     ret.unpersist()
   }
+
+  test("q74 attribution matches a brute-force inequality join") {
+    val horizon = graft.queries.EventsQueries.AttributionHorizonUs
+    val out = SparkEntry.queries("q74_attribution")(spark, sf).cache()
+    val ev = graft.sources.Tables
+      .events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+    val p = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+    val c = ev
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("bf_click"), col("user_id"), col("ts_us").as("cts"))
+    // brute force: the O(n·m)-per-key inequality join the operator avoids
+    val bf = p
+      .join(c, Seq("user_id"))
+      .filter(col("cts") <= col("ts_us") && col("ts_us") - col("cts") <= horizon)
+      .groupBy(col("purchase_id"))
+      .agg(max(struct(col("cts"), col("bf_click"))).as("m"))
+      .select(col("purchase_id"), col("m.bf_click").as("bf_click"))
+    val joined = out.join(bf, Seq("purchase_id"), "left").cache()
+    assert(out.count() == p.count(), "every purchase appears exactly once")
+    assert(joined.filter(col("click_id") =!= col("bf_click")).count() == 0)
+    assert(joined.filter(col("click_id").isNull && col("bf_click").isNotNull).count() == 0)
+    assert(joined.filter(col("click_id").isNotNull && col("bf_click").isNull).count() == 0)
+    assert(out.filter(col("gap_us") < 0 || col("gap_us") > horizon).count() == 0)
+    assert(out.filter(col("click_id").isNotNull).count() > 0, "no purchase attributed — data or horizon wrong")
+    joined.unpersist()
+    out.unpersist()
+  }
+
+  test("q77 sliding windows hold every event exactly width/hop times") {
+    import graft.queries.EventsQueries.{SlideHopUs, SlideWindowHops}
+    val out = SparkEntry.queries("q77_sliding_windows")(spark, sf).cache()
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    val totalSlots = out.agg(sum(col("n_events"))).head.getLong(0)
+    assert(totalSlots == nEvents * SlideWindowHops, s"window membership $totalSlots != $nEvents x $SlideWindowHops")
+    assert(out.filter(col("window_start_us") % SlideHopUs =!= 0).count() == 0, "window starts must align to the hop")
+    assert(out.filter(col("n_users") > col("n_events")).count() == 0)
+    out.unpersist()
+  }
 }

@@ -147,7 +147,14 @@ class PlanSpec extends AnyFunSuite {
     "q68_funnel" -> 6,
     "q69_retention" -> 3,
     "q70_source_mixing" -> 1,
-    "q71_token_shards" -> 1
+    "q71_token_shards" -> 1,
+    "q72_doc_chunks" -> 0,
+    "q73_argmax_rep" -> 1,
+    "q74_attribution" -> 1,
+    "q75_skew_join" -> 1,
+    "q76_bm25" -> 5,
+    "q77_sliding_windows" -> 2,
+    "q78_heavy_hitters" -> 1
   )
 
   test("no operator exceeds its shuffle budget") {

@@ -123,6 +123,79 @@ class TrainingSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q72: chunks tile every document at the configured stride and width") {
+    import graft.queries.TrainingQueries.{ChunkStride, ChunkTokens}
+    val out = SparkEntry.queries("q72_doc_chunks")(spark, sf).cache()
+    val docs = graft.sources.Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), TextFunctions.tokenCountWs(col("text")).cast("long").as("n_toks"))
+    val per = out
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), max(col("tok_start") + col("n_chunk_toks") - 1).as("last_tok"))
+      .join(docs, "doc_id")
+      .cache()
+    // every token of every doc lands in some chunk, and every doc chunks
+    assert(per.count() == docs.count())
+    assert(per.filter(col("last_tok") =!= col("n_toks")).count() == 0, "chunks do not cover the token stream")
+    // chunk starts advance by exactly the stride; widths never exceed the window
+    assert(out.filter((col("tok_start") - 1) % ChunkStride =!= 0).count() == 0)
+    assert(out.filter(col("n_chunk_toks") > ChunkTokens || col("n_chunk_toks") < 1).count() == 0)
+    // overlap: consecutive chunks of a doc share window - stride tokens
+    assert(
+      per.filter(col("n_chunks") > 1).count() > 0,
+      "test corpus has no multi-chunk doc — widen the corpus or shrink the window"
+    )
+    per.unpersist()
+    out.unpersist()
+  }
+
+  test("q73: the representative is a real group member with the group max length") {
+    val out = SparkEntry.queries("q73_argmax_rep")(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // rep_doc exists in its group and carries rep_chars = max n_chars
+    val joined = out.join(
+      docs.select(col("doc_id").as("rep_doc"), col("source"), col("lang"), col("n_chars")),
+      Seq("rep_doc", "source", "lang")
+    )
+    assert(joined.count() == out.count(), "a representative is not a member of its group")
+    assert(joined.filter(col("n_chars") =!= col("rep_chars")).count() == 0)
+    // ties break to the SMALLEST doc_id among max-length docs
+    val minTied = docs
+      .groupBy(col("source"), col("lang"), col("n_chars"))
+      .agg(min(col("doc_id")).as("min_tied"))
+      .withColumnRenamed("n_chars", "rep_chars")
+    assert(out.join(minTied, Seq("source", "lang", "rep_chars")).filter(col("rep_doc") =!= col("min_tied")).count() == 0)
+    out.unpersist()
+  }
+
+  test("q76: BM25 ranks are dense per doc and scores decrease down the ranking") {
+    val out = SparkEntry.queries("q76_bm25")(spark, sf).cache()
+    assert(out.count() > 0)
+    // <= 3 rows per doc, ranks exactly 1..n_rows
+    val per = out.groupBy(col("doc_id")).agg(count(lit(1)).as("n"), max(col("rank")).as("mx"), min(col("rank")).as("mn"))
+    assert(per.filter(col("n") > 3 || col("mx") =!= col("n") || col("mn") =!= 1).count() == 0)
+    // scores are non-increasing in rank within a doc
+    val r1 = out.filter(col("rank") === 1).select(col("doc_id"), col("score").as("s1"))
+    val r2 = out.filter(col("rank") === 2).select(col("doc_id"), col("score").as("s2"))
+    assert(r1.join(r2, "doc_id").filter(col("s2") > col("s1")).count() == 0)
+    // a rare term outranks a ubiquitous one: no rank-1 term has corpus-wide df
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.filter(col("rank") === 1 && col("df") === nDocs).count() == 0)
+    out.unpersist()
+  }
+
+  test("q78: heavy hitters all clear the threshold and their mass is bounded") {
+    import graft.queries.TrainingQueries.HeavyHitterDenom
+    val out = SparkEntry.queries("q78_heavy_hitters")(spark, sf).cache()
+    assert(out.count() > 0, "no heavy hitters found — threshold too high for the corpus")
+    // at most Denom tokens can each carry >= 1/Denom of the mass
+    assert(out.count() <= HeavyHitterDenom)
+    val shareSum = out.agg(sum(col("share"))).head.getDouble(0)
+    assert(shareSum <= 1.0 + 1e-6, s"hitter shares sum to $shareSum > 1")
+    assert(out.filter(col("share") < 1.0 / HeavyHitterDenom - 1e-9).count() == 0)
+    out.unpersist()
+  }
+
   test("q67: OOV rate is consistent with its counts and bounded") {
     val out = SparkEntry.queries("q67_oov_rate")(spark, sf).cache()
     assert(out.count() > 0)
