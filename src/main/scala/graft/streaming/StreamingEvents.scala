@@ -79,6 +79,38 @@ object StreamingEvents {
         col("n_users_approx")
       )
 
+  /** Sliding-window aggregation — the streaming twin of batch q77
+    * (1-hour windows every 15 minutes). Spark's native sliding
+    * `window()` assigns each event to width/slide windows inside the
+    * stateful aggregation (state = windows-in-flight × event_types,
+    * bounded by the watermark), where the batch twin materializes the
+    * same fan-out with an explicit explode. Window starts are
+    * epoch-aligned slide multiples on both paths, so the keys match
+    * exactly.
+    */
+  def slidingAgg(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      slide: String = "15 minutes",
+      watermarkDelay: String = "2 hours"
+  ): DataFrame =
+    events
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_t", watermarkDelay)
+      .groupBy(window(col("ts_t"), windowLen, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(Events.centiValue(col("value"))) / lit(100.0)).as("total_value"),
+        approx_count_distinct("user_id").as("n_users_approx")
+      )
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value"),
+        col("n_users_approx")
+      )
+
   /** Streaming ingest dedup — the streaming twin of q30's exact dedup
     * and the standard idempotent-ingest guard (at-least-once sources
     * redeliver). dropDuplicatesWithinWatermark bounds the dedup state

@@ -73,6 +73,47 @@ class StreamingSpec extends AnyFunSuite {
     batch.foreach { case (k, v) => assert(streamed(k) == v, s"window $k differs") }
   }
 
+  test("streaming sliding windows match batch q77 on exact columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows
+    val maxTs = rows.map(_.ts).max
+
+    val stream = MemoryStream[RawEvent]
+    val query = StreamingEvents
+      .slidingAgg(stream.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("slide_stream")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(rows)
+      query.processAllAvailable()
+      stream.addData(RawEvent(maxTs + 10L * 86400 * ns, -1L, "sentinel", 0.0))
+      query.processAllAvailable()
+      stream.addData(RawEvent(maxTs + 11L * 86400 * ns, -1L, "sentinel", 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark
+      .table("slide_stream")
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("window_start_us"), col("event_type"), col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    val batch = SparkEntry
+      .queries("q77_sliding_windows")(spark, sf)
+      .select(col("window_start_us"), col("event_type"), col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    assert(streamed.keySet == batch.keySet, "sliding window/event_type key sets differ")
+    batch.foreach { case (k, v) => assert(streamed(k) == v, s"sliding window $k differs") }
+  }
+
   test("streaming dedup drops at-least-once redeliveries within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Tables
