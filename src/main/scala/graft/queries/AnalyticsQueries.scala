@@ -223,8 +223,61 @@ object AnalyticsQueries {
           sum(col("l_quantity")).as("sum_qty"),
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue")
         )
+    },
+
+    // q79: fixed-width histogram profiling — price distribution per
+    // return flag in $5k buckets. Bucketing happens in exact centi-
+    // integers (the q37/q58 money pattern) so both engines bin
+    // identically; ONE aggregate whose output is buckets × flags,
+    // tiny at any input scale.
+    "q79_histogram" -> { (s, dir) =>
+      val centi = expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+      Tables
+        .lineitem(s, dir)
+        .select(col("l_returnflag"), centi.as("pc"))
+        .groupBy(col("l_returnflag"), expr(s"pc DIV ${HistBucketCenti}").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          (min(col("pc")) / 100.0).as("bucket_min"),
+          (max(col("pc")) / 100.0).as("bucket_max")
+        )
+    },
+
+    // q80: one-pass column profiler — per-column row/null/distinct
+    // counts, the validation step every reference ingest runs
+    // (gerrydb_etl/db.py load_column_values per-type checks,
+    // __init__.py ColumnConfig). Exact distincts in ONE aggregate:
+    // Catalyst plans the multi-countDistinct via Expand + partial
+    // aggregation, so rows compact map-side — the scale-correct shape,
+    // NOT a melt (unpivoting 100 TB to strings would shuffle k× the
+    // table to count nulls). The 1-row result reshapes to long form
+    // with a driver-sized stack.
+    "q80_column_profile" -> { (s, dir) =>
+      Tables
+        .orders(s, dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderstatus")).as("nn_status"),
+          countDistinct(col("o_orderstatus")).as("nd_status"),
+          count(col("o_orderpriority")).as("nn_prio"),
+          countDistinct(col("o_orderpriority")).as("nd_prio"),
+          count(col("o_custkey")).as("nn_cust"),
+          countDistinct(col("o_custkey")).as("nd_cust")
+        )
+        .select(
+          expr(
+            """stack(3,
+              |  'o_orderstatus',   n_rows, n_rows - nn_status, nd_status,
+              |  'o_orderpriority', n_rows, n_rows - nn_prio,   nd_prio,
+              |  'o_custkey',       n_rows, n_rows - nn_cust,   nd_cust
+              |) AS (col_name, n_rows, n_null, n_distinct)""".stripMargin
+          )
+        )
     }
   )
+
+  /** q79: histogram bucket width in centi-currency ($5,000.00). */
+  val HistBucketCenti: Long = 500000L
 
   def oracle: Map[String, String] = Map(
     "q42_asof_join" ->
@@ -329,6 +382,24 @@ object AnalyticsQueries {
       """SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand""".stripMargin
+        |GROUP BY p_brand""".stripMargin,
+    "q79_histogram" ->
+      s"""WITH c AS (SELECT l_returnflag,
+         |                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+         |           FROM lineitem)
+         |SELECT l_returnflag, pc // $HistBucketCenti AS bucket, count(*) AS n,
+         |       min(pc) / 100.0 AS bucket_min,
+         |       max(pc) / 100.0 AS bucket_max
+         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q80_column_profile" ->
+      """SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+        |       count(*) - count(o_orderstatus) AS n_null,
+        |       count(DISTINCT o_orderstatus) AS n_distinct FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |       count(DISTINCT o_orderpriority) FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |       count(DISTINCT o_custkey) FROM orders""".stripMargin
   )
 }

@@ -97,6 +97,37 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q79 histogram buckets partition the rows and bound their values") {
+    import graft.queries.AnalyticsQueries.HistBucketCenti
+    val out = SparkEntry.queries("q79_histogram")(spark, sf).cache()
+    val rows = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(out.agg(sum(col("n"))).head.getLong(0) == rows, "histogram counts must sum to the row count")
+    // bucket bounds stay inside the bucket's value range
+    val width = HistBucketCenti / 100.0
+    val bad = out
+      .filter(
+        col("bucket_min") < col("bucket") * width ||
+          col("bucket_max") >= (col("bucket") + 1) * width ||
+          col("bucket_min") > col("bucket_max")
+      )
+      .count()
+    assert(bad == 0, s"$bad buckets with out-of-range bounds")
+    out.unpersist()
+  }
+
+  test("q80 column profile is exact per column") {
+    val out = SparkEntry.queries("q80_column_profile")(spark, sf).cache()
+    val orders = graft.sources.Tables.orders(spark, sf)
+    assert(out.count() == 3)
+    val rows = orders.count()
+    assert(out.filter(col("n_rows") =!= rows).count() == 0)
+    val statusDistinct = orders.select("o_orderstatus").distinct().count()
+    val got = out.filter(col("col_name") === "o_orderstatus").head
+    assert(got.getAs[Long]("n_distinct") == statusDistinct)
+    assert(out.filter(col("n_null") < 0 || col("n_distinct") > col("n_rows")).count() == 0)
+    out.unpersist()
+  }
+
   test("vocab top-k is rank-consecutive and above the floor") {
     val v = SparkEntry.queries("q47_vocab_topk")(spark, sf).orderBy("rank").collect()
     assert(v.nonEmpty && v.length <= 100)

@@ -154,7 +154,9 @@ class PlanSpec extends AnyFunSuite {
     "q75_skew_join" -> 1,
     "q76_bm25" -> 5,
     "q77_sliding_windows" -> 2,
-    "q78_heavy_hitters" -> 1
+    "q78_heavy_hitters" -> 1,
+    "q79_histogram" -> 1,
+    "q80_column_profile" -> 2
   )
 
   test("no operator exceeds its shuffle budget") {
