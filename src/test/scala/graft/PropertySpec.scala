@@ -17,6 +17,27 @@ import graft.streaming.Events
 class PropertySpec extends AnyFunSuite {
   import TestSpark._
 
+  test("portable hash and minhash permutations stay in range on random inputs") {
+    import graft.functions.PortableHash._
+    val rnd = new Random(7)
+    val hs = Seq(0L, 1L, P - 1, P, (1L << 62) - 1) ++ Seq.fill(2000)(rnd.nextLong() & ((1L << 62) - 1))
+    for (p <- 0 until 64) {
+      val (a, b, c) = (permA(p), permB(p), permC(p))
+      assert(a >= 1 && a < P && b >= 1 && b < P && c >= 1 && c < P, s"coefficients out of [1,P) at p=$p")
+      for (h <- hs) {
+        val x = perm(a, b, c, h)
+        assert(x >= 0 && x < P, s"perm($p)($h) = $x out of [0, P)")
+      }
+    }
+    // the permutation consumes BOTH halves: flipping only the high half
+    // must change the output (the old h-mod-P formulation would map a
+    // 2^31 step to a collision class of size ~2)
+    val base = 12345L
+    val hi = base + (1L << 31) * 7L
+    val diffs = (0 until 64).count(p => perm(permA(p), permB(p), permC(p), base) != perm(permA(p), permB(p), permC(p), hi))
+    assert(diffs == 64, s"only $diffs/64 permutations distinguish a high-half change")
+  }
+
   test("as-of join equals the brute-force latest-prior reference on random inputs") {
     import spark.implicits._
     for (seed <- 0 until 6) {
