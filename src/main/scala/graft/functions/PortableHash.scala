@@ -48,6 +48,15 @@ object PortableHash {
   /** Low-half mask: h mod 2^31. */
   val Mask31: Long = 0x7FFFFFFFL
 
+  /** Domain mask: [[perm]]'s overflow-freedom proof needs h in
+    * [0, 2^62) — every [[hash]] output qualifies, but `graft_minhash`
+    * is a registered SQL aggregate that accepts ANY bigint (e.g. a
+    * negative xxhash64), so inputs are masked to their low 62 bits
+    * first: identity on legitimate inputs, total (garbage-in,
+    * defined-out) on the rest instead of a silent signed overflow.
+    */
+  val Mask62: Long = 0x3FFFFFFFFFFFFFFFL
+
   /** Deterministic MinHash permutation coefficients in [1, P) — see
     * [[perm]]. Derived from a splitmix-style integer recurrence so
     * they are reproducible constants — the oracle SQL embeds the same
@@ -71,8 +80,10 @@ object PortableHash {
     * on a full 62-bit hash collision; a (h mod P)-input permutation
     * would be 31-bit and bias q66's estimates above ~2^31 shingles.
     */
-  def perm(a: Long, b: Long, c: Long, h: Long): Long =
-    ((a * (h >>> 31)) % P + (b * (h & Mask31)) % P + c) % P
+  def perm(a: Long, b: Long, c: Long, h: Long): Long = {
+    val hm = h & Mask62
+    ((a * (hm >>> 31)) % P + (b * (hm & Mask31)) % P + c) % P
+  }
 
   private def mix(i: Long): Long = {
     var x = i * 6364136223846793005L + 1442695040888963407L

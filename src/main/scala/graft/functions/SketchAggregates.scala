@@ -56,7 +56,9 @@ case class MinHashAgg(
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      // Mask62: identity for PortableHash outputs, keeps the mulmod
+      // overflow-free for arbitrary bigint inputs (see PortableHash)
+      val h = v.asInstanceOf[Long] & PortableHash.Mask62
       val hi = h >>> 31
       val lo = h & PortableHash.Mask31
       var p = 0

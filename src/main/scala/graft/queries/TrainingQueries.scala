@@ -284,13 +284,15 @@ object TrainingQueries {
 
     // q73: deterministic group representative via arg-max aggregate —
     // keep the longest doc per (source, lang), ties to the smallest
-    // doc_id. max_by over a single composite BIGINT ranking key
-    // (n_chars * 2^32 - doc_id; assumes doc_id < 2^32, documented) is
-    // ONE hash aggregate with map-side partials — the scale-correct
-    // alternative to the row_number-window idiom, which shuffles every
-    // row of a group into one partition just to keep one of them.
+    // doc_id. max_by over a lexicographic struct key
+    // (n_chars, -doc_id) is ONE hash aggregate with map-side
+    // partials — the scale-correct alternative to the row_number-
+    // window idiom, which shuffles every row of a group into one
+    // partition just to keep one of them. The struct key is total
+    // over the full BIGINT doc_id domain (no packed-integer overflow
+    // assumption); the oracle realizes the same order in HUGEINT.
     "q73_argmax_rep" -> { (s, dir) =>
-      val rk = col("n_chars") * lit(4294967296L) - col("doc_id")
+      val rk = struct(col("n_chars"), (-col("doc_id")).as("neg_id"))
       Tables
         .documents(s, dir)
         .groupBy(col("source"), col("lang"))
@@ -315,7 +317,15 @@ object TrainingQueries {
       // tf feeds THREE consumers (join left side, df agg, dl agg); the
       // eager checkpoint runs the scan→explode→agg pipeline once
       // instead of once per reference (the q66/shingles pattern —
-      // AQE's broadcasts defeat ReusedExchange on self-references).
+      // AQE's broadcasts defeat ReusedExchange on self-references; a
+      // lazy persist does not help because all three consumers sit in
+      // the same job, before the cache is populated). Lifecycle note
+      // (same as the shingle checkpoint): tf is corpus-scale, so this
+      // local materialization is the per-query/bench form — a
+      // production 100 TB index build materializes tf ONCE per corpus
+      // snapshot as a doc_id-bucketed parquet table (fault-tolerant,
+      // reusable across BM25/TF-IDF/OOV consumers) rather than on
+      // executor-local storage per call.
       val tf = docTok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")).localCheckpoint()
       val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -481,7 +491,7 @@ object TrainingQueries {
          |FROM c""".stripMargin,
     "q73_argmax_rep" ->
       """SELECT source, lang,
-        |       arg_max(doc_id, n_chars * 4294967296 - doc_id) AS rep_doc,
+        |       arg_max(doc_id, CAST(n_chars AS HUGEINT) * 18446744073709551616 - doc_id) AS rep_doc,
         |       max(n_chars) AS rep_chars,
         |       count(*) AS n_docs
         |FROM documents GROUP BY source, lang""".stripMargin,

@@ -121,7 +121,9 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.count() == 3)
     val rows = orders.count()
     assert(out.filter(col("n_rows") =!= rows).count() == 0)
-    val statusDistinct = orders.select("o_orderstatus").distinct().count()
+    // countDistinct semantics (NULL excluded) — distinct().count()
+    // would count a NULL row and spuriously fail on a nullable corpus
+    val statusDistinct = orders.agg(countDistinct(col("o_orderstatus"))).head.getLong(0)
     val got = out.filter(col("col_name") === "o_orderstatus").head
     assert(got.getAs[Long]("n_distinct") == statusDistinct)
     assert(out.filter(col("n_null") < 0 || col("n_distinct") > col("n_rows")).count() == 0)

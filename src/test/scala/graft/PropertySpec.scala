@@ -20,7 +20,11 @@ class PropertySpec extends AnyFunSuite {
   test("portable hash and minhash permutations stay in range on random inputs") {
     import graft.functions.PortableHash._
     val rnd = new Random(7)
-    val hs = Seq(0L, 1L, P - 1, P, (1L << 62) - 1) ++ Seq.fill(2000)(rnd.nextLong() & ((1L << 62) - 1))
+    // beyond the legit [0, 2^62) hash range, include NEGATIVE and
+    // >= 2^62 longs: graft_minhash accepts any bigint, so perm must be
+    // total (Mask62) rather than silently overflowing the mulmod
+    val hs = Seq(0L, 1L, P - 1, P, (1L << 62) - 1, -1L, Long.MinValue, Long.MaxValue) ++
+      Seq.fill(2000)(rnd.nextLong() & ((1L << 62) - 1)) ++ Seq.fill(500)(rnd.nextLong())
     for (p <- 0 until 64) {
       val (a, b, c) = (permA(p), permB(p), permC(p))
       assert(a >= 1 && a < P && b >= 1 && b < P && c >= 1 && c < P, s"coefficients out of [1,P) at p=$p")
