@@ -58,6 +58,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "vocab join not broadcast")
   }
 
+  test("q72 chunking is scan-local: pruned read, no exchange at all") {
+    val p = plan("q72_doc_chunks")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), "q72 scan not pruned to (doc_id, text)")
+    assert(!p.contains("Exchange"), s"q72 should be a pure scan-side pipeline:\n$p")
+  }
+
+  test("q79 histogram reads only the two columns it bins") {
+    val p = plan("q79_histogram")
+    assert(
+      p.contains("ReadSchema: struct<l_extendedprice:double,l_returnflag:string>") ||
+        p.contains("ReadSchema: struct<l_returnflag:string,l_extendedprice:double>"),
+      "q79 scan not pruned to (l_returnflag, l_extendedprice)"
+    )
+  }
+
   test("q66 estimates similarity from signatures alone — no document re-scan") {
     // after the signature checkpoint, candidate generation and
     // estimation must run entirely off the materialized sketches: a
