@@ -54,6 +54,11 @@ object GraftFunctions {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHashAgg(children.head)
+    ),
+    (
+      FunctionIdentifier("graft_sigmatch"),
+      new ExpressionInfo(classOf[SigMatch].getName, "graft_sigmatch"),
+      (children: Seq[Expression]) => SigMatch(children.head, children(1))
     )
   )
 
@@ -76,4 +81,6 @@ object GraftFunctions {
     call_function("graft_minhash", h, org.apache.spark.sql.functions.lit(numPerms))
 
   def simhash(h: Column): Column = call_function("graft_simhash", h)
+
+  def sigmatch(a: Column, b: Column): Column = call_function("graft_sigmatch", a, b)
 }

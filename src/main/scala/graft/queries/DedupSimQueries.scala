@@ -140,6 +140,7 @@ object DedupSimQueries {
     // shingle-set intersection. The portable hash makes the estimates
     // oracle-exact.
     "q66_minhash_est" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val sigs = Dedup.minhashSignatures(shingles3(s, dir), NumPerms).localCheckpoint()
       val cands = Dedup.lshCandidates(sigs, NumPerms, RowsPerBand)
       cands
@@ -148,7 +149,10 @@ object DedupSimQueries {
         .select(
           col("doc_a"),
           col("doc_b"),
-          expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), m -> m))").as("n_match")
+          // native codegen'd slot-agreement kernel — the per-candidate
+          // hot loop at scale (was two interpreted allocating lambdas:
+          // size(filter(zip_with(...))))
+          graft.functions.GraftFunctions.sigmatch(col("mh_a"), col("mh_b")).as("n_match")
         )
         .select(
           col("doc_a"),

@@ -99,6 +99,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == want, s"$got != $want")
   }
 
+  test("graft_sigmatch counts equal slots and matches the interpreted formulation") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)), // 3 matches
+      (Seq(0L, 0L), Seq(0L, 0L)), // all match
+      (Seq(5L), Seq(6L)) // none
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.sigmatch(col("a"), col("b")).as("m")).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(3, 2, 0), s"sigmatch gave $got")
+    val interp = df
+      .select(expr("size(filter(zip_with(a, b, (x, y) -> x = y), m -> m))").as("m"))
+      .collect()
+      .map(_.getInt(0))
+      .toSeq
+    assert(got == interp, "native kernel diverges from the interpreted formulation")
+    // defensive null semantics: width mismatch is a pipeline bug -> null
+    val mismatch = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+    assert(mismatch.select(GraftFunctions.sigmatch(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("graft_simhash votes per bit with ties resolving to 0") {
     import spark.implicits._
     GraftFunctions.ensureRegistered(spark)
