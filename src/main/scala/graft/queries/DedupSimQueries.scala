@@ -168,8 +168,51 @@ object DedupSimQueries {
     // DuckDB recursive CTE transitive closure.
     "q55_dup_clusters" -> { (s, dir) =>
       Dedup.dupClusters(Dedup.ngramJaccardPairs(shingles3(s, dir), JaccardThreshold))
+    },
+
+    // q81: int8 embedding quantization — per-vector max-abs scale,
+    // values mapped to round(127·x/scale). The memory-reduction step
+    // before a 100 TB ANN index (4× smaller vectors); a pure scalar
+    // projection, scan-bound, no shuffle. Output checks the scale and
+    // exact integer stats of the quantized vector (sum/min/max) so
+    // the oracle verifies the full quantization without comparing
+    // array-typed cells.
+    "q81_embed_quantize" -> { (s, dir) =>
+      Tables
+        .embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+        .select(
+          col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          // zero vector -> all-zero quantization (guard the division;
+          // Spark 4 ANSI semantics make unguarded edge divisions a risk)
+          when(col("scale") === 0, lit(0L))
+            .otherwise(
+              expr("aggregate(transform(v, x -> CAST(round(127 * x / scale, 0) AS BIGINT)), 0L, (acc, x) -> acc + x)")
+            )
+            .as("q_sum"),
+          when(col("scale") === 0, lit(0L))
+            .otherwise(expr("array_min(transform(v, x -> CAST(round(127 * x / scale, 0) AS BIGINT)))"))
+            .as("q_min"),
+          when(col("scale") === 0, lit(0L))
+            .otherwise(expr("array_max(transform(v, x -> CAST(round(127 * x / scale, 0) AS BIGINT)))"))
+            .as("q_max")
+        )
+    },
+
+    // q82: k-nearest-neighbor join — every vector's top-3 neighbors
+    // among its (label × sign-bucket) candidates: the ANN-graph build
+    // (q34 finds threshold pairs; this ranks ALL vectors' neighbors).
+    "q82_knn_join" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Dedup.knnJoin(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+        KnnK, EmbLshTables, EmbLshPlanes, Dims)
     }
   )
+
+  val KnnK = 3
 
   private val dotSql =
     "list_reduce(list_transform(range(1, len(%1$s) + 1), i -> %1$s[CAST(i AS INT)] * %2$s[CAST(i AS INT)]), (acc, x) -> acc + x)"
@@ -350,6 +393,48 @@ object DedupSimQueries {
   }
 
   def oracle: Map[String, String] = Map(
+    "q81_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |       CASE WHEN scale = 0 THEN 0
+        |            ELSE CAST(list_sum(list_transform(v, x -> CAST(round(127 * x / scale, 0) AS BIGINT))) AS BIGINT)
+        |       END AS q_sum,
+        |       CASE WHEN scale = 0 THEN 0
+        |            ELSE CAST(list_min(list_transform(v, x -> CAST(round(127 * x / scale, 0) AS BIGINT))) AS BIGINT)
+        |       END AS q_min,
+        |       CASE WHEN scale = 0 THEN 0
+        |            ELSE CAST(list_max(list_transform(v, x -> CAST(round(127 * x / scale, 0) AS BIGINT))) AS BIGINT)
+        |       END AS q_max
+        |FROM s""".stripMargin,
+    "q82_knn_join" -> {
+      // same sign-bucket tables as the q34 oracle, but directed (!=)
+      // candidates and a per-vector rank window
+      def bucketSql(t: Int): String =
+        (0 until EmbLshPlanes)
+          .map(j => s"(CASE WHEN v[${((EmbLshPlanes * t + j) % Dims) + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+      val kb = (0 until EmbLshTables)
+        .map(t => s"SELECT vec_id, label, $t AS tbl, ${bucketSql(t)} AS bucket FROM n")
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, list_transform(v, x -> x / norm) nv
+         |      FROM (SELECT vec_id, label, v, sqrt(${dot("v", "v")}) norm FROM e)),
+         |kb AS ($kb),
+         |cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
+         |         FROM kb a JOIN kb b
+         |           ON a.label = b.label AND a.tbl = b.tbl AND a.bucket = b.bucket
+         |          AND a.vec_id != b.vec_id),
+         |r AS (SELECT vec_a, vec_b, ${dot("na.nv", "nb.nv")} cosine
+         |      FROM cand
+         |      JOIN n na ON na.vec_id = vec_a
+         |      JOIN n nb ON nb.vec_id = vec_b),
+         |rk AS (SELECT vec_a, vec_b, cosine,
+         |              row_number() OVER (PARTITION BY vec_a ORDER BY cosine DESC, vec_b ASC) rank
+         |       FROM r)
+         |SELECT vec_a AS vec_id, rank, vec_b AS neighbor_id, round(cosine, 4) AS cosine
+         |FROM rk WHERE rank <= $KnnK""".stripMargin
+    },
     "q66_minhash_est" -> q66Sql,
     "q36_ann_lsh" -> q36Sql,
     "q30_dedup_text_exact" ->

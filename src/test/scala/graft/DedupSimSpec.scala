@@ -76,4 +76,45 @@ class DedupSimSpec extends AnyFunSuite {
     val total = df.agg(org.apache.spark.sql.functions.sum("n_copies")).head.getLong(0)
     assert(total == 500L)
   }
+
+  test("q81: quantized values saturate at ±127 and stay in int8 range") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q81_embed_quantize")(spark, sf).cache()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(out.count() == n, "one quantization row per vector")
+    assert(out.filter(col("q_min") < -127 || col("q_max") > 127).count() == 0, "a value left int8 range")
+    // the max-abs element maps to exactly ±127 (that is what the scale is)
+    val nonZero = out.filter(col("scale") > 0)
+    assert(nonZero.filter(col("q_max") =!= 127 && col("q_min") =!= -127).count() == 0, "no saturated element")
+    out.unpersist()
+  }
+
+  test("q82: kNN ranks are dense, ordered, self-free, and block-respecting") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q82_knn_join")(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("vec_id") === col("neighbor_id")).count() == 0, "a vector is its own neighbor")
+    val per = out
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"), min(col("rank")).as("mn"))
+    assert(
+      per
+        .filter(col("n") > graft.queries.DedupSimQueries.KnnK || col("mx") =!= col("n") || col("mn") =!= 1)
+        .count() == 0,
+      "ranks not dense 1..n<=k"
+    )
+    // blocking respected: a neighbor always shares the vector's label
+    val labels = graft.sources.Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val crossBlock = out
+      .join(labels, "vec_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")), "neighbor_id")
+      .filter(col("label") =!= col("n_label"))
+      .count()
+    assert(crossBlock == 0, s"$crossBlock neighbors cross the label block")
+    // rank 1 dominates rank 2 by cosine
+    val r1 = out.filter(col("rank") === 1).select(col("vec_id"), col("cosine").as("c1"))
+    val r2 = out.filter(col("rank") === 2).select(col("vec_id"), col("cosine").as("c2"))
+    assert(r1.join(r2, "vec_id").filter(col("c2") > col("c1")).count() == 0)
+    out.unpersist()
+  }
 }

@@ -171,7 +171,9 @@ class PlanSpec extends AnyFunSuite {
     "q77_sliding_windows" -> 2,
     "q78_heavy_hitters" -> 1,
     "q79_histogram" -> 1,
-    "q80_column_profile" -> 2
+    "q80_column_profile" -> 2,
+    "q81_embed_quantize" -> 0,
+    "q82_knn_join" -> 2
   )
 
   test("no operator exceeds its shuffle budget") {
