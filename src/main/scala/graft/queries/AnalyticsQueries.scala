@@ -243,6 +243,47 @@ object AnalyticsQueries {
         )
     },
 
+    // q83: quantile bucket assignment — every lineitem labeled with
+    // its price quartile (per return flag). The scale-safe NTILE
+    // alternative: an NTILE window would shuffle every row of a flag
+    // into one partition; here the q45 thresholds (a 3-row frame)
+    // BROADCAST back onto the scan, the bucket label is a scan-side
+    // comparison chain, and one aggregate summarizes. Threshold
+    // computation pays q45's per-group sort once; assignment is
+    // shuffle-free.
+    "q83_quantile_bucket" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      val wc = Window.partitionBy(col("l_returnflag"))
+      val thresholds = Tables
+        .lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("rn") === floor(lit(0.25) * (col("n") - 1)) + 1, col("l_extendedprice"))).as("p25"),
+          min(when(col("rn") === floor(lit(0.5) * (col("n") - 1)) + 1, col("l_extendedprice"))).as("p50"),
+          min(when(col("rn") === floor(lit(0.75) * (col("n") - 1)) + 1, col("l_extendedprice"))).as("p75")
+        )
+      Tables
+        .lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(thresholds), "l_returnflag")
+        .withColumn(
+          "bucket",
+          when(col("l_extendedprice") <= col("p25"), 0)
+            .when(col("l_extendedprice") <= col("p50"), 1)
+            .when(col("l_extendedprice") <= col("p75"), 2)
+            .otherwise(3)
+        )
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi")
+        )
+    },
+
     // q80: one-pass column profiler — per-column row/null/distinct
     // counts, the validation step every reference ingest runs
     // (gerrydb_etl/db.py load_column_values per-type checks,
@@ -383,6 +424,25 @@ object AnalyticsQueries {
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
+    "q83_quantile_bucket" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |                  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) rn,
+        |                  count(*) OVER (PARTITION BY l_returnflag) n
+        |           FROM lineitem),
+        |q AS (SELECT l_returnflag,
+        |             min(CASE WHEN rn = floor(0.25 * (n - 1)) + 1 THEN l_extendedprice END) p25,
+        |             min(CASE WHEN rn = floor(0.5 * (n - 1)) + 1 THEN l_extendedprice END) p50,
+        |             min(CASE WHEN rn = floor(0.75 * (n - 1)) + 1 THEN l_extendedprice END) p75
+        |      FROM r GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |       CASE WHEN l_extendedprice <= p25 THEN 0
+        |            WHEN l_extendedprice <= p50 THEN 1
+        |            WHEN l_extendedprice <= p75 THEN 2 ELSE 3 END AS bucket,
+        |       count(*) AS n,
+        |       round(min(l_extendedprice), 2) AS lo,
+        |       round(max(l_extendedprice), 2) AS hi
+        |FROM lineitem l JOIN q USING (l_returnflag)
+        |GROUP BY 1, 2""".stripMargin,
     "q79_histogram" ->
       s"""WITH c AS (SELECT l_returnflag,
          |                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc

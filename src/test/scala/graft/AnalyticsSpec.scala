@@ -115,6 +115,24 @@ class AnalyticsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q83 quantile buckets cover all rows in order, roughly quartile-sized") {
+    val out = SparkEntry.queries("q83_quantile_bucket")(spark, sf).cache()
+    val rows = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(out.agg(sum(col("n"))).head.getLong(0) == rows, "bucket counts must cover every row")
+    // consecutive buckets do not overlap in value (threshold is <=, so
+    // the next bucket starts strictly above the previous one's max)
+    val next = out.select(col("l_returnflag"), (col("bucket") - 1).as("bucket"), col("lo").as("next_lo"))
+    assert(out.join(next, Seq("l_returnflag", "bucket")).filter(col("next_lo") <= col("hi")).count() == 0)
+    // quartiles: every bucket holds 15-35% of its flag's rows
+    val perFlag = out.groupBy(col("l_returnflag")).agg(sum(col("n")).as("flag_n"))
+    val offQuartile = out
+      .join(perFlag, "l_returnflag")
+      .filter(col("n") * 100 < col("flag_n") * 15 || col("n") * 100 > col("flag_n") * 35)
+      .count()
+    assert(offQuartile == 0, s"$offQuartile buckets far from quartile mass")
+    out.unpersist()
+  }
+
   test("q80 column profile is exact per column") {
     val out = SparkEntry.queries("q80_column_profile")(spark, sf).cache()
     val orders = graft.sources.Tables.orders(spark, sf)

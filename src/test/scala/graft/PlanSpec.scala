@@ -173,7 +173,8 @@ class PlanSpec extends AnyFunSuite {
     "q79_histogram" -> 1,
     "q80_column_profile" -> 2,
     "q81_embed_quantize" -> 0,
-    "q82_knn_join" -> 2
+    "q82_knn_join" -> 2,
+    "q83_quantile_bucket" -> 2
   )
 
   test("no operator exceeds its shuffle budget") {
