@@ -368,8 +368,51 @@ object TrainingQueries {
         .crossJoin(broadcast(total))
         .filter(col("cnt") * HeavyHitterDenom >= col("total"))
         .select(col("token"), col("cnt"), round(col("cnt").cast("double") / col("total"), 6).as("share"))
+    },
+
+    // q84: deterministic train/val/test split — the md5-threshold coin
+    // (q44/q70's technique) cut at 80/10/10: the hex thresholds are
+    // ceil(f * 16^8) rendered in lowercase hex, compared as strings on
+    // both engines. Content-keyed (md5 of text, not doc_id), so
+    // re-crawled duplicates land in the SAME split — the property that
+    // prevents train/test leakage through near-identical copies — and
+    // re-running the job reproduces the assignment exactly. One
+    // aggregate; per-source split mix reported with a broadcast total.
+    "q84_dataset_split" -> { (s, dir) =>
+      val coin = substring(md5(col("text")), 1, 8)
+      val splitCol = when(coin < TrainThresholdHex, "train")
+        .when(coin < ValThresholdHex, "val")
+        .otherwise("test")
+      // checkpointed: referenced twice (totals + final join) and only
+      // sources × 3 rows — without it the corpus scan runs twice
+      val bySplit = Tables
+        .documents(s, dir)
+        .select(
+          col("source"),
+          splitCol.as("split"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_toks")
+        )
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .localCheckpoint()
+      val totals = bySplit.groupBy(col("source")).agg(sum(col("n_docs")).as("src_docs"))
+      bySplit
+        .join(broadcast(totals), "source")
+        .select(
+          col("source"),
+          col("split"),
+          col("n_docs"),
+          col("n_tokens"),
+          round(col("n_docs").cast("double") / col("src_docs"), 4).as("frac")
+        )
     }
   )
+
+  /** q84: split thresholds — ceil(0.8 * 16^8) and ceil(0.9 * 16^8) in
+    * lowercase hex, compared against the md5 coin's first 8 digits.
+    */
+  val TrainThresholdHex = "cccccccd"
+  val ValThresholdHex = "e6666667"
 
   // NOTE: this string is interpolated into oracle SQL that gets
   // .stripMargin applied again — concat operators must not start a
@@ -516,6 +559,20 @@ object TrainingQueries {
          |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
          |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
          |SELECT token, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
-         |FROM c CROSS JOIN s WHERE cnt * $HeavyHitterDenom >= total""".stripMargin
+         |FROM c CROSS JOIN s WHERE cnt * $HeavyHitterDenom >= total""".stripMargin,
+    "q84_dataset_split" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |         CASE WHEN substring(md5(text), 1, 8) < '$TrainThresholdHex' THEN 'train'
+         |              WHEN substring(md5(text), 1, 8) < '$ValThresholdHex' THEN 'val'
+         |              ELSE 'test' END AS split,
+         |         CAST(len(string_split_regex(trim(text), '${TextFunctions.WsRun}')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |b AS (SELECT source, split, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |      FROM d GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs FROM b GROUP BY 1)
+         |SELECT source, split, n_docs, n_tokens,
+         |       round(CAST(n_docs AS DOUBLE) / src_docs, 4) AS frac
+         |FROM b JOIN t USING (source)""".stripMargin
   )
 }

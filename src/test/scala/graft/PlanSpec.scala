@@ -174,7 +174,8 @@ class PlanSpec extends AnyFunSuite {
     "q80_column_profile" -> 2,
     "q81_embed_quantize" -> 0,
     "q82_knn_join" -> 2,
-    "q83_quantile_bucket" -> 2
+    "q83_quantile_bucket" -> 2,
+    "q84_dataset_split" -> 1
   )
 
   test("no operator exceeds its shuffle budget") {

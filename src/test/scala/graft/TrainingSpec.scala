@@ -196,6 +196,25 @@ class TrainingSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q84: splits partition every source, mix near 80/10/10, deterministic") {
+    val out = SparkEntry.queries("q84_dataset_split")(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(out.agg(sum(col("n_docs"))).head.getLong(0) == docs.count(), "splits must partition the corpus")
+    // per-source fractions sum to 1 (4dp rounding slack)
+    val fracSums = out.groupBy(col("source")).agg(sum(col("frac")).as("f"))
+    assert(fracSums.filter(abs(col("f") - 1.0) > 0.001).count() == 0, "per-source fractions do not sum to 1")
+    // corpus-wide train fraction lands near 0.8 (the corpus carries
+    // exact-dup texts, so the content-keyed coin has fewer independent
+    // draws than docs — bound loosely)
+    val total = docs.count().toDouble
+    val train = out.filter(col("split") === "train").agg(sum(col("n_docs"))).head.getLong(0)
+    assert(train / total > 0.6 && train / total < 0.95, s"train fraction ${train / total} far from 0.8")
+    // deterministic: a second evaluation reproduces the assignment
+    val again = SparkEntry.queries("q84_dataset_split")(spark, sf)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    out.unpersist()
+  }
+
   test("q67: OOV rate is consistent with its counts and bounded") {
     val out = SparkEntry.queries("q67_oov_rate")(spark, sf).cache()
     assert(out.count() > 0)
