@@ -248,9 +248,11 @@ object AnalyticsQueries {
     // alternative: an NTILE window would shuffle every row of a flag
     // into one partition; here the q45 thresholds (a 3-row frame)
     // BROADCAST back onto the scan, the bucket label is a scan-side
-    // comparison chain, and one aggregate summarizes. Threshold
-    // computation pays q45's per-group sort once; assignment is
-    // shuffle-free.
+    // comparison chain, and one aggregate summarizes. The exact q45
+    // threshold pass is the oracle-checkable baseline — at 100 TB the
+    // threshold producer swaps to percentile_approx (q57's sketch
+    // path) with the SAME broadcast-assignment downstream, which is
+    // the part this operator demonstrates.
     "q83_quantile_bucket" -> { (s, dir) =>
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
       val wc = Window.partitionBy(col("l_returnflag"))

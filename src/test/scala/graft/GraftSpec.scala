@@ -29,6 +29,10 @@ class EntrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 
+  test("the flagship entry runs and returns rows (the driver's smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0, "entry must return rows at sf0.001")
+  }
+
   test("q01_agg aggregates correctly") {
     val df = SparkEntry.queries("q01_agg")(spark, sf)
     assert(df.columns.sorted.toSeq == Seq("l_linestatus", "l_returnflag", "n_rows", "revenue", "sum_qty"))
