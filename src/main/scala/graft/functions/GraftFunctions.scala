@@ -35,7 +35,10 @@ object GraftFunctions {
     (
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_dot(a, b) takes 2 arguments, got ${children.size}")
+        DotProduct(children.head, children(1))
+      }
     ),
     (
       FunctionIdentifier("graft_strhash2"),
@@ -58,7 +61,10 @@ object GraftFunctions {
     (
       FunctionIdentifier("graft_sigmatch"),
       new ExpressionInfo(classOf[SigMatch].getName, "graft_sigmatch"),
-      (children: Seq[Expression]) => SigMatch(children.head, children(1))
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_sigmatch(a, b) takes 2 arguments, got ${children.size}")
+        SigMatch(children.head, children(1))
+      }
     )
   )
 

@@ -218,6 +218,22 @@ object DedupSimQueries {
     "list_reduce(list_transform(range(1, len(%1$s) + 1), i -> %1$s[CAST(i AS INT)] * %2$s[CAST(i AS INT)]), (acc, x) -> acc + x)"
   private def dot(a: String, b: String) = dotSql.format(a, b)
 
+  /** Sign-bucket SQL shared by the q34 and q82 oracles — the string
+    * twin of Dedup.signTableBuckets over the raw vector `v`. ONE
+    * definition so the blocking the oracles test cannot silently
+    * diverge between them (or from the Scala side).
+    */
+  private def embBucketSql(t: Int): String =
+    (0 until EmbLshPlanes)
+      .map(j => s"(CASE WHEN v[${((EmbLshPlanes * t + j) % Dims) + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** All (tbl, bucket) keys per vector, from the `n` CTE. */
+  private lazy val embKbSql: String =
+    (0 until EmbLshTables)
+      .map(t => s"SELECT vec_id, label, $t AS tbl, ${embBucketSql(t)} AS bucket FROM n")
+      .mkString("\nUNION ALL\n")
+
   /** Shared CTE prefix: tokens → word trigrams → df-cap — the string
     * twin of Dedup.shingles + dfCapped.
     */
@@ -408,19 +424,12 @@ object DedupSimQueries {
         |       END AS q_max
         |FROM s""".stripMargin,
     "q82_knn_join" -> {
-      // same sign-bucket tables as the q34 oracle, but directed (!=)
-      // candidates and a per-vector rank window
-      def bucketSql(t: Int): String =
-        (0 until EmbLshPlanes)
-          .map(j => s"(CASE WHEN v[${((EmbLshPlanes * t + j) % Dims) + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
-          .mkString(" + ")
-      val kb = (0 until EmbLshTables)
-        .map(t => s"SELECT vec_id, label, $t AS tbl, ${bucketSql(t)} AS bucket FROM n")
-        .mkString("\nUNION ALL\n")
+      // same sign-bucket tables as the q34 oracle (shared embKbSql),
+      // but directed (!=) candidates and a per-vector rank window
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          |n AS (SELECT vec_id, label, v, list_transform(v, x -> x / norm) nv
          |      FROM (SELECT vec_id, label, v, sqrt(${dot("v", "v")}) norm FROM e)),
-         |kb AS ($kb),
+         |kb AS ($embKbSql),
          |cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
          |         FROM kb a JOIN kb b
          |           ON a.label = b.label AND a.tbl = b.tbl AND a.bucket = b.bucket
@@ -451,19 +460,13 @@ object DedupSimQueries {
          |          SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a""".stripMargin,
     "q34_dedup_embedding" -> {
-      // mirror of Dedup.embeddingNearDupsLsh: same sign-bucket tables,
-      // same normalize-then-dot order → bit-identical cosines.
-      def bucketSql(t: Int): String =
-        (0 until EmbLshPlanes)
-          .map(j => s"(CASE WHEN v[${((EmbLshPlanes * t + j) % Dims) + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
-          .mkString(" + ")
-      val kb = (0 until EmbLshTables)
-        .map(t => s"SELECT vec_id, label, $t AS tbl, ${bucketSql(t)} AS bucket FROM n")
-        .mkString("\nUNION ALL\n")
+      // mirror of Dedup.embeddingNearDupsLsh: same sign-bucket tables
+      // (shared embKbSql), same normalize-then-dot order →
+      // bit-identical cosines.
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          |n AS (SELECT vec_id, label, v, list_transform(v, x -> x / norm) nv
          |      FROM (SELECT vec_id, label, v, sqrt(${dot("v", "v")}) norm FROM e)),
-         |kb AS ($kb),
+         |kb AS ($embKbSql),
          |cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
          |         FROM kb a JOIN kb b
          |           ON a.label = b.label AND a.tbl = b.tbl AND a.bucket = b.bucket
