@@ -185,9 +185,9 @@ object AuditQueries {
          |              WHEN es_hits > 0 AND es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
          |              WHEN fr_hits > 0 AND fr_hits >= de_hits THEN 'fr'
          |              WHEN de_hits > 0 THEN 'de' ELSE 'und' END AS pred_lang,
-         |         round(0.5 * least(n_chars / 400.0, 1.0)
-         |               + 0.3 * (stop_hits * 1.0 / toks)
-         |               + 0.2 * (1.0 - punct_hits * 1.0 / toks), 4) AS quality,
+         |         CAST((25 * least(n_chars, 400) + 4000) * toks
+         |              + 6000 * stop_hits - 4000 * punct_hits AS DOUBLE)
+         |           / (CAST(20000 AS DOUBLE) * toks) AS quality,
          |         n_chars
          |  FROM feat)
          |SELECT doc_id, lang, pred_lang, quality, n_chars FROM scored

@@ -201,15 +201,17 @@ object GeoTextQueries {
         |       len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens
         |FROM documents""".stripMargin,
     "q27_quality_score" ->
-      s"""SELECT doc_id,
-         |       len(string_split_regex(trim(text), '$WsRun')) AS n_tokens,
-         |       ${hitsSql(stopEn)} AS stop_hits,
-         |       len(regexp_extract_all(text, '[.,!?;:]')) AS punct_hits,
-         |       round(0.5 * least(n_chars / 400.0, 1.0)
-         |             + 0.3 * (${hitsSql(stopEn)} * 1.0 / len(string_split_regex(trim(text), '$WsRun')))
-         |             + 0.2 * (1.0 - len(regexp_extract_all(text, '[.,!?;:]')) * 1.0
-         |                            / len(string_split_regex(trim(text), '$WsRun'))), 4) AS quality
-         |FROM documents""".stripMargin,
+      s"""WITH f AS (SELECT doc_id,
+         |                  len(string_split_regex(trim(text), '$WsRun')) AS toks,
+         |                  ${hitsSql(stopEn)} AS stop_hits,
+         |                  len(regexp_extract_all(text, '[.,!?;:]')) AS punct_hits,
+         |                  n_chars
+         |           FROM documents)
+         |SELECT doc_id, toks AS n_tokens, stop_hits, punct_hits,
+         |       CAST((25 * least(n_chars, 400) + 4000) * toks
+         |            + 6000 * stop_hits - 4000 * punct_hits AS DOUBLE)
+         |         / (CAST(20000 AS DOUBLE) * toks) AS quality
+         |FROM f""".stripMargin,
     "q28_langid" ->
       s"""SELECT doc_id,
          |       CASE WHEN en_hits > 0 AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'

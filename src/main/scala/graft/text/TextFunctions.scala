@@ -43,25 +43,32 @@ object TextFunctions {
   /** Punctuation character count. */
   def punctHits(text: Column): Column = regexp_count(text, lit("[.,!?;:]"))
 
-  /** Composite quality score in [0, 1]: length saturation + stopword
-    * density - punctuation density. Mirrors the standard C4/Gopher-style
-    * length/stopword/punct heuristics over a `documents` table.
+  /** Composite quality score: length saturation + stopword density -
+    * punctuation density (the standard C4/Gopher-style heuristics):
     *
-    * Known edge: the score is a double rounded to 4dp, and a value
-    * landing within half an ulp of a .00005 boundary can round
-    * differently across engines (observed once at sf0.001; the sf0.01
-    * gate has no such tie). A tie-proof variant would compute in
-    * integer permyriads end-to-end — not done because the double
-    * formulation matches the reference heuristics verbatim.
+    *   0.5·min(nChars,400)/400 + 0.3·stop/toks + 0.2·(1 - punct/toks)
+    *
+    * Evaluated as ONE exact-integer numerator over one denominator
+    * with a single IEEE division:
+    *
+    *   ((25·min(nChars,400) + 4000)·toks + 6000·stop - 4000·punct)
+    *     / (20000·toks)
+    *
+    * — algebraically identical to the sum-of-terms form, but every
+    * intermediate is an exact int64 (< 2^53 for any feasible doc), so
+    * BOTH engines perform the identical correctly-rounded division
+    * and the result is bit-equal with no rounding step at all. The
+    * previous formulation (three double terms, round to 4dp) was
+    * tie-broken differently by Spark (BigDecimal HALF_UP) and DuckDB
+    * (scaled float round) for values within half an ulp of a .00005
+    * boundary — ties that first appear around sf0.1.
     */
   def qualityScore(text: Column, nChars: Column): Column = {
-    val toks = tokenCountWs(text).cast("double")
-    round(
-      lit(0.5) * least(nChars / 400.0, lit(1.0)) +
-        lit(0.3) * (stopwordHits(text) / toks) +
-        lit(0.2) * (lit(1.0) - punctHits(text) / toks),
-      4
-    )
+    val toks = tokenCountWs(text).cast("long")
+    val num = (lit(25L) * least(nChars.cast("long"), lit(400L)) + lit(4000L)) * toks +
+      lit(6000L) * stopwordHits(text).cast("long") -
+      lit(4000L) * punctHits(text).cast("long")
+    num.cast("double") / (lit(20000.0) * toks)
   }
 
   /** Per-language stopword lists for the langid heuristic. */
