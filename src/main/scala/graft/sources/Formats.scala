@@ -35,6 +35,19 @@ object Formats {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC read/write — the columnar alternative a reference user may
+    * already hold data in. ORC is built into Spark (no external
+    * connector): predicate pushdown and column pruning reach the ORC
+    * reader exactly as with parquet (SourcesSpec asserts
+    * `PushedFilters` on an ORC scan), so every graft operator runs on
+    * ORC inputs unchanged.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Hive-style partitioned parquet — the lake layout that makes
     * partition pruning work: a filter on a partition column must show
     * up as `PartitionFilters` in the scan (asserted in SourcesSpec),

@@ -36,6 +36,22 @@ class SourcesSpec extends AnyFunSuite {
     )
   }
 
+  test("ORC round-trip preserves rows and pushes filters into the ORC scan") {
+    val cust = Tables.customer(spark, sf)
+    val dir = tmpDir("graft_orc")
+    Formats.writeOrc(cust, dir)
+    val back = Formats.readOrc(spark, dir)
+    assert(back.schema == cust.schema)
+    assert(back.count() == cust.count())
+    // every graft operator must run on ORC inputs unchanged: pushdown
+    // and pruning reach the ORC reader like parquet
+    val filtered = back.filter(col("c_custkey") < 100).select("c_custkey", "c_acctbal")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,100)"), s"no ORC pushdown:\n$plan")
+    assert(!plan.contains("c_mktsegment"), "ORC scan not pruned to selected columns")
+    assert(filtered.count() == cust.filter(col("c_custkey") < 100).count())
+  }
+
   test("FAILFAST CSV ingest rejects corrupt rows instead of nulling them") {
     import org.apache.spark.sql.types._
     val dir = tmpDir("graft_bad_csv")

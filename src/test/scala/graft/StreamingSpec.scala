@@ -114,6 +114,37 @@ class StreamingSpec extends AnyFunSuite {
     batch.foreach { case (k, v) => assert(streamed(k) == v, s"sliding window $k differs") }
   }
 
+  test("tumbling windows drop events later than the watermark (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[RawEvent]
+    val query = StreamingEvents
+      .tumblingAgg(stream.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("late_stream")
+      .outputMode("append")
+      .start()
+    try {
+      val base = 1000000L * ns
+      stream.addData(RawEvent(base, 1L, "view", 1.0))
+      query.processAllAvailable()
+      // advance the watermark far past base, twice (eviction batch)
+      stream.addData(RawEvent(base + 30L * 86400 * ns, -1L, "sentinel", 0.0))
+      query.processAllAvailable()
+      stream.addData(RawEvent(base + 31L * 86400 * ns, -1L, "sentinel", 0.0))
+      query.processAllAvailable()
+      val closed = spark.table("late_stream").filter(col("event_type") === "view").count()
+      assert(closed == 1L, "the on-time window must have closed")
+      // an event in a long-closed window: later than the watermark, so
+      // the stateful agg must DROP it — its state is gone; accepting it
+      // would mean unbounded state retention
+      stream.addData(RawEvent(base + 1L, 2L, "view", 9.9))
+      query.processAllAvailable()
+      val after = spark.table("late_stream").filter(col("event_type") === "view").count()
+      assert(after == closed, "a later-than-watermark event re-opened or re-emitted a closed window")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops at-least-once redeliveries within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Tables
