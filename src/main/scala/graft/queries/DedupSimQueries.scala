@@ -209,6 +209,40 @@ object DedupSimQueries {
       Dedup.knnJoin(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label",
         KnnK, EmbLshTables, EmbLshPlanes, Dims)
+    },
+
+    // q85: incremental dedup — a NEW batch (doc_id % 7 == 3 here; in
+    // production, today's crawl) checked against the EXISTING corpus
+    // via the signature index, SKETCH-ONLY: cross-set band join for
+    // candidates, graft_sigmatch agreement for the estimate, no raw
+    // shingle re-join against the index and no within-index pairing
+    // (the quadratic part a daily run must never pay). The duplicate
+    // gate compares in integers (n_match * 2 >= numPerms ⇔ est >=
+    // 0.5), so no float boundary decides membership.
+    "q85_incremental_dedup" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val sigs = Dedup.minhashSignatures(shingles3(s, dir), NumPerms).localCheckpoint()
+      val cands = Dedup.lshCandidatesAgainst(
+        sigs.filter(col("doc_id") % 7 === 3),
+        sigs.filter(col("doc_id") % 7 =!= 3),
+        NumPerms,
+        RowsPerBand
+      )
+      cands
+        .join(sigs.select(col("doc_id").as("new_doc"), col("mh").as("mh_a")), "new_doc")
+        .join(sigs.select(col("doc_id").as("index_doc"), col("mh").as("mh_b")), "index_doc")
+        .select(
+          col("new_doc"),
+          col("index_doc"),
+          graft.functions.GraftFunctions.sigmatch(col("mh_a"), col("mh_b")).as("n_match")
+        )
+        .filter(col("n_match") * 2 >= NumPerms)
+        .select(
+          col("new_doc"),
+          col("index_doc"),
+          col("n_match"),
+          round(col("n_match").cast("double") / NumPerms, 4).as("est_jaccard")
+        )
     }
   )
 
@@ -292,11 +326,24 @@ object DedupSimQueries {
       .map(p => s"mh_$p")
       .foldLeft("0")((acc, v) => s"(($acc * 33 + $v) % $P)")
 
-  private lazy val q32Sql: String = {
-    val mins = (0 until NumPerms).map(p => s"min(${permSql(p)}) AS mh_$p").mkString(",\n|            ")
-    val bands = (0 until NumPerms / RowsPerBand)
+  // Shared SQL builders for every MinHash oracle (q32/q66/q85): ONE
+  // definition of the signature mins, the band union, and the
+  // slot-agreement sum, so the arithmetic the oracles test cannot
+  // silently diverge between them (or from the Scala side).
+  private lazy val sigMinsSql: String =
+    (0 until NumPerms).map(p => s"min(${permSql(p)}) AS mh_$p").mkString(",\n|            ")
+
+  private lazy val bandsUnionSql: String =
+    (0 until NumPerms / RowsPerBand)
       .map(b => s"SELECT doc_id, $b AS band_id, ${bandKeySql(b)} AS band_key FROM sig")
       .mkString("\n|  UNION ALL\n|  ")
+
+  private lazy val sigMatchesSql: String =
+    (0 until NumPerms).map(p => s"(CASE WHEN a.mh_$p = b.mh_$p THEN 1 ELSE 0 END)").mkString(" + ")
+
+  private lazy val q32Sql: String = {
+    val mins = sigMinsSql
+    val bands = bandsUnionSql
     s"""WITH $shingleCtes,
        |hh AS (SELECT doc_id, ${strhash2Sql("s")} AS h FROM sh),
        |sig AS (SELECT doc_id, $mins
@@ -345,13 +392,9 @@ object DedupSimQueries {
   }
 
   private lazy val q66Sql: String = {
-    val mins = (0 until NumPerms).map(p => s"min(${permSql(p)}) AS mh_$p").mkString(",\n|            ")
-    val bands = (0 until NumPerms / RowsPerBand)
-      .map(b => s"SELECT doc_id, $b AS band_id, ${bandKeySql(b)} AS band_key FROM sig")
-      .mkString("\n|  UNION ALL\n|  ")
-    val matches = (0 until NumPerms)
-      .map(p => s"(CASE WHEN a.mh_$p = b.mh_$p THEN 1 ELSE 0 END)")
-      .mkString(" + ")
+    val mins = sigMinsSql
+    val bands = bandsUnionSql
+    val matches = sigMatchesSql
     s"""WITH $shingleCtes,
        |hh AS (SELECT doc_id, ${strhash2Sql("s")} AS h FROM sh),
        |sig AS (SELECT doc_id, $mins
@@ -408,7 +451,28 @@ object DedupSimQueries {
        |FROM rk WHERE rk <= $AnnK""".stripMargin
   }
 
+  private lazy val q85Sql: String =
+    s"""WITH $shingleCtes,
+       |hh AS (SELECT doc_id, ${strhash2Sql("s")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $sigMinsSql
+       |        FROM hh GROUP BY doc_id),
+       |bands AS (
+       |  $bandsUnionSql
+       |),
+       |cand AS (SELECT DISTINCT a.doc_id new_doc, b.doc_id index_doc
+       |         FROM bands a JOIN bands b
+       |           ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |          AND a.doc_id % 7 = 3 AND b.doc_id % 7 != 3),
+       |m AS (SELECT new_doc, index_doc, CAST($sigMatchesSql AS INT) AS n_match
+       |      FROM cand
+       |      JOIN sig a ON a.doc_id = new_doc
+       |      JOIN sig b ON b.doc_id = index_doc)
+       |SELECT new_doc, index_doc, n_match,
+       |       round(CAST(n_match AS DOUBLE) / $NumPerms, 4) AS est_jaccard
+       |FROM m WHERE n_match * 2 >= $NumPerms""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q85_incremental_dedup" -> q85Sql,
     "q81_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e)

@@ -77,6 +77,20 @@ class DedupSimSpec extends AnyFunSuite {
     assert(total == 500L)
   }
 
+  test("q85: incremental dedup pairs cross the batch/index split with valid estimates") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q85_incremental_dedup")(spark, sf).cache()
+    assert(out.count() > 0, "test corpus has cross-set near-dups; none found")
+    // every pair crosses the split in the right direction
+    assert(out.filter(col("new_doc") % 7 =!= 3).count() == 0, "a non-batch doc on the new side")
+    assert(out.filter(col("index_doc") % 7 === 3).count() == 0, "a batch doc on the index side")
+    // estimates respect the integer gate and the signature width
+    import graft.queries.DedupSimQueries.NumPerms
+    assert(out.filter(col("n_match") * 2 < NumPerms || col("n_match") > NumPerms).count() == 0)
+    assert(out.filter(col("est_jaccard") < 0.5 || col("est_jaccard") > 1.0).count() == 0)
+    out.unpersist()
+  }
+
   test("q81: quantized values saturate at ±127 and stay in int8 range") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("q81_embed_quantize")(spark, sf).cache()

@@ -175,7 +175,8 @@ class PlanSpec extends AnyFunSuite {
     "q81_embed_quantize" -> 0,
     "q82_knn_join" -> 2,
     "q83_quantile_bucket" -> 2,
-    "q84_dataset_split" -> 1
+    "q84_dataset_split" -> 1,
+    "q85_incremental_dedup" -> 1
   )
 
   test("no operator exceeds its shuffle budget") {
