@@ -65,6 +65,29 @@ object DedupSimQueries {
       .embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  /** Sketch-only Jaccard estimation shared by q66 and q85: join each
+    * candidate pair's signatures back and score agreement with the
+    * native graft_sigmatch kernel. ONE definition of the estimate
+    * arithmetic (sigmatch → /numPerms → 4dp round; k/numPerms is an
+    * exact binary fraction, so the round cannot tie-break differently
+    * per engine) — the Scala twin of the shared oracle SQL builders.
+    */
+  private def sigmatchEstimate(
+      cands: org.apache.spark.sql.DataFrame,
+      sigs: org.apache.spark.sql.DataFrame,
+      aCol: String,
+      bCol: String
+  ): org.apache.spark.sql.DataFrame =
+    cands
+      .join(sigs.select(col("doc_id").as(aCol), col("mh").as("mh_a")), aCol)
+      .join(sigs.select(col("doc_id").as(bCol), col("mh").as("mh_b")), bCol)
+      .select(
+        col(aCol),
+        col(bCol),
+        graft.functions.GraftFunctions.sigmatch(col("mh_a"), col("mh_b")).as("n_match")
+      )
+      .withColumn("est_jaccard", round(col("n_match").cast("double") / NumPerms, 4))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q30: exact text dedup via md5-hash groupBy — the 100 TB shuffle
     // carries 32-byte digests, not documents.
@@ -142,24 +165,7 @@ object DedupSimQueries {
     "q66_minhash_est" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
       val sigs = Dedup.minhashSignatures(shingles3(s, dir), NumPerms).localCheckpoint()
-      val cands = Dedup.lshCandidates(sigs, NumPerms, RowsPerBand)
-      cands
-        .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), "doc_a")
-        .join(sigs.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), "doc_b")
-        .select(
-          col("doc_a"),
-          col("doc_b"),
-          // native codegen'd slot-agreement kernel — the per-candidate
-          // hot loop at scale (was two interpreted allocating lambdas:
-          // size(filter(zip_with(...))))
-          graft.functions.GraftFunctions.sigmatch(col("mh_a"), col("mh_b")).as("n_match")
-        )
-        .select(
-          col("doc_a"),
-          col("doc_b"),
-          col("n_match"),
-          round(col("n_match").cast("double") / NumPerms, 4).as("est_jaccard")
-        )
+      sigmatchEstimate(Dedup.lshCandidates(sigs, NumPerms, RowsPerBand), sigs, "doc_a", "doc_b")
     },
 
     // q55: dup-pair clustering — connected components over the q31
@@ -228,21 +234,8 @@ object DedupSimQueries {
         NumPerms,
         RowsPerBand
       )
-      cands
-        .join(sigs.select(col("doc_id").as("new_doc"), col("mh").as("mh_a")), "new_doc")
-        .join(sigs.select(col("doc_id").as("index_doc"), col("mh").as("mh_b")), "index_doc")
-        .select(
-          col("new_doc"),
-          col("index_doc"),
-          graft.functions.GraftFunctions.sigmatch(col("mh_a"), col("mh_b")).as("n_match")
-        )
+      sigmatchEstimate(cands, sigs, "new_doc", "index_doc")
         .filter(col("n_match") * 2 >= NumPerms)
-        .select(
-          col("new_doc"),
-          col("index_doc"),
-          col("n_match"),
-          round(col("n_match").cast("double") / NumPerms, 4).as("est_jaccard")
-        )
     }
   )
 
