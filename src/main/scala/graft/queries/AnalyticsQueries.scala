@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+import graft.operators.{AsOfJoin, Quantiles, RangeJoin, SkewJoin}
 import graft.sources.Tables
 
 /** Round-2 coverage widening (q42-q47): the time-series / sampling /
@@ -68,24 +68,22 @@ object AnalyticsQueries {
         .filter(col("bucket_hex") < rate)
     },
 
-    // q45: exact discrete quantiles per group via index selection —
-    // integer position math (floor(p·(n-1))), no interpolation
-    // arithmetic to drift between engines.
+    // q45: exact discrete quantiles per group — integer position math
+    // (floor(p·(n-1))+1), no interpolation arithmetic to drift between
+    // engines. Computed by Quantiles.exactDiscrete: sketch-seeded
+    // band refinement, so the EXACT answer comes out of a plan whose
+    // only sort runs over the ±0.2% probability band around each
+    // target, never a full per-group window (the row_number-over-flag
+    // plan would funnel ⅓ of a 100 TB table through one task each).
+    // The oracle keeps the full-sort definition — same values.
     "q45_quantile_disc" -> { (s, dir) =>
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-      val wc = Window.partitionBy(col("l_returnflag"))
-      Tables
-        .lineitem(s, dir)
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wc))
-        .groupBy(col("l_returnflag"))
-        .agg(
-          max(col("n")).as("n"),
-          min(when(col("rn") === floor(lit(0.25) * (col("n") - 1)) + 1, col("l_extendedprice"))).as("p25"),
-          min(when(col("rn") === floor(lit(0.5) * (col("n") - 1)) + 1, col("l_extendedprice"))).as("p50"),
-          min(when(col("rn") === floor(lit(0.75) * (col("n") - 1)) + 1, col("l_extendedprice"))).as("p75")
-        )
+      Quantiles.exactDiscrete(
+        Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag",
+        "l_extendedprice",
+        QuantileProbs,
+        QuantileNames
+      )
     },
 
     // q46: CUBE rollup with grouping id — all four aggregation levels
@@ -246,27 +244,23 @@ object AnalyticsQueries {
     // q83: quantile bucket assignment — every lineitem labeled with
     // its price quartile (per return flag). The scale-safe NTILE
     // alternative: an NTILE window would shuffle every row of a flag
-    // into one partition; here the q45 thresholds (a 3-row frame)
-    // BROADCAST back onto the scan, the bucket label is a scan-side
-    // comparison chain, and one aggregate summarizes. The exact q45
-    // threshold pass is the oracle-checkable baseline — at 100 TB the
-    // threshold producer swaps to percentile_approx (q57's sketch
-    // path) with the SAME broadcast-assignment downstream, which is
-    // the part this operator demonstrates.
+    // into one partition; here EXACT thresholds from the sketch-seeded
+    // q45 producer (a 3-row frame with no full-group sort anywhere in
+    // its plan — see Quantiles) BROADCAST back onto the scan, the
+    // bucket label is a scan-side comparison chain, and one aggregate
+    // summarizes. Both halves of the plan are now the shape you'd run
+    // at 100 TB; the oracle keeps the full-sort threshold definition —
+    // same exact values.
     "q83_quantile_bucket" -> { (s, dir) =>
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-      val wc = Window.partitionBy(col("l_returnflag"))
-      val thresholds = Tables
-        .lineitem(s, dir)
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wc))
-        .groupBy(col("l_returnflag"))
-        .agg(
-          min(when(col("rn") === floor(lit(0.25) * (col("n") - 1)) + 1, col("l_extendedprice"))).as("p25"),
-          min(when(col("rn") === floor(lit(0.5) * (col("n") - 1)) + 1, col("l_extendedprice"))).as("p50"),
-          min(when(col("rn") === floor(lit(0.75) * (col("n") - 1)) + 1, col("l_extendedprice"))).as("p75")
+      val thresholds = Quantiles
+        .exactDiscrete(
+          Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag",
+          "l_extendedprice",
+          QuantileProbs,
+          QuantileNames
         )
+        .drop("n")
       Tables
         .lineitem(s, dir)
         .select(col("l_returnflag"), col("l_extendedprice"))
@@ -321,6 +315,10 @@ object AnalyticsQueries {
 
   /** q79: histogram bucket width in centi-currency ($5,000.00). */
   val HistBucketCenti: Long = 500000L
+
+  /** q45/q83: quartile targets and their output column names. */
+  val QuantileProbs: Seq[Double] = Seq(0.25, 0.5, 0.75)
+  val QuantileNames: Seq[String] = Seq("p25", "p50", "p75")
 
   def oracle: Map[String, String] = Map(
     "q42_asof_join" ->

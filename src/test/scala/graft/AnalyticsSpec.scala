@@ -58,6 +58,36 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch bands bracket every exact rank at two SFs") {
+    // the invariant Quantiles.exactDiscrete rests on: the approximate
+    // band [lo, hi] per (group, target) must contain the exact rank's
+    // value (below < k <= below + in-band). Violations would surface
+    // as NULL quantiles; assert zero here at sf0.001 and sf0.01
+    // (sf0.1 is covered end-to-end by the oracle gate), plus a tiny
+    // frame exercising n=1 / all-equal / two-value groups.
+    import graft.operators.Quantiles
+    import graft.queries.AnalyticsQueries.{QuantileNames, QuantileProbs}
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val base = graft.sources.Tables.lineitem(spark, dir).select(col("l_returnflag"), col("l_extendedprice"))
+      assert(
+        Quantiles.bracketViolations(base, "l_returnflag", "l_extendedprice", QuantileProbs) == 0,
+        s"bracket violated at $dir"
+      )
+    }
+    import spark.implicits._
+    val edge = Seq(("a", 1.0), ("b", 2.0), ("b", 2.0), ("b", 2.0), ("c", 1.0), ("c", 9.0)).toDF("g", "v")
+    assert(Quantiles.bracketViolations(edge, "g", "v", QuantileProbs) == 0)
+    val out = Quantiles
+      .exactDiscrete(edge, "g", "v", QuantileProbs, QuantileNames)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out("a") == ((1L, 1.0, 1.0, 1.0)))
+    assert(out("b") == ((3L, 2.0, 2.0, 2.0)))
+    // n=2: ranks floor(p*1)+1 = (1, 1, 1) -> all p target the minimum
+    assert(out("c") == ((2L, 1.0, 1.0, 1.0)))
+  }
+
   test("cube emits all four grouping levels consistently") {
     val c = SparkEntry.queries("q46_cube")(spark, sf)
     val byGid = c.groupBy("gid").agg(sum("n_rows").as("rows")).collect()
@@ -81,19 +111,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("approx sketches stay within error bounds of the exact answers") {
+  test("approx sketches stay within error bounds of the exact answers at two SFs") {
+    // q57 is the one rows-only driver check (HLL/KLL internals are
+    // engine-specific), so its correctness contract lives HERE: every
+    // group's approx distinct and median within 5% relative error of
+    // the exact answers, at sf0.001 and sf0.01. The 5% bound is ~9
+    // standard errors for HLL++ at the default relativeSD=0.05/sqrt(m)
+    // configuration and ~25x the KLL rank error at accuracy 10000 —
+    // loose enough to never flake, tight enough to catch a broken
+    // sketch or a swapped column.
     import graft.sources.Tables
-    val approx = SparkEntry.queries("q57_approx_stats")(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
-    val li = Tables.lineitem(spark, sf)
-    val exact = li.groupBy("l_returnflag")
-      .agg(countDistinct("l_orderkey").as("d"), expr("percentile(l_extendedprice, 0.5)").as("m"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    exact.foreach { case (flag, (d, m)) =>
-      val (ad, am) = approx(flag)
-      assert(math.abs(ad - d).toDouble / d <= 0.05, s"$flag distinct: approx $ad vs exact $d")
-      assert(math.abs(am - m) / m <= 0.05, s"$flag median: approx $am vs exact $m")
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val approx = SparkEntry.queries("q57_approx_stats")(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      val li = Tables.lineitem(spark, dir)
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct("l_orderkey").as("d"), expr("percentile(l_extendedprice, 0.5)").as("m"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(approx.keySet == exact.keySet, s"group sets diverge at $dir")
+      exact.foreach { case (flag, (d, m)) =>
+        val (ad, am) = approx(flag)
+        assert(math.abs(ad - d).toDouble / d <= 0.05, s"$dir $flag distinct: approx $ad vs exact $d")
+        assert(math.abs(am - m) / m <= 0.05, s"$dir $flag median: approx $am vs exact $m")
+      }
     }
   }
 
