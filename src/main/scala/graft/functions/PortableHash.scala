@@ -37,6 +37,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PortableHash {
 
+  /** Signature format version. Any change to the hash fold, the
+    * permutation scheme, or the coefficient seeds (e.g. r4's
+    * mix(2p+·) → mix(3p+·) reseed alongside the two-mulmod widening)
+    * changes EVERY MinHash signature value — a persisted signature
+    * index built under one version silently produces garbage
+    * candidates under another. Persisted indexes must therefore carry
+    * this version (Dedup.writeSignatureIndex stamps it as a table
+    * property; Dedup.readSignatureIndex refuses a mismatch) so a
+    * format break fails loudly
+    * at read time instead of corrupting dedup decisions. Bump on ANY
+    * signature-affecting change.
+    */
+  val SignatureFormatVersion: Int = 2
+
   /** Mersenne prime 2^31 - 1: the modulus of both folds and of every
     * MinHash permutation downstream.
     */

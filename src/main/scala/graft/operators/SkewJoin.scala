@@ -52,4 +52,32 @@ object SkewJoin {
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedFacts.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Debug diagnostic for the degenerate-salt trap the scaladoc above
+    * warns about: the `require` can reject only the literal
+    * key-as-salt case — it cannot prove VALUE-level variance, so salt
+    * columns that happen to be constant within a hot key (a date
+    * column, a tenant id) still silently degenerate to a plain join
+    * while paying saltFactor× dim replication. This returns, for the
+    * `topKeys` hottest join keys on a deterministic `fraction` sample
+    * of the facts, the row count and the number of DISTINCT salts the
+    * key's rows receive: a hot key showing 1 salt means the chosen
+    * factSaltCols do not vary within it. Run once when wiring a new
+    * salted join (one sampled aggregate); not on the hot path.
+    */
+  def saltSpread(
+      facts: DataFrame,
+      key: String,
+      saltFactor: Int,
+      factSaltCols: Seq[String],
+      topKeys: Int = 5,
+      fraction: Double = 0.01
+  ): DataFrame =
+    facts
+      .sample(withReplacement = false, fraction, seed = 7L)
+      .withColumn("__salt", salt(saltFactor, factSaltCols.map(col): _*))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("__salt")).as("n_salts"))
+      .orderBy(col("n_rows").desc, col(key))
+      .limit(topKeys)
 }

@@ -187,6 +187,13 @@ object DedupSimQueries {
       Tables
         .embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        // degenerate-vector guard, mirrored in the oracle: the engines
+        // disagree on empty/null-element arrays (Spark aggregate()
+        // returns the 0 seed and propagates NULL elements; DuckDB
+        // list_sum returns NULL on empty and SKIPS NULL elements), so
+        // parity must not rest on the corpus never containing one —
+        // both sides exclude them identically (r4 advice).
+        .filter(size(col("v")) > 0 && !exists(col("v"), x => x.isNull))
         .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
         .select(
           col("vec_id"),
@@ -236,8 +243,34 @@ object DedupSimQueries {
       )
       sigmatchEstimate(cands, sigs, "new_doc", "index_doc")
         .filter(col("n_match") * 2 >= NumPerms)
+    },
+
+    // q87: q85 on PERSISTED state — the index side is a bucketed
+    // (doc_id, bk) band table written once at ingest (bucketBy the
+    // single-integer band key, version-stamped against signature
+    // format drift), so the daily batch's candidate join reads the
+    // index with ZERO exchange (PlanSpec asserts it). This turns every
+    // "at 100 TB we'd bucketBy" comment in the dedup stack into an
+    // executed plan: the index build here stands in for the ingest
+    // job; only the band join downstream is the recurring cost.
+    "q87_bucketed_index_dedup" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val sigs = Dedup.minhashSignatures(shingles3(s, dir), NumPerms).localCheckpoint()
+      Dedup.writeSignatureIndex(
+        sigs.filter(col("doc_id") % 7 =!= 3), SigIndexTable, NumPerms, RowsPerBand, SigIndexBuckets)
+      val cands = Dedup.lshCandidatesAgainstIndex(
+        sigs.filter(col("doc_id") % 7 === 3),
+        Dedup.readSignatureIndex(s, SigIndexTable),
+        NumPerms,
+        RowsPerBand
+      )
+      sigmatchEstimate(cands, sigs, "new_doc", "index_doc")
+        .filter(col("n_match") * 2 >= NumPerms)
     }
   )
+
+  val SigIndexTable = "graft_sig_index"
+  val SigIndexBuckets = 8
 
   val KnnK = 3
 
@@ -466,8 +499,12 @@ object DedupSimQueries {
 
   def oracle: Map[String, String] = Map(
     "q85_incremental_dedup" -> q85Sql,
+    // identical semantics to q85 — the bucketed index changes the
+    // physical plan, never the candidate set
+    "q87_bucketed_index_dedup" -> q85Sql,
     "q81_embed_quantize" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+        |           WHERE len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
         |SELECT vec_id, round(scale, 6) AS scale,
         |       CASE WHEN scale = 0 THEN 0

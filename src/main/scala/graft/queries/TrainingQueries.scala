@@ -367,7 +367,11 @@ object TrainingQueries {
       counts
         .crossJoin(broadcast(total))
         .filter(col("cnt") * HeavyHitterDenom >= col("total"))
-        .select(col("token"), col("cnt"), round(col("cnt").cast("double") / col("total"), 6).as("share"))
+        // share is ONE unrounded IEEE division of two exact integers —
+        // bit-identical on any engine. round() here would reintroduce
+        // the BigDecimal-HALF_UP vs scaled-float tie-break divergence
+        // the quality-score rewrite eliminated (r4 advice).
+        .select(col("token"), col("cnt"), col("total"), (col("cnt").cast("double") / col("total")).as("share"))
     },
 
     // q84: deterministic train/val/test split — the md5-threshold coin
@@ -403,7 +407,8 @@ object TrainingQueries {
           col("split"),
           col("n_docs"),
           col("n_tokens"),
-          round(col("n_docs").cast("double") / col("src_docs"), 4).as("frac")
+          // unrounded exact-int division (see q78's share note)
+          (col("n_docs").cast("double") / col("src_docs")).as("frac")
         )
     }
   )
@@ -558,7 +563,7 @@ object TrainingQueries {
       s"""WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
          |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
          |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
-         |SELECT token, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+         |SELECT token, cnt, total, CAST(cnt AS DOUBLE) / total AS share
          |FROM c CROSS JOIN s WHERE cnt * $HeavyHitterDenom >= total""".stripMargin,
     "q84_dataset_split" ->
       s"""WITH d AS (
@@ -572,7 +577,7 @@ object TrainingQueries {
          |      FROM d GROUP BY 1, 2),
          |t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs FROM b GROUP BY 1)
          |SELECT source, split, n_docs, n_tokens,
-         |       round(CAST(n_docs AS DOUBLE) / src_docs, 4) AS frac
+         |       CAST(n_docs AS DOUBLE) / src_docs AS frac
          |FROM b JOIN t USING (source)""".stripMargin
   )
 }

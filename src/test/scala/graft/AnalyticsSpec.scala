@@ -109,6 +109,13 @@ class AnalyticsSpec extends AnyFunSuite {
     val a = plain.orderBy("k", "payload").collect().toSeq
     val b = salted.select(plain.columns.map(col): _*).orderBy("k", "payload").collect().toSeq
     assert(a == b)
+    // the degenerate-salt diagnostic: payload varies within the hot
+    // key (999), so its rows must spread over >1 salt — while salting
+    // on a constant-within-key column must show the degenerate 1
+    val spread = SkewJoin.saltSpread(facts, "k", 8, Seq("payload"), topKeys = 1, fraction = 1.0).head
+    assert(spread.getLong(0) == 999L && spread.getAs[Long]("n_salts") > 1)
+    val degenerate = SkewJoin.saltSpread(facts, "k", 8, Seq("k"), topKeys = 1, fraction = 1.0).head
+    assert(degenerate.getAs[Long]("n_salts") == 1L)
   }
 
   test("approx sketches stay within error bounds of the exact answers at two SFs") {

@@ -131,4 +131,27 @@ class DedupSimSpec extends AnyFunSuite {
     assert(r1.join(r2, "vec_id").filter(col("c2") > col("c1")).count() == 0)
     out.unpersist()
   }
+
+  test("q87 equals q85 exactly, and a stale-version index is refused loudly") {
+    import graft.dedup.Dedup
+    // the bucketed-index path must change the plan, never the answer
+    val viaIndex = SparkEntry.queries("q87_bucketed_index_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = SparkEntry.queries("q85_incremental_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex == direct, "bucketed index changed the candidate/duplicate set")
+    // a signature-format break (r4 advice: the perm reseed changed
+    // every signature) must fail at READ time, not corrupt candidates
+    import spark.implicits._
+    val sigs = Dedup.minhashSignatures(
+      Dedup.shingles(Seq((1L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text", 3), 8)
+    Dedup.writeSignatureIndex(sigs, "graft_sig_index_vtest", 8, 4, 2)
+    assert(Dedup.readSignatureIndex(spark, "graft_sig_index_vtest").count() > 0)
+    spark.sql(s"ALTER TABLE graft_sig_index_vtest SET TBLPROPERTIES ('${Dedup.SigVersionProp}' = '1')")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.readSignatureIndex(spark, "graft_sig_index_vtest")
+    }
+    assert(ex.getMessage.contains("format version"))
+    spark.sql("DROP TABLE IF EXISTS graft_sig_index_vtest")
+  }
 }

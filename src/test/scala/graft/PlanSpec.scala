@@ -181,7 +181,8 @@ class PlanSpec extends AnyFunSuite {
     "q82_knn_join" -> 2,
     "q83_quantile_bucket" -> 3,
     "q84_dataset_split" -> 1,
-    "q85_incremental_dedup" -> 1
+    "q85_incremental_dedup" -> 1,
+    "q87_bucketed_index_dedup" -> 1
   )
 
   test("no operator exceeds its shuffle budget") {
@@ -214,6 +215,43 @@ class PlanSpec extends AnyFunSuite {
         }
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q87: the bucketed signature index joins with zero exchange on the index side") {
+    // the point of persisting the band index bucketed by bk: the daily
+    // candidate join must read stored buckets directly. Broadcast off +
+    // AQE off so the planner can't sidestep the bucketed path on the
+    // tiny test input; then the bk join must be a sort-merge join whose
+    // index-side subtree contains the bucketed table scan and NO
+    // shuffle exchange (the probe side pays the only bk shuffle).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.queries("q87_bucketed_index_dedup")(spark, sf).queryExecution.executedPlan
+      def hasIndexScan(side: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        side.collect {
+          case s: FileSourceScanExec if s.tableIdentifier.exists(_.table == graft.queries.DedupSimQueries.SigIndexTable) => s
+        }.nonEmpty
+      // the INNERMOST join — the one ON bk — not the downstream
+      // sigmatch joins that contain the index scan transitively
+      val bkJoins = p.collect {
+        case j: SortMergeJoinExec if j.leftKeys.exists(_.references.exists(_.name == "bk")) => j
+      }
+      assert(bkJoins.nonEmpty, s"no sort-merge join on bk in:\n$p")
+      val idxSides = bkJoins.flatMap(j => Seq(j.left, j.right).filter(hasIndexScan))
+      assert(idxSides.nonEmpty, s"bk join does not read the bucketed index in:\n$p")
+      idxSides.foreach { side =>
+        val shuffles = side.collect { case e: ShuffleExchangeLike => e }
+        assert(shuffles.isEmpty, s"bucketed index side still shuffles:\n$side")
+        assert(side.toString.contains("Bucketed: true"), s"index scan not bucketed:\n$side")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
   }
 
   test("whole-stage codegen covers the dedup hot path") {
