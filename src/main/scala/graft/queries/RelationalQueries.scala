@@ -313,6 +313,50 @@ object RelationalQueries {
       )
       val spec = Templates.renderSpec(template, Map("prefix" -> "p", "vintage" -> "2020"))
       spec(Tables.part(s, dir))
+    },
+
+    // q86: programmatic Census column aliasing + longform label
+    // parsing (CensusAliases — reference pl_pop_table_columns.py
+    // column_aliases/parse_labels). The variables frame is synthesized
+    // deterministically from `part` so both engines derive identical
+    // inputs: names cycle through the three Census formats, labels
+    // through the longform shapes (bare Total, "alone" races,
+    // multi-race "; " lists, the 2010 comma-bug spelling, Hispanic /
+    // Not-Hispanic lineages), predicate types exercise the keep
+    // filter. Everything downstream of the scan is one Column tree —
+    // no shuffle, no UDF — so raw variable metadata of any size
+    // normalizes at scan speed.
+    "q86_census_aliases" -> { (s, dir) =>
+      val pk = col("p_partkey")
+      val t = (pk % 4 + 1).cast("string")
+      val c = lpad((pk % 73 + 1).cast("string"), 3, "0")
+      val name = when(pk % 3 === 0, concat(lit("P"), t, lit("_"), c, lit("N")))
+        .when(pk % 3 === 1, concat(lit("P00"), t, c))
+        .otherwise(concat(lit("P00"), t, lit("0"), c))
+      val lv = pk % 8
+      val label = when(lv === 0, lit("Total"))
+        .when(lv === 1, lit("Total:!!Population of one race:!!White alone"))
+        .when(lv === 2, lit("Total:!!Population of one race:!!Black or African American alone"))
+        .when(lv === 3, lit("Total:!!Population of two or more races:!!Population of two races:!!White; Black or African American"))
+        .when(lv === 4, lit("Total:!!Population of two or more races:!!Population of two races:!!Black or African American, Some Other Race"))
+        .when(lv === 5, lit("Total:!!Hispanic or Latino"))
+        .when(lv === 6, lit("Total:!!Not Hispanic or Latino:!!Population of one race:!!American Indian and Alaska Native alone"))
+        .otherwise(lit("Total:!!Not Hispanic or Latino:!!Population of one race:!!Native Hawaiian and Other Pacific Islander alone"))
+      val ptype = when(pk % 11 === 0, lit("string")).otherwise(lit("int"))
+      Tables
+        .part(s, dir)
+        .select(name.as("var_name"), label.as("label"), ptype.as("predicate_type"))
+        .filter(CensusAliases.keepVariable(col("label"), col("predicate_type")))
+        .select(
+          col("var_name"),
+          CensusAliases.canonicalName(col("var_name")).as("canonical_name"),
+          CensusAliases.alias2020(col("var_name")).as("alias_2020"),
+          CensusAliases.alias2010Six(col("var_name")).as("alias_2010_6"),
+          CensusAliases.alias2010Seven(col("var_name")).as("alias_2010_7"),
+          CensusAliases.cleanLabel(col("label")).as("label_clean"),
+          CensusAliases.shortName(col("label")).as("short_name"),
+          CensusAliases.hispanicFlag(col("label")).as("hispanic")
+        )
     }
   )
 
@@ -445,6 +489,69 @@ object RelationalQueries {
     "q51_templated_columns" ->
       """SELECT CAST(p_partkey AS BIGINT) AS part_id, p_brand AS brand_2020,
         |       p_type AS type_2020, CAST(p_size AS DOUBLE) AS size_2020
-        |FROM part""".stripMargin
+        |FROM part""".stripMargin,
+    "q86_census_aliases" -> q86Sql
   )
+
+  /** q86 oracle: the DuckDB twin of CensusAliases, with the COL_LABELS
+    * map and the redundant-column table rendered from the SAME Scala
+    * constants, so the mapping under test cannot silently diverge
+    * between engines.
+    */
+  private lazy val q86Sql: String = {
+    val partCase = CensusAliases.ColLabels
+      .map { case (k, v) => s"WHEN '$k' THEN '$v'" }
+      .mkString(" ")
+    val canonCase = CensusAliases.RedundantToCanonical
+      .map { case (k, v) => s"WHEN '$k' THEN '$v'" }
+      .mkString(" ")
+    s"""WITH base AS (
+       |  SELECT p_partkey AS pk,
+       |         CAST(p_partkey % 4 + 1 AS VARCHAR) AS t,
+       |         lpad(CAST(p_partkey % 73 + 1 AS VARCHAR), 3, '0') AS c
+       |  FROM part),
+       |v AS (
+       |  SELECT CASE WHEN pk % 3 = 0 THEN 'P' || t || '_' || c || 'N'
+       |              WHEN pk % 3 = 1 THEN 'P00' || t || c
+       |              ELSE 'P00' || t || '0' || c END AS var_name,
+       |         CASE pk % 8
+       |           WHEN 0 THEN 'Total'
+       |           WHEN 1 THEN 'Total:!!Population of one race:!!White alone'
+       |           WHEN 2 THEN 'Total:!!Population of one race:!!Black or African American alone'
+       |           WHEN 3 THEN 'Total:!!Population of two or more races:!!Population of two races:!!White; Black or African American'
+       |           WHEN 4 THEN 'Total:!!Population of two or more races:!!Population of two races:!!Black or African American, Some Other Race'
+       |           WHEN 5 THEN 'Total:!!Hispanic or Latino'
+       |           WHEN 6 THEN 'Total:!!Not Hispanic or Latino:!!Population of one race:!!American Indian and Alaska Native alone'
+       |           ELSE 'Total:!!Not Hispanic or Latino:!!Population of one race:!!Native Hawaiian and Other Pacific Islander alone'
+       |         END AS label,
+       |         CASE WHEN pk % 11 = 0 THEN 'string' ELSE 'int' END AS predicate_type
+       |  FROM base),
+       |k AS (SELECT * FROM v WHERE label = 'Total' OR predicate_type = 'int'),
+       |f AS (
+       |  SELECT var_name, label,
+       |         CASE WHEN regexp_matches(var_name, '^P[0-9]_[0-9]{3}N$$') THEN substr(var_name, 2, 1)
+       |              WHEN regexp_matches(var_name, '^P00[0-9]{4}$$') THEN substr(var_name, 4, 1)
+       |              WHEN regexp_matches(var_name, '^P00[0-9]0[0-9]{3}$$') THEN substr(var_name, 4, 1) END AS t,
+       |         CASE WHEN regexp_matches(var_name, '^P[0-9]_[0-9]{3}N$$') THEN substr(var_name, 4, 3)
+       |              WHEN regexp_matches(var_name, '^P00[0-9]{4}$$') THEN substr(var_name, 5, 3)
+       |              WHEN regexp_matches(var_name, '^P00[0-9]0[0-9]{3}$$') THEN substr(var_name, 6, 3) END AS cc
+       |  FROM k),
+       |lab AS (
+       |  SELECT var_name, t, cc, label,
+       |         replace(trim(replace(string_split(replace(label, ':', ''), '!!')[-1], 'alone', '')),
+       |                 ', Some Other Race', '; Some Other Race') AS label_clean
+       |  FROM f)
+       |SELECT var_name,
+       |       CASE var_name $canonCase ELSE var_name END AS canonical_name,
+       |       'P' || t || '_' || cc || 'N' AS alias_2020,
+       |       'P00' || t || cc AS alias_2010_6,
+       |       'P00' || t || '0' || cc AS alias_2010_7,
+       |       label_clean,
+       |       array_to_string(list_transform(string_split(label_clean, '; '),
+       |                                      p -> CASE p $partCase ELSE p END), '_') AS short_name,
+       |       CASE WHEN label LIKE '%Hispanic or Latino%'
+       |            THEN CASE WHEN label LIKE '%Not Hispanic or Latino%' THEN 0 ELSE 1 END
+       |       END AS hispanic
+       |FROM lab""".stripMargin
+  }
 }

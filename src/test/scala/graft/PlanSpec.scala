@@ -182,6 +182,7 @@ class PlanSpec extends AnyFunSuite {
     "q83_quantile_bucket" -> 3,
     "q84_dataset_split" -> 1,
     "q85_incremental_dedup" -> 1,
+    "q86_census_aliases" -> 0,
     "q87_bucketed_index_dedup" -> 1
   )
 
