@@ -139,6 +139,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("distributed union-find fallback handles a deep chain plus many components") {
+    // the shape the single-task threshold guards against, forced down
+    // the ITERATIVE path (singleTaskEdgeLimit = 0): one 1000-node
+    // chain — diameter 999, needing the pointer-doubling log rounds,
+    // not one-hop propagation — plus 200 disjoint triangles that must
+    // not absorb each other's labels. Pins the distributed path's
+    // convergence and labeling at a size where a broken doubling step
+    // would blow maxIters and fail loudly.
+    import spark.implicits._
+    val chain = (1 until 1000).map(i => (i.toLong - 1, i.toLong))
+    val triangles = (0 until 200).flatMap { t =>
+      val b = 10000L + 3 * t
+      Seq((b, b + 1), (b + 1, b + 2), (b, b + 2))
+    }
+    val got = Dedup
+      .dupClusters((chain ++ triangles).toDF("doc_a", "doc_b"), maxIters = 20, singleTaskEdgeLimit = 0L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    (0L until 1000L).foreach(i => assert(got(i) == 0L, s"chain node $i labeled ${got(i)}"))
+    (0 until 200).foreach { t =>
+      val b = 10000L + 3 * t
+      (b to b + 2).foreach(i => assert(got(i) == b, s"triangle node $i labeled ${got(i)}"))
+    }
+  }
+
   test("range join equals the naive reference on random inputs") {
     import spark.implicits._
     for (seed <- 0 until 4) {

@@ -285,6 +285,113 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.toSeq == Seq((0L, 2L), (1L, 1L)), s"got ${sessions.toSeq}")
   }
 
+  test("sessionize is exact under watermark-edge out-of-order arrival") {
+    // pathological-but-admissible delivery: events bucketed by hour,
+    // ~30% of each hour held back into the NEXT hour's batch (lateness
+    // < 2h watermark delay, so nothing is droppable), every batch
+    // internally shuffled. The buffer-until-final design must still
+    // reproduce batch q37 bit-for-bit — a merge-on-arrival sessionizer
+    // mislabels exactly this shape (cross-batch stragglers that
+    // precede the open session).
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    val hourUs = 3600L * us
+    val rows = eventRows.map(e => SessionEvent(e.user_id, e.ts / 1000L, math.round(e.value * 100)))
+    val maxUs = rows.map(_.ts_us).max
+    val byHour = rows.groupBy(_.ts_us / hourUs)
+    val hours = byHour.keys.toSeq.sorted
+    // deterministic straggler choice: no RNG state to coordinate
+    def isLate(e: SessionEvent): Boolean = (e.ts_us / us) % 10 < 3
+    val batches = hours.zipWithIndex.map { case (h, i) =>
+      val onTime = byHour(h).filterNot(isLate)
+      val late = if (i == 0) Seq.empty else byHour(hours(i - 1)).filter(isLate)
+      val lastLate = if (i == hours.size - 1) byHour(h).filter(isLate) else Seq.empty
+      val rnd = new scala.util.Random(h)
+      rnd.shuffle((onTime ++ late ++ lastLate).toSeq)
+    }
+    val stream = MemoryStream[SessionEvent]
+    val query = StreamingEvents
+      .sessionize(stream.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("sess_ooo")
+      .outputMode("append")
+      .start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) { stream.addData(b); query.processAllAvailable() }
+      }
+      stream.addData(SessionEvent(-1L, maxUs + 10L * 86400 * us, 0L))
+      query.processAllAvailable()
+      stream.addData(SessionEvent(-1L, maxUs + 11L * 86400 * us, 0L))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val streamed = spark
+      .table("sess_ooo")
+      .filter(col("user_id") >= 0)
+      .collect()
+      .map(r => key(r) -> r.toSeq)
+      .toMap
+    val batch = Events
+      .sessionStats(Tables.events(spark, sf))
+      .select("user_id", "session_id", "n_events", "session_start_us", "session_end_us", "total_value", "duration_s")
+      .collect()
+      .map(r => key(r) -> r.toSeq)
+      .toMap
+    assert(streamed.keySet == batch.keySet, "session key sets differ under out-of-order arrival")
+    batch.foreach { case (k, v) => assert(streamed(k) == v, s"session $k differs: ${streamed(k)} vs $v") }
+  }
+
+  test("a user with many sessions numbers them densely across batch flushes") {
+    // 50 complete sessions for one user, delivered 7 sessions per
+    // batch: the watermark (advanced by the user's own later events)
+    // closes SEVERAL sessions per micro-batch — the closed.zipWithIndex
+    // multi-flush numbering path — and timeouts close the tail. Ids
+    // must come out dense 0..49 with exact per-session stats.
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    val base = 1700000000L * us
+    val nSessions = 50
+    val events = (0 until nSessions).flatMap { i =>
+      val t0 = base + i.toLong * 5L * 3600L * us // 5h spacing >> 2h gap
+      Seq(
+        SessionEvent(9L, t0, 100L),
+        SessionEvent(9L, t0 + 60L * us, 200L),
+        SessionEvent(9L, t0 + 120L * us, 300L)
+      )
+    }
+    val stream = MemoryStream[SessionEvent]
+    val query = StreamingEvents
+      .sessionize(stream.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("sess_many")
+      .outputMode("append")
+      .start()
+    try {
+      events.grouped(21).foreach { b => stream.addData(b); query.processAllAvailable() }
+      val maxUs = events.map(_.ts_us).max
+      stream.addData(SessionEvent(-1L, maxUs + 10L * 86400 * us, 0L))
+      query.processAllAvailable()
+      stream.addData(SessionEvent(-1L, maxUs + 11L * 86400 * us, 0L))
+      query.processAllAvailable()
+    } finally query.stop()
+    val sessions = spark
+      .table("sess_many")
+      .filter(col("user_id") === 9L)
+      .orderBy("session_id")
+      .collect()
+    assert(sessions.length == nSessions, s"expected $nSessions sessions, got ${sessions.length}")
+    sessions.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) == i.toLong, s"session ids not dense at $i: ${r.getLong(1)}")
+      assert(r.getLong(2) == 3L && r.getLong(6) == 120L, s"session $i stats wrong: $r")
+      assert(r.getLong(3) == base + i.toLong * 5L * 3600L * us, s"session $i start wrong")
+      assert(r.getDouble(5) == 6.0, s"session $i total_value wrong: ${r.getDouble(5)}")
+    }
+  }
+
   test("stateful streaming sessionize reproduces batch q37 exactly") {
     implicit val sqlCtx = spark.sqlContext
     val rows = eventRows
