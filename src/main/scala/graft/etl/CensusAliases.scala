@@ -103,6 +103,15 @@ object CensusAliases {
 
   /** The cleaned last label segment: drop ':', take the last '!!'
     * part, strip "alone", apply the 2010 P004059 comma-bug fix.
+    *
+    * The alone-strip is DELIBERATELY the reference's exact substring
+    * semantics (pl_pop_table_columns.py:74 `label.replace("alone",
+    * "").strip()`), including its limitation: a segment where "alone"
+    * is not the final token (e.g. ACS "alone or in combination"
+    * phrasing, which does not occur in the PL 94-171 P1–P4 labels this
+    * targets) would keep interior double spaces. Fidelity over repair:
+    * diverging here would silently produce different short names than
+    * the reference for the same input.
     */
   def cleanLabel(label: Column): Column = {
     val last = element_at(split(regexp_replace(label, ":", ""), "!!"), -1)

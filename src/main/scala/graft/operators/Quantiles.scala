@@ -32,11 +32,16 @@ import org.apache.spark.sql.functions._
   *      `k - count_below` IS the exact quantile value.
   *
   * Every pass is a scan-side pipeline plus a group-cardinality-sized
-  * shuffle; the single window sorts only the delta-band. The bracket
-  * invariant (below < k ≤ below + in-band) is checked by
-  * [[bracketViolations]] (asserted in AnalyticsSpec at three SFs); a
-  * violation in production surfaces as a NULL quantile, never a wrong
-  * value.
+  * shuffle; the single window sorts only the delta-band.
+  *
+  * Semantics: quantiles of the NON-NULL values per group (NULL values
+  * are excluded at entry and do not count toward n — mixing NULLs
+  * into rank arithmetic would silently shift every rank). A group
+  * with no non-null values emits no row. The bracket invariant
+  * (below < k ≤ below + in-band) is checked by [[bracketViolations]]
+  * (asserted in AnalyticsSpec at two SFs + edge groups); were it ever
+  * violated, the affected group would MISS from the output rather
+  * than carry a wrong value.
   *
   * Reference: gerrydb-etl summarizes columns with pandas
   * `describe()`-style exact quantiles (tabular.py report path); this
@@ -81,7 +86,7 @@ object Quantiles {
       delta: Double = DefaultDelta
   ): DataFrame = {
     require(probs.nonEmpty && probs.size == outNames.size, "probs and outNames must align")
-    val refined = refineBands(df, groupCol, valueCol, probs, accuracy, delta)
+    val refined = refineBands(clean(df, groupCol, valueCol), groupCol, valueCol, probs, accuracy, delta)
     val g = col(groupCol)
     val v = col(valueCol)
     // selected row per (group, target): in-band rank == k - below
@@ -106,7 +111,7 @@ object Quantiles {
       accuracy: Int = DefaultAccuracy,
       delta: Double = DefaultDelta
   ): Long = {
-    val meta = countsAndBands(df, groupCol, valueCol, probs, accuracy, delta)
+    val meta = countsAndBands(clean(df, groupCol, valueCol), groupCol, valueCol, probs, accuracy, delta)
     val k = probs.size
     val bad = (0 until k)
       .map { i =>
@@ -118,6 +123,14 @@ object Quantiles {
   }
 
   // ---- shared internals ----------------------------------------------
+
+  /** Entry normalization: project to exactly (group, value) — callers
+    * may pass wide frames whose extra columns would collide with the
+    * internal n/rn/t/lo_i/... names at the meta join — and drop NULL
+    * values (see object doc: ranks are over the non-null population).
+    */
+  private def clean(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.select(col(groupCol), col(valueCol)).filter(col(valueCol).isNotNull)
 
   /** Pass 1: per-group approximate band edges [lo_i, hi_i] per target,
     * plus the exact group min/max (GK retains both; probes at p=0 and

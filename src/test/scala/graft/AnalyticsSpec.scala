@@ -86,6 +86,14 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("b") == ((3L, 2.0, 2.0, 2.0)))
     // n=2: ranks floor(p*1)+1 = (1, 1, 1) -> all p target the minimum
     assert(out("c") == ((2L, 1.0, 1.0, 1.0)))
+    // totality: wide frames whose extra columns collide with internal
+    // names (n) and NULL values (excluded from ranks and from n)
+    val wide = Seq(("a", Option(1.0), 9L), ("a", Option(2.0), 9L), ("a", Option(3.0), 9L), ("a", None, 9L))
+      .toDF("g", "v", "n")
+    val wq = Quantiles.exactDiscrete(wide, "g", "v", QuantileProbs, QuantileNames).head
+    assert(wq.getLong(1) == 3L, "NULL value must not count toward n")
+    assert((wq.getDouble(2), wq.getDouble(3), wq.getDouble(4)) == ((1.0, 2.0, 2.0)))
+    assert(Quantiles.bracketViolations(wide, "g", "v", QuantileProbs) == 0)
   }
 
   test("cube emits all four grouping levels consistently") {
