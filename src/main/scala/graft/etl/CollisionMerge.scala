@@ -41,4 +41,40 @@ object CollisionMerge {
         (count(lit(1)) - 1).as("collision_count")
     df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Geometry union for collision merge, at the ENVELOPE level.
+    *
+    * Reference pl_geo.py:163-167 unions shapely geometries when parts
+    * collide on a geoid. This container ships no polygon library
+    * (SURVEY §2.B), so the union is computed on exact rectangle
+    * envelopes instead: the merged row carries the bbox hull
+    * (min/max of the parts' integer bounds), the summed part area,
+    * the part count, and a representative INTERIOR point — the center
+    * of the largest part, which is interior to the union because a
+    * member part is contained in it (the same guarantee the
+    * reference's `representative_point()` provides). All arithmetic
+    * is integer-exact (centi-degree units), so the merge is
+    * oracle-checkable bit-for-bit; a polygon-exact union slots in
+    * here unchanged when a geo lib is available.
+    *
+    * Expects integer columns: `latLo/latHi/lonLo/lonHi` (envelope),
+    * `area` (part area), and a unique `partId` for deterministic
+    * largest-part tie-breaks. partId must stay below ~10^15 so the
+    * oracle's arithmetic arg-max key (area·10^15 + partId) mirrors
+    * the struct ordering exactly.
+    */
+  def mergeEnvelopes(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        (count(lit(1)) - 1).as("collision_count"),
+        min(col("latLo")).as("u_lat_lo"),
+        max(col("latHi")).as("u_lat_hi"),
+        min(col("lonLo")).as("u_lon_lo"),
+        max(col("lonHi")).as("u_lon_hi"),
+        sum(col("area")).as("total_area"),
+        // largest part's center, doubled units so it stays integer
+        max_by(col("latLo") + col("latHi"), struct(col("area"), col("partId"))).as("rep_lat2"),
+        max_by(col("lonLo") + col("lonHi"), struct(col("area"), col("partId"))).as("rep_lon2")
+      )
 }

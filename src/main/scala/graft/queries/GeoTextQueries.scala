@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.etl.CollisionMerge
 import graft.geo.GeoFunctions._
 import graft.text.TextFunctions._
 import graft.sources.Tables
@@ -142,6 +143,31 @@ object GeoTextQueries {
         .documents(s, dir)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), fingerprint("text").as("fp"))
+    },
+
+    // q88: geometry union on collision (pl_geo.py:149-190's missing
+    // half — q10 merges the measures; this merges the GEOMETRY, at the
+    // envelope level since the container has no polygon lib): parts
+    // are exact integer centi-degree rectangles derived from keys;
+    // colliding parts union to the bbox hull + summed area + the
+    // largest part's center as a guaranteed-interior representative
+    // point. ONE hash aggregate (see CollisionMerge.mergeEnvelopes).
+    "q88_geo_union_merge" -> { (s, dir) =>
+      val ck = col("c_custkey")
+      CollisionMerge.mergeEnvelopes(
+        Tables
+          .customer(s, dir)
+          .select(
+            (ck % 97).as("geoid"),
+            ((ck * 104729) % 17000 - 8500).as("latLo"),
+            ((ck * 104729) % 17000 - 8500 + (ck % 50 + 1)).as("latHi"),
+            ((ck * 7919) % 35000 - 17500).as("lonLo"),
+            ((ck * 7919) % 35000 - 17500 + (ck % 70 + 1)).as("lonHi"),
+            ((ck % 50 + 1) * (ck % 70 + 1)).as("area"),
+            ck.as("partId")
+          ),
+        "geoid"
+      )
     }
   )
 
@@ -231,6 +257,26 @@ object GeoTextQueries {
         |       list_reduce(list_transform(range(1, least(length(text), 64) + 1),
         |                                  i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
         |                   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
-        |FROM documents WHERE length(text) > 0""".stripMargin
+        |FROM documents WHERE length(text) > 0""".stripMargin,
+    // arg_max's ordering key is the arithmetic twin of Spark's
+    // struct(area, partId) lexicographic max — exact while
+    // partId < 10^15 (documented in mergeEnvelopes)
+    "q88_geo_union_merge" ->
+      """WITH p AS (
+        |  SELECT c_custkey % 97 AS geoid,
+        |         (c_custkey * 104729) % 17000 - 8500 AS latLo,
+        |         (c_custkey * 104729) % 17000 - 8500 + (c_custkey % 50 + 1) AS latHi,
+        |         (c_custkey * 7919) % 35000 - 17500 AS lonLo,
+        |         (c_custkey * 7919) % 35000 - 17500 + (c_custkey % 70 + 1) AS lonHi,
+        |         (c_custkey % 50 + 1) * (c_custkey % 70 + 1) AS area,
+        |         c_custkey AS partId
+        |  FROM customer)
+        |SELECT geoid, count(*) AS n_parts, count(*) - 1 AS collision_count,
+        |       min(latLo) AS u_lat_lo, max(latHi) AS u_lat_hi,
+        |       min(lonLo) AS u_lon_lo, max(lonHi) AS u_lon_hi,
+        |       CAST(sum(area) AS BIGINT) AS total_area,
+        |       arg_max(latLo + latHi, area * 1000000000000000 + partId) AS rep_lat2,
+        |       arg_max(lonLo + lonHi, area * 1000000000000000 + partId) AS rep_lon2
+        |FROM p GROUP BY geoid""".stripMargin
   )
 }

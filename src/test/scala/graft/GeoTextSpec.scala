@@ -52,4 +52,22 @@ class GeoTextSpec extends AnyFunSuite {
       .select(TextFunctions.wordShingles(col("text"), 2)).as[Seq[String]].head()
     assert(sh == Seq("a b", "b c", "c d"))
   }
+
+  test("q88 envelope union covers every part and keeps an interior representative point") {
+    val out = SparkEntry.queries("q88_geo_union_merge")(spark, sf).cache()
+    // every customer part lands in exactly one merged geoid row
+    val nCustomers = graft.sources.Tables.customer(spark, sf).count()
+    assert(out.agg(sum(col("n_parts"))).head.getLong(0) == nCustomers)
+    // the representative point (doubled units) is inside the union
+    // envelope — the guarantee a downstream point-in-geo check relies on
+    val escaped = out.filter(
+      col("rep_lat2") < col("u_lat_lo") * 2 || col("rep_lat2") > col("u_lat_hi") * 2 ||
+        col("rep_lon2") < col("u_lon_lo") * 2 || col("rep_lon2") > col("u_lon_hi") * 2
+    )
+    assert(escaped.count() == 0, "representative point escaped the union envelope")
+    // envelope sanity: hull bounds are ordered and area is positive
+    assert(out.filter(col("u_lat_lo") > col("u_lat_hi") || col("u_lon_lo") > col("u_lon_hi")).count() == 0)
+    assert(out.filter(col("total_area") <= 0).count() == 0)
+    out.unpersist()
+  }
 }

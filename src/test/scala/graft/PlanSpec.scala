@@ -183,7 +183,8 @@ class PlanSpec extends AnyFunSuite {
     "q84_dataset_split" -> 1,
     "q85_incremental_dedup" -> 1,
     "q86_census_aliases" -> 0,
-    "q87_bucketed_index_dedup" -> 1
+    "q87_bucketed_index_dedup" -> 1,
+    "q88_geo_union_merge" -> 1
   )
 
   test("no operator exceeds its shuffle budget") {
