@@ -99,6 +99,28 @@ object Quantiles {
       )
   }
 
+  /** Largest refine-band size over all (group, target) pairs — the
+    * number of rows the rank-selection window actually sorts in one
+    * task. The scale contract: ≤ max(2·delta·n + sketch slop,
+    * SmallGroupLimit) per pair; asserted empirically in AnalyticsSpec
+    * so a delta/accuracy regression (which would quietly re-grow the
+    * sorted band toward the whole group) fails a spec.
+    */
+  def maxBandRows(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      probs: Seq[Double],
+      accuracy: Int = DefaultAccuracy,
+      delta: Double = DefaultDelta
+  ): Long = {
+    val meta = countsAndBands(clean(df, groupCol, valueCol), groupCol, valueCol, probs, accuracy, delta)
+    val widest =
+      if (probs.size == 1) col("cand_0")
+      else greatest(probs.indices.map(i => col(s"cand_$i")): _*)
+    meta.agg(max(widest)).head.getLong(0)
+  }
+
   /** Number of (group, target) pairs whose sketch band failed to
     * bracket the exact rank — 0 by the GK guarantee; asserted in CI so
     * a sketch regression fails a spec, not a production run.
@@ -216,7 +238,10 @@ object Quantiles {
   ): DataFrame = {
     val g = col(groupCol)
     val v = col(valueCol)
-    val meta = countsAndBands(df, groupCol, valueCol, probs, accuracy, delta).localCheckpoint()
+    // meta is consumed exactly once (the broadcast build below) — no
+    // checkpoint; the bands frame inside it IS checkpointed because
+    // the sketch pass feeds both the counting agg and the meta join
+    val meta = countsAndBands(df, groupCol, valueCol, probs, accuracy, delta)
     val inBandTargets = array(probs.indices.map { i =>
       when(v >= col(s"lo_$i") && v <= col(s"hi_$i"), lit(i)).otherwise(lit(-1))
     }: _*)

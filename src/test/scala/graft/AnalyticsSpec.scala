@@ -74,6 +74,16 @@ class AnalyticsSpec extends AnyFunSuite {
         s"bracket violated at $dir"
       )
     }
+    // the scale contract itself: the refine window never sorts more
+    // than max(small-group limit, ~2·delta·n + slop) rows per
+    // (group, target) — the quantity that must stay bounded at 100 TB
+    val big = graft.sources.Tables
+      .lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val nMax = big.groupBy("l_returnflag").count().agg(max("count")).head.getLong(0)
+    val bandCap = math.max(Quantiles.SmallGroupLimit, (4 * Quantiles.DefaultDelta * nMax).toLong + 8)
+    val widest = Quantiles.maxBandRows(big, "l_returnflag", "l_extendedprice", QuantileProbs)
+    assert(widest <= bandCap, s"refine band $widest exceeds cap $bandCap")
     import spark.implicits._
     val edge = Seq(("a", 1.0), ("b", 2.0), ("b", 2.0), ("b", 2.0), ("c", 1.0), ("c", 9.0)).toDF("g", "v")
     assert(Quantiles.bracketViolations(edge, "g", "v", QuantileProbs) == 0)

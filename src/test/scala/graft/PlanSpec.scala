@@ -136,12 +136,13 @@ class PlanSpec extends AnyFunSuite {
     "q42_asof_join" -> 1,
     "q43_range_join" -> 2,
     "q44_stratified_sample" -> 0,
-    // q45/q83 budgets are on the post-checkpoint plan (sketch + count
-    // passes run at Quantiles' meta checkpoint): the remaining
-    // exchanges carry only the ±delta candidate band and
-    // group-cardinality rows — the OLD budget-1 plan's single exchange
-    // carried the whole table into three per-flag sorts.
-    "q45_quantile_disc" -> 2,
+    // q45/q83: the bands checkpoint hides the sketch pass; the visible
+    // exchanges are the exact-counts aggregate (group-cardinality rows
+    // after map-side combine), the ±delta candidate-band window, and
+    // the final group agg — the OLD budget-1 plan's single exchange
+    // carried the whole table into three per-flag sorts, far worse
+    // than these three metadata-sized ones.
+    "q45_quantile_disc" -> 3,
     "q46_cube" -> 1,
     "q47_vocab_topk" -> 1,
     "q48_tfidf" -> 5,
@@ -179,7 +180,7 @@ class PlanSpec extends AnyFunSuite {
     "q80_column_profile" -> 2,
     "q81_embed_quantize" -> 0,
     "q82_knn_join" -> 2,
-    "q83_quantile_bucket" -> 3,
+    "q83_quantile_bucket" -> 4,
     "q84_dataset_split" -> 1,
     "q85_incremental_dedup" -> 1,
     "q86_census_aliases" -> 0,
