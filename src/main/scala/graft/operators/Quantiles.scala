@@ -118,7 +118,8 @@ object Quantiles {
     val widest =
       if (probs.size == 1) col("cand_0")
       else greatest(probs.indices.map(i => col(s"cand_$i")): _*)
-    meta.agg(max(widest)).head.getLong(0)
+    // coalesce: max over zero groups (empty/all-NULL input) is NULL
+    meta.agg(coalesce(max(widest), lit(0L))).head.getLong(0)
   }
 
   /** Number of (group, target) pairs whose sketch band failed to

@@ -80,10 +80,19 @@ class AnalyticsSpec extends AnyFunSuite {
     val big = graft.sources.Tables
       .lineitem(spark, "/root/testdata/sf0.01")
       .select(col("l_returnflag"), col("l_extendedprice"))
-    val nMax = big.groupBy("l_returnflag").count().agg(max("count")).head.getLong(0)
-    val bandCap = math.max(Quantiles.SmallGroupLimit, (4 * Quantiles.DefaultDelta * nMax).toLong + 8)
+    val counts = big.groupBy("l_returnflag").count().agg(max("count"), min("count")).head
+    val (nMax, nMin) = (counts.getLong(0), counts.getLong(1))
+    // every sf0.01 flag group is comfortably on the sketch path, so
+    // the TIGHT bound applies (no SmallGroupLimit escape hatch) — a
+    // delta/accuracy regression that regrows the sorted band fails
+    // here, not in a cluster run. Measured widest: 42 rows at sf0.01,
+    // 405 at sf0.1, vs 2·delta·n of 40 / 400.
+    assert(nMin >= Quantiles.SmallGroupLimit, "fixture groups must exercise the sketch path")
+    val bandCap = (4 * Quantiles.DefaultDelta * nMax).toLong + 8
     val widest = Quantiles.maxBandRows(big, "l_returnflag", "l_extendedprice", QuantileProbs)
-    assert(widest <= bandCap, s"refine band $widest exceeds cap $bandCap")
+    assert(widest <= bandCap, s"refine band $widest exceeds sketch-path cap $bandCap")
+    // empty input: the diagnostic must report 0, not NPE
+    assert(Quantiles.maxBandRows(big.filter(lit(false)), "l_returnflag", "l_extendedprice", QuantileProbs) == 0L)
     import spark.implicits._
     val edge = Seq(("a", 1.0), ("b", 2.0), ("b", 2.0), ("b", 2.0), ("c", 1.0), ("c", 9.0)).toDF("g", "v")
     assert(Quantiles.bracketViolations(edge, "g", "v", QuantileProbs) == 0)
