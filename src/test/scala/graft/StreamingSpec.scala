@@ -392,6 +392,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming signature ingest matches batch signatures (the q87 index maintenance path)") {
+    // the ingest job that keeps q87's bucketed index current: arriving
+    // documents shingle (NO distinct — unsupported on a stream, and
+    // unnecessary: MinHash is a min, duplicates cannot change it) and
+    // accumulate per-doc signatures through the SAME native aggregate
+    // the batch path uses, in update mode. Final signatures must equal
+    // the batch ones bit-for-bit — otherwise a streamed index would
+    // silently disagree with a batch-built one.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    val docs = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    val stream = MemoryStream[(Long, String)]
+    val sigs = Dedup
+      .minhashSignatures(
+        Dedup.shingleRows(stream.toDF().toDF("doc_id", "text"), "doc_id", "text", 3),
+        graft.queries.DedupSimQueries.NumPerms
+      )
+    val query = sigs.writeStream
+      .format("memory")
+      .queryName("sig_stream")
+      .outputMode("update")
+      .start()
+    try {
+      // whole documents per batch (a doc never splits across batches),
+      // three batches to prove state carries across micro-batches
+      docs.grouped(math.max(docs.size / 3, 1)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark
+      .table("sig_stream")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    val batch = Dedup
+      .minhashSignatures(
+        Dedup.shingles(Tables.documents(spark, sf), "doc_id", "text", 3),
+        graft.queries.DedupSimQueries.NumPerms
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    assert(streamed.keySet == batch.keySet, "doc sets differ")
+    batch.foreach { case (d, sig) => assert(streamed(d) == sig, s"signature differs for doc $d") }
+  }
+
   test("stateful streaming sessionize reproduces batch q37 exactly") {
     implicit val sqlCtx = spark.sqlContext
     val rows = eventRows
