@@ -152,6 +152,39 @@ class DedupSimSpec extends AnyFunSuite {
       Dedup.readSignatureIndex(spark, "graft_sig_index_vtest")
     }
     assert(ex.getMessage.contains("format version"))
+    // appending to the stale-version index must refuse too — a batch
+    // signed under the current format can never mix into an old index
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.appendSignatureIndex(
+        Dedup.minhashSignatures(
+          Dedup.shingles(Seq((2L, "x y z w")).toDF("doc_id", "text"), "doc_id", "text", 3), 8),
+        "graft_sig_index_vtest", 8, 4)
+    }
+    assert(ex2.getMessage.contains("format version"))
     spark.sql("DROP TABLE IF EXISTS graft_sig_index_vtest")
+  }
+
+  test("daily append to the signature index equals a one-shot build") {
+    // build-once-append-forever: index built from batch A, batch B
+    // appended after its dedup run. Contents must equal the one-shot
+    // build over A ∪ B, the bucket layout must survive the append, and
+    // the version stamp must still gate reads.
+    import graft.dedup.Dedup
+    import graft.queries.DedupSimQueries.{NumPerms, RowsPerBand}
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(docs, "doc_id", "text", 3), NumPerms).localCheckpoint()
+    val tbl = "graft_sig_index_append"
+    Dedup.writeSignatureIndex(sigs.filter(col("doc_id") % 2 === 0), tbl, NumPerms, RowsPerBand, 4)
+    Dedup.appendSignatureIndex(sigs.filter(col("doc_id") % 2 =!= 0), tbl, NumPerms, RowsPerBand)
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val appended = rowSet(Dedup.readSignatureIndex(spark, tbl).select("doc_id", "bk"))
+    val oneShot = rowSet(Dedup.signatureIndexBands(sigs, NumPerms, RowsPerBand))
+    assert(appended == oneShot, "appended index diverges from the one-shot build")
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+    assert(meta.bucketSpec.exists(_.numBuckets == 4), "append changed the bucket layout")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }
