@@ -198,6 +198,15 @@ class PlanSpec extends AnyFunSuite {
     assert(over.isEmpty, s"shuffle budget exceeded:\n${over.mkString("\n")}")
   }
 
+  test("q86/q88 derive everything scan-side from a single pruned key column") {
+    // both synthesize their domain from one integer key: the scan must
+    // read ONLY that column (names/labels/envelopes are projections)
+    val p86 = plan("q86_census_aliases")
+    assert(p86.contains("ReadSchema: struct<p_partkey:bigint>"), s"q86 scan not pruned to p_partkey:\n$p86")
+    val p88 = plan("q88_geo_union_merge")
+    assert(p88.contains("ReadSchema: struct<c_custkey:bigint>"), s"q88 scan not pruned to c_custkey:\n$p88")
+  }
+
   test("q45/q83 quantiles: every window sorts only sketch-banded candidates, never a raw group") {
     // the r4 verdict's two weak plans: a row_number window whose input
     // is an unfiltered scan funnels whole groups through single tasks.
