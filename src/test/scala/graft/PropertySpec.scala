@@ -165,6 +165,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sketch-seeded quantiles equal the full-sort definition on random tie-heavy inputs") {
+    import spark.implicits._
+    import graft.operators.Quantiles
+    val probs = Seq(0.25, 0.5, 0.75)
+    for (seed <- 0 until 3) {
+      val rnd = new Random(300 + seed)
+      // heavy ties (40 distinct values over 500 rows), uneven groups —
+      // all groups under SmallGroupLimit exercise the fallback band;
+      // the last iteration adds a 6000-row group for the sketch path
+      val base = (1 to 500).map(_ => (s"g${rnd.nextInt(4)}", rnd.nextInt(40).toDouble))
+      val rows = if (seed == 2) base ++ (1 to 6000).map(_ => ("big", rnd.nextInt(25).toDouble)) else base
+      val got = Quantiles
+        .exactDiscrete(rows.toDF("g", "v"), "g", "v", probs, Seq("p25", "p50", "p75"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      val expect = rows.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        val n = sorted.length
+        def q(p: Double) = sorted(math.floor(p * (n - 1)).toInt) // rank floor(p(n-1))+1, 0-indexed
+        g -> ((n.toLong, q(0.25), q(0.5), q(0.75)))
+      }
+      assert(got.keySet == expect.keySet, s"seed=$seed group sets differ")
+      expect.foreach { case (g, e) => assert(got(g) == e, s"seed=$seed group=$g: ${got(g)} vs $e") }
+    }
+  }
+
+  test("census alias derivation is format-independent and idempotent on random names") {
+    import spark.implicits._
+    import graft.etl.CensusAliases
+    val rnd = new Random(77)
+    val pairs = (1 to 60).map(_ => (1 + rnd.nextInt(9), 1 + rnd.nextInt(999))).distinct
+    val spellings = pairs.flatMap { case (t, c) =>
+      val cc = f"$c%03d"
+      Seq(s"P${t}_${cc}N", s"P00$t$cc", s"P00${t}0$cc").map(n => (t, cc, n))
+    }
+    val out = spellings
+      .toDF("t", "cc", "name")
+      .select(
+        col("t"),
+        col("cc"),
+        CensusAliases.alias2020(col("name")).as("a20"),
+        CensusAliases.alias2010Six(col("name")).as("a6"),
+        CensusAliases.alias2010Seven(col("name")).as("a7")
+      )
+      .collect()
+    out.foreach { r =>
+      val (t, cc) = (r.getInt(0), r.getString(1))
+      // whichever spelling we start from, the derived triple is identical
+      assert(r.getString(2) == s"P${t}_${cc}N", s"($t,$cc) alias_2020 ${r.getString(2)}")
+      assert(r.getString(3) == s"P00$t$cc", s"($t,$cc) alias_2010_6 ${r.getString(3)}")
+      assert(r.getString(4) == s"P00${t}0$cc", s"($t,$cc) alias_2010_7 ${r.getString(4)}")
+    }
+  }
+
   test("range join equals the naive reference on random inputs") {
     import spark.implicits._
     for (seed <- 0 until 4) {
