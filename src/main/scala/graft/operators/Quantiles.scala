@@ -40,8 +40,9 @@ import org.apache.spark.sql.functions._
   * with no non-null values emits no row. The bracket invariant
   * (below < k ≤ below + in-band) is checked by [[bracketViolations]]
   * (asserted in AnalyticsSpec at two SFs + edge groups); were it ever
-  * violated, the affected group would MISS from the output rather
-  * than carry a wrong value.
+  * violated, the affected (group, target) value would come out NULL
+  * — never a wrong value — and the group row would disappear only if
+  * every target's bracket failed.
   *
   * Reference: gerrydb-etl summarizes columns with pandas
   * `describe()`-style exact quantiles (tabular.py report path); this
@@ -92,17 +93,21 @@ object Quantiles {
       delta: Double = DefaultDelta
   ): DataFrame = {
     require(probs.nonEmpty && probs.size == outNames.size, "probs and outNames must align")
-    val refined = refineBands(clean(df, groupCol, valueCol), groupCol, valueCol, probs, accuracy, delta)
-    val g = col(groupCol)
-    val v = col(valueCol)
+    validate(probs, accuracy, delta)
+    require(
+      !((outNames :+ "n").contains(groupCol)) && outNames.distinct.size == outNames.size,
+      "output names (group, n, outNames) must be distinct"
+    )
+    val refined = refineBands(clean(df, groupCol, valueCol), probs, accuracy, delta)
     // selected row per (group, target): in-band rank == k - below
     val hit = refined.filter(col("rn") === targetRank(probs) - belowOf(probs.size))
     hit
-      .groupBy(g)
+      .groupBy(col(G))
       .agg(
         max(col("n")).as("n"),
-        outNames.zipWithIndex.map { case (nm, i) => min(when(col("t") === i, v)).as(nm) }: _*
+        outNames.zipWithIndex.map { case (nm, i) => min(when(col("t") === i, col(V))).as(nm) }: _*
       )
+      .withColumnRenamed(G, groupCol)
   }
 
   /** Largest refine-band size over all (group, target) pairs — the
@@ -120,7 +125,8 @@ object Quantiles {
       accuracy: Int = DefaultAccuracy,
       delta: Double = DefaultDelta
   ): Long = {
-    val meta = countsAndBands(clean(df, groupCol, valueCol), groupCol, valueCol, probs, accuracy, delta)
+    validate(probs, accuracy, delta)
+    val meta = countsAndBands(clean(df, groupCol, valueCol), probs, accuracy, delta)
     val widest =
       if (probs.size == 1) col("cand_0")
       else greatest(probs.indices.map(i => col(s"cand_$i")): _*)
@@ -140,7 +146,8 @@ object Quantiles {
       accuracy: Int = DefaultAccuracy,
       delta: Double = DefaultDelta
   ): Long = {
-    val meta = countsAndBands(clean(df, groupCol, valueCol), groupCol, valueCol, probs, accuracy, delta)
+    validate(probs, accuracy, delta)
+    val meta = countsAndBands(clean(df, groupCol, valueCol), probs, accuracy, delta)
     val k = probs.size
     val bad = (0 until k)
       .map { i =>
@@ -153,13 +160,36 @@ object Quantiles {
 
   // ---- shared internals ----------------------------------------------
 
-  /** Entry normalization: project to exactly (group, value) — callers
-    * may pass wide frames whose extra columns would collide with the
-    * internal n/rn/t/lo_i/... names at the meta join — and drop NULL
-    * values (see object doc: ranks are over the non-null population).
+  /** Reserved internal names for the (group, value) projection — the
+    * caller's own names are dropped at entry so they can never collide
+    * with the internal n/rn/t/lo_i/... columns at the meta join, even
+    * if the caller's group or value column is itself named `n` or `t`.
+    */
+  private val G = "__graft_q_g"
+  private val V = "__graft_q_v"
+
+  /** Fail fast on parameters that would silently void the bracket
+    * guarantee: the band half-width must exceed the sketch's rank
+    * error (delta > 1/accuracy, see [[DefaultDelta]]) and every probe
+    * must be a probability.
+    */
+  private def validate(probs: Seq[Double], accuracy: Int, delta: Double): Unit = {
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    require(
+      delta > 1.0 / accuracy,
+      s"delta ($delta) must exceed 1/accuracy (${1.0 / accuracy}) or the sketch band cannot bracket the exact rank"
+    )
+    require(probs.forall(p => p >= 0.0 && p <= 1.0), s"probs must lie in [0,1], got $probs")
+  }
+
+  /** Entry normalization: project to exactly (group, value) under the
+    * reserved [[G]]/[[V]] names — callers may pass wide frames whose
+    * columns would collide with the internal n/rn/t/lo_i/... names at
+    * the meta join — and drop NULL values (see object doc: ranks are
+    * over the non-null population).
     */
   private def clean(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
-    df.select(col(groupCol), col(valueCol)).filter(col(valueCol).isNotNull)
+    df.select(col(groupCol).as(G), col(valueCol).as(V)).filter(col(V).isNotNull)
 
   /** Pass 1: per-group approximate band edges [lo_i, hi_i] per target,
     * plus the exact group min/max (GK retains both; probes at p=0 and
@@ -167,18 +197,16 @@ object Quantiles {
     */
   private def bands(
       df: DataFrame,
-      groupCol: String,
-      valueCol: String,
       probs: Seq[Double],
       accuracy: Int,
       delta: Double
   ): DataFrame = {
     val probes = probs.flatMap(p => Seq(math.max(p - delta, 0.0), math.min(p + delta, 1.0))) ++ Seq(0.0, 1.0)
     val sketch = df
-      .groupBy(col(groupCol))
-      .agg(percentile_approx(col(valueCol), array(probes.map(lit): _*), lit(accuracy)).as("pb"))
+      .groupBy(col(G))
+      .agg(percentile_approx(col(V), array(probes.map(lit): _*), lit(accuracy)).as("pb"))
     sketch.select(
-      col(groupCol) +: (probs.indices.flatMap { i =>
+      col(G) +: (probs.indices.flatMap { i =>
         Seq(element_at(col("pb"), 2 * i + 1).as(s"lo_$i"), element_at(col("pb"), 2 * i + 2).as(s"hi_$i"))
       } ++ Seq(
         element_at(col("pb"), 2 * probs.size + 1).as("gmin"),
@@ -196,17 +224,15 @@ object Quantiles {
     */
   private def countsAndBands(
       df: DataFrame,
-      groupCol: String,
-      valueCol: String,
       probs: Seq[Double],
       accuracy: Int,
       delta: Double
   ): DataFrame = {
-    val g = col(groupCol)
-    val v = col(valueCol)
-    val bd = bands(df, groupCol, valueCol, probs, accuracy, delta).localCheckpoint()
+    val g = col(G)
+    val v = col(V)
+    val bd = bands(df, probs, accuracy, delta).localCheckpoint()
     val counts = df
-      .join(broadcast(bd), groupCol)
+      .join(broadcast(bd), G)
       .groupBy(g)
       .agg(
         count(lit(1)).as("n"),
@@ -219,7 +245,7 @@ object Quantiles {
       )
     val sketchSafe = col("n") >= SmallGroupLimit
     counts
-      .join(bd, Seq(groupCol))
+      .join(bd, Seq(G))
       .select(
         Seq(g, col("n")) ++ probs.indices.flatMap { i =>
           Seq(
@@ -237,25 +263,23 @@ object Quantiles {
     */
   private def refineBands(
       df: DataFrame,
-      groupCol: String,
-      valueCol: String,
       probs: Seq[Double],
       accuracy: Int,
       delta: Double
   ): DataFrame = {
-    val g = col(groupCol)
-    val v = col(valueCol)
+    val g = col(G)
+    val v = col(V)
     // meta is consumed exactly once (the broadcast build below) — no
     // checkpoint; the bands frame inside it IS checkpointed because
     // the sketch pass feeds both the counting agg and the meta join
-    val meta = countsAndBands(df, groupCol, valueCol, probs, accuracy, delta)
+    val meta = countsAndBands(df, probs, accuracy, delta)
     val inBandTargets = array(probs.indices.map { i =>
       when(v >= col(s"lo_$i") && v <= col(s"hi_$i"), lit(i)).otherwise(lit(-1))
     }: _*)
     val keep: Seq[Column] =
       Seq(g, v, col("n")) ++ probs.indices.map(i => col(s"below_$i")) :+
         explode(filter(inBandTargets, x => x >= 0)).as("t")
-    val cands = df.join(broadcast(meta), groupCol).select(keep: _*)
+    val cands = df.join(broadcast(meta), G).select(keep: _*)
     cands.withColumn("rn", row_number().over(Window.partitionBy(g, col("t")).orderBy(v)))
   }
 
