@@ -50,20 +50,23 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** GK sketch accuracy: rank error ≤ n/Accuracy (= ε·n, ε = 1e-4).
-    * Measured at sf0.1: accuracy 50000 cost ~0.4 s more per producer
-    * run than 10000 with no correctness benefit — the bracket bound
-    * below holds comfortably at 10000, and the final values are exact
-    * regardless (the sketch only PLACES the band).
+  /** GK sketch accuracy: rank error ≤ n/Accuracy (= ε·n, ε = 4e-4).
+    * Measured at sf0.1: the sketch pass costs ~0.7 s at accuracy
+    * 50000/10000 vs ~0.5 s at 2500 with no correctness benefit — the
+    * bracket guarantee needs only n·(delta − ε) ≥ 2, i.e. groups of
+    * ≥ 3334 rows at these defaults (SmallGroupLimit = 4096 covers the
+    * rest via the whole-group band), and the final values are exact
+    * regardless (the sketch only PLACES the band; a coarser sketch
+    * just widens the refine band to ≤ 2·(delta+ε)·n).
     */
-  val DefaultAccuracy = 10000
+  val DefaultAccuracy = 2500
 
   /** Half-width of the probability band around each target. The
     * bracket guarantee (Spark's documented percentile_approx rank
     * bound: floor((p−ε)n) ≤ rank ≤ ceil((p+ε)n), plus ≤ 1 rank of
     * slack between the sketch's p·n scale and the discrete target
     * floor(p·(n−1))+1) needs n·(delta−ε) ≥ 2 — i.e. groups of at
-    * least ~2300 rows at the defaults. Smaller groups take the
+    * least ~3334 rows at the defaults. Smaller groups take the
     * [gmin, gmax] fallback band below. The refine sort therefore never
     * sees more than max(~2·delta·n, SmallGroupLimit) rows per
     * (group, target).
@@ -71,8 +74,8 @@ object Quantiles {
   val DefaultDelta = 0.001
 
   /** Groups smaller than this use the whole group as the band: the
-    * sketch guarantee needs n·(delta−ε) ≥ 2 (≈ 2300 rows at the
-    * defaults; ~1.8× margin here), and a group this small IS a
+    * sketch guarantee needs n·(delta−ε) ≥ 2 (≈ 3334 rows at the
+    * defaults; ~1.2× margin here), and a group this small IS a
     * bounded band — one task sorting ≤ 4096 rows.
     */
   val SmallGroupLimit = 4096L

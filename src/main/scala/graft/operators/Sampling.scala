@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic per-group top-k-by-hash sampling.
+  *
+  * Semantics: for each group, the k rows with the smallest
+  * (md5-prefix, id) — a uniform, reproducible k-sample (the md5 coin
+  * of q44/q70, so re-running selects the same rows, across engines).
+  *
+  * The naive plan — `row_number()` over a per-group window — funnels
+  * EVERY row of a group through one task's sort; with a handful of
+  * groups over 100 TB that is the q45 scale-killer again. This
+  * operator keeps the answer EXACTLY equal to the naive definition
+  * while sorting only a bounded survivor set:
+  *
+  *   1. COUNT: one aggregate → n_g per group (broadcast back).
+  *   2. GATE: keep rows whose 32-bit hash prefix falls under
+  *      ceil(oversample·k·2³²/n_g) — expected oversample·k survivors
+  *      per group; groups with n_g ≤ oversample·k skip the gate
+  *      entirely (sentinel "g" sorts after every hex digit). The gate
+  *      is a scan-side comparison of the md5 prefix against a
+  *      PRE-RENDERED hex literal — the same lexicographic-hex trick
+  *      as q44, portable to any engine.
+  *   3. SELECT: rank the survivors per group; the top-k of the
+  *      survivors IS the top-k of the group whenever the group kept
+  *      at least k survivors (the gate keeps a hash-PREFIX of the
+  *      group's order, so no selected row can be lost).
+  *
+  * The gate-keeps-≥k invariant is probabilistic (P[Binomial(n, 4k/n)
+  * < k] < 10⁻¹⁰ at the defaults) but VERIFIABLE: [[underflowGroups]]
+  * counts violating groups — asserted zero in CI at two SFs, and a
+  * production run can gate on it exactly like Quantiles'
+  * bracketViolations. On violation the affected group returns fewer
+  * than k rows (never wrong rows).
+  */
+object Sampling {
+
+  /** Survivor budget multiplier: the gate targets oversample·k
+    * expected survivors per group. 4 puts the underflow probability
+    * (Chernoff: exp(-(3/4)²·4k/2) ≈ e⁻¹¹ at k=10) below any practical
+    * concern while the sorted set stays tiny.
+    */
+  val DefaultOversample = 4
+
+  private val TwoTo32 = 4294967296L
+
+  /** Hex-rendered gate threshold per group, given the group-count
+    * column: ceil-free integer division (the +n_g-1 makes the
+    * expected-survivor bound conservative), or the keep-all sentinel
+    * when the whole group fits in the survivor budget.
+    */
+  private def gateHex(nG: Column, k: Int, oversample: Int): Column = {
+    val budget = lit(k.toLong * oversample)
+    when(nG <= budget, lit("g"))
+      .otherwise(lower(format_string("%08x", (budget * TwoTo32 + nG - 1) / nG)))
+  }
+
+  /** The k-per-group sample: (group, id, h, rank), rank 1..k by
+    * (md5-prefix, id). `hashCol` is the column the md5 coin hashes —
+    * the row's content key (hash the CONTENT, not the id, so two
+    * ingests of the same corpus with different id assignments still
+    * sample the same rows).
+    */
+  def topKByHash(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      hashCol: String,
+      k: Int,
+      oversample: Int = DefaultOversample
+  ): DataFrame = {
+    require(k > 0 && oversample > 0, s"k and oversample must be positive, got k=$k oversample=$oversample")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n_g"))
+    val gates = counts.select(col(groupCol), gateHex(col("__n_g"), k, oversample).as("__thr"))
+    val survivors = df
+      .select(col(groupCol), col(idCol), substring(md5(col(hashCol)), 1, 8).as("h"))
+      .join(broadcast(gates), groupCol)
+      .filter(col("h") < col("__thr"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"), col(idCol))
+    survivors
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col(idCol), col("h"), col("rank"))
+  }
+
+  /** Groups whose gate kept fewer than min(k, n_g) survivors — the
+    * sample-completeness invariant. 0 by the Chernoff bound; asserted
+    * in CI so a gate regression (or a pathological corpus) fails a
+    * spec, not a silent short sample.
+    */
+  def underflowGroups(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      hashCol: String,
+      k: Int,
+      oversample: Int = DefaultOversample
+  ): Long = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n_g"))
+    val gates = counts.select(col(groupCol), col("__n_g"), gateHex(col("__n_g"), k, oversample).as("__thr"))
+    df.select(col(groupCol), substring(md5(col(hashCol)), 1, 8).as("h"))
+      .join(broadcast(gates), groupCol)
+      .filter(col("h") < col("__thr"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("kept"), first(col("__n_g")).as("n_g"))
+      .filter(col("kept") < least(lit(k.toLong), col("n_g")))
+      .count()
+  }
+}

@@ -310,6 +310,44 @@ object AnalyticsQueries {
               |) AS (col_name, n_rows, n_null, n_distinct)""".stripMargin
           )
         )
+    },
+
+    // q96: PSI distribution-drift monitor — the data-quality gate a
+    // continuously-refreshed training corpus runs between vintages:
+    // bucket a measure into fixed-width bins, compare two periods'
+    // bucket shares with the population stability index contribution
+    // per bucket (add-one smoothed, so a bucket present in only one
+    // period contributes a finite term instead of ln(0)). One
+    // bucket-keyed aggregate + a 1-row broadcast total — the 100 TB
+    // plan is the same two exchanges.
+    "q96_psi_drift" -> { (s, dir) =>
+      val o = Tables
+        .orders(s, dir)
+        .filter(year(col("o_orderdate")).isin(PsiYearA, PsiYearB))
+        .select(
+          year(col("o_orderdate")).as("yr"),
+          floor(col("o_totalprice") / PsiBucketWidth).cast("long").as("bucket")
+        )
+      val binned = o
+        .groupBy(col("bucket"))
+        .agg(
+          sum(when(col("yr") === PsiYearA, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("yr") === PsiYearB, 1L).otherwise(0L)).as("n_b")
+        )
+        .localCheckpoint() // bucket-cardinality rows; feeds totals + final
+      val tot = binned.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"), count(lit(1)).as("k"))
+      val pA = (col("n_a") + lit(1.0)) / (col("tot_a") + col("k"))
+      val pB = (col("n_b") + lit(1.0)) / (col("tot_b") + col("k"))
+      binned
+        .crossJoin(broadcast(tot))
+        .select(
+          col("bucket"),
+          col("n_a"),
+          col("n_b"),
+          round(pA, 6).as("p_a"),
+          round(pB, 6).as("p_b"),
+          round((pA - pB) * log(pA / pB), 6).as("contrib")
+        )
     }
   )
 
@@ -319,6 +357,11 @@ object AnalyticsQueries {
   /** q45/q83: quartile targets and their output column names. */
   val QuantileProbs: Seq[Double] = Seq(0.25, 0.5, 0.75)
   val QuantileNames: Seq[String] = Seq("p25", "p50", "p75")
+
+  /** q96: drift-compared vintages and the fixed price-bin width. */
+  val PsiYearA = 1995
+  val PsiYearB = 1996
+  val PsiBucketWidth = 50000.0
 
   def oracle: Map[String, String] = Map(
     "q42_asof_join" ->
@@ -460,6 +503,22 @@ object AnalyticsQueries {
         |       count(DISTINCT o_orderpriority) FROM orders
         |UNION ALL
         |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
-        |       count(DISTINCT o_custkey) FROM orders""".stripMargin
+        |       count(DISTINCT o_custkey) FROM orders""".stripMargin,
+    "q96_psi_drift" ->
+      s"""WITH o AS (SELECT year(o_orderdate) AS yr,
+         |                  CAST(floor(o_totalprice / $PsiBucketWidth) AS BIGINT) AS bucket
+         |           FROM orders WHERE year(o_orderdate) IN ($PsiYearA, $PsiYearB)),
+         |b AS (SELECT bucket,
+         |             CAST(sum(CASE WHEN yr = $PsiYearA THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |             CAST(sum(CASE WHEN yr = $PsiYearB THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |      FROM o GROUP BY bucket),
+         |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a, CAST(sum(n_b) AS BIGINT) AS tot_b,
+         |             count(*) AS k FROM b)
+         |SELECT bucket, n_a, n_b,
+         |       round((n_a + 1.0) / (tot_a + k), 6) AS p_a,
+         |       round((n_b + 1.0) / (tot_b + k), 6) AS p_b,
+         |       round(((n_a + 1.0) / (tot_a + k) - (n_b + 1.0) / (tot_b + k))
+         |             * ln(((n_a + 1.0) / (tot_a + k)) / ((n_b + 1.0) / (tot_b + k))), 6) AS contrib
+         |FROM b CROSS JOIN t""".stripMargin
   )
 }

@@ -266,11 +266,55 @@ object DedupSimQueries {
       )
       sigmatchEstimate(cands, sigs, "new_doc", "index_doc")
         .filter(col("n_match") * 2 >= NumPerms)
+    },
+
+    // q89: segment-level exact dedup (RefinedWeb line-dedup shape) —
+    // every distinct 10-word segment keeps only its corpus-wide first
+    // occurrence; per-doc survival report + digest of the reassembled
+    // text. Winner election is one md5-keyed aggregate (min struct,
+    // map-side combinable), reassembly a doc-bounded aggregate — no
+    // unbounded window, no second pass over bodies.
+    "q89_segment_dedup" -> { (s, dir) =>
+      Dedup.segmentDedup(Tables.documents(s, dir), "doc_id", "text", SegWords)
+    },
+
+    // q90: proper-prefix containment pairs (truncated re-crawls).
+    // Blocked on the first 16 chars — an equi-join that provably
+    // keeps every prefix pair among length>=16 docs — then one
+    // startsWith verify. Never an all-pairs comparison.
+    "q90_prefix_containment" -> { (s, dir) =>
+      Dedup.prefixContainmentPairs(Tables.documents(s, dir), "doc_id", "text", PrefixBlockChars)
+    },
+
+    // q95: edit-distance near-dup verify — the integer shared-shingle
+    // gate (>= 10 common capped trigrams) runs before any O(len²)
+    // Levenshtein, so only already-suspicious pairs pay the expensive
+    // metric; the distance test itself is integer-only (4·dist <=
+    // max_len, i.e. within 25% of the longer text).
+    "q95_editdist_neardup" -> { (s, dir) =>
+      Dedup.editDistNearDups(
+        Tables.documents(s, dir),
+        shingles3(s, dir),
+        "doc_id",
+        "text",
+        EditMinSharedShingles,
+        EditDistDenom
+      )
     }
   )
 
   val SigIndexTable = "graft_sig_index"
   val SigIndexBuckets = 8
+
+  // q89: fixed segment width (words) for segment-level dedup.
+  val SegWords = 10
+  // q90: prefix-containment block width (chars); docs shorter than
+  // this are out of contract.
+  val PrefixBlockChars = 16
+  // q95: shared-shingle gate and the edit-distance denominator
+  // (dist*denom <= max_len, denom=4 -> within 25%).
+  val EditMinSharedShingles = 10
+  val EditDistDenom = 4
 
   val KnnK = 3
 
@@ -498,6 +542,43 @@ object DedupSimQueries {
        |FROM m WHERE n_match * 2 >= $NumPerms""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q89_segment_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}') AS w FROM documents),
+         |base AS (SELECT doc_id, CAST(ceil(len(w) / $SegWords.0) AS BIGINT) AS n_segs, w FROM w),
+         |idx AS (SELECT doc_id, w, unnest(range(0, CAST(ceil(len(w) / $SegWords.0) AS BIGINT))) AS i FROM base),
+         |segs AS (SELECT doc_id, i AS seg_idx,
+         |                array_to_string(list_slice(w, CAST(i AS INT) * $SegWords + 1,
+         |                                              CAST(i AS INT) * $SegWords + $SegWords), ' ') AS seg
+         |         FROM idx),
+         |win AS (SELECT doc_id, seg_idx, seg,
+         |               row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+         |        FROM segs),
+         |kept AS (SELECT doc_id, count(*) AS n_kept,
+         |                md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS kept_md5
+         |         FROM win WHERE rn = 1 GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_segs,
+         |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |       coalesce(k.kept_md5, md5('')) AS kept_md5
+         |FROM base b LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    "q90_prefix_containment" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= $PrefixBlockChars)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(len(a.text) AS BIGINT) AS a_len, CAST(len(b.text) AS BIGINT) AS b_len
+         |FROM d a JOIN d b
+         |  ON substr(a.text, 1, $PrefixBlockChars) = substr(b.text, 1, $PrefixBlockChars)
+         | AND len(b.text) > len(a.text)
+         | AND starts_with(b.text, a.text)""".stripMargin,
+    "q95_editdist_neardup" ->
+      s"""WITH $shingleCtes,
+         |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |cand AS (SELECT * FROM pairs WHERE inter >= $EditMinSharedShingles)
+         |SELECT doc_a, doc_b, inter,
+         |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+         |FROM cand JOIN documents da ON da.doc_id = doc_a
+         |          JOIN documents db ON db.doc_id = doc_b
+         |WHERE levenshtein(da.text, db.text) * $EditDistDenom <= greatest(len(da.text), len(db.text))""".stripMargin,
     "q85_incremental_dedup" -> q85Sql,
     // identical semantics to q85 — the bucketed index changes the
     // physical plan, never the candidate set

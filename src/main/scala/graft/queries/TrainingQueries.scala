@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Sampling
 import graft.sources.Tables
 import graft.text.TextFunctions
 
@@ -38,6 +39,15 @@ object TrainingQueries {
   // q78: exact heavy hitters — tokens with share >= 1/HeavyHitterDenom
   // of all occurrences (threshold compared in integers: no fp boundary).
   val HeavyHitterDenom = 500
+  // q91: sample size per source (survivor gate = 4x this, see Sampling).
+  val SampleK = 10
+  // q92: PMI collocations — min pair count and global top-k size.
+  val PmiMinCount = 5
+  val PmiTopK = 50
+  // q94: temperature-scaled mixing — weight ∝ n^alpha, rendered as
+  // target doc counts against a fixed budget.
+  val MixAlpha = 0.3
+  val MixBudget = 10000L
 
   /** Deterministic PII injection: every 3rd doc gets an email, every
     * 5th a phone number, appended to the text. Public so TrainingSpec
@@ -410,6 +420,130 @@ object TrainingQueries {
           // unrounded exact-int division (see q78's share note)
           (col("n_docs").cast("double") / col("src_docs")).as("frac")
         )
+    },
+
+    // q91: deterministic k-per-source sample — the naive per-group
+    // row_number window funnels whole groups through single tasks at
+    // 100 TB; Sampling.topKByHash gates the scan with a broadcast
+    // count-derived hash threshold first, so the one window sorts only
+    // ~oversample·k survivors per group while the answer stays
+    // EXACTLY the naive definition (completeness invariant asserted in
+    // TrainingSpec, q45-bracket style).
+    "q91_group_sample" -> { (s, dir) =>
+      Sampling.topKByHash(Tables.documents(s, dir), "source", "doc_id", "text", SampleK)
+    },
+
+    // q92: PMI collocations — pointwise mutual information of adjacent
+    // token pairs vs their unigram independence baseline, min-count
+    // gated, global top-k via orderBy+limit (= distributed
+    // TakeOrdered, never a global window). The corpus-level totals
+    // ride in as 1-row broadcast joins. Ordering is on the ROUNDED
+    // pmi with a (w1, w2) tiebreak, so the cross-engine sort cannot
+    // disagree inside an ulp.
+    "q92_pmi_collocations" -> { (s, dir) =>
+      val toks = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("t"))
+      val uni = toks
+        .select(explode(col("t")).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_w"))
+        .localCheckpoint() // feeds both totals and two join probes
+      val uniTot = uni.agg(sum(col("n_w")).as("n_toks"))
+      val bg = toks
+        .filter(size(col("t")) >= 2)
+        .select(col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(try_element_at(col("t"), col("i")).as("w1"), try_element_at(col("t"), col("i") + 1).as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= PmiMinCount)
+      val bgTot = toks
+        .filter(size(col("t")) >= 2)
+        .agg(sum(size(col("t")) - 1).as("n_bigrams"))
+      // no broadcast hint on the vocab joins: a real corpus's unigram
+      // table is not broadcast-safe; AQE upgrades small sides itself
+      bg.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_w1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_w2"), "w2")
+        .crossJoin(broadcast(uniTot))
+        .crossJoin(broadcast(bgTot))
+        .select(
+          col("w1"),
+          col("w2"),
+          col("n_ab"),
+          // bounded factors: each ratio stays near 1/vocab..n, no
+          // long-overflow n_ab·T² intermediate
+          round(
+            log2(
+              (col("n_ab").cast("double") / col("n_bigrams"))
+                * (col("n_toks").cast("double") / col("n_w1"))
+                * (col("n_toks").cast("double") / col("n_w2"))
+            ),
+            4
+          ).as("pmi")
+        )
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+        .limit(PmiTopK)
+    },
+
+    // q93: bigram-LM document scoring — the perplexity-style quality
+    // filter: score every document by the mean log2 probability of its
+    // bigrams under the corpus's own MLE bigram model (q49's counts).
+    // Model tables are corpus-bounded aggregates; scoring is two
+    // equi-joins + one per-doc aggregate. Every bigram appears in the
+    // model by construction (trained on the same corpus), so no
+    // smoothing branch.
+    "q93_bigram_lm_score" -> { (s, dir) =>
+      val toks = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("t"))
+      val events = toks
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(
+          col("doc_id"),
+          try_element_at(col("t"), col("i")).as("w1"),
+          try_element_at(col("t"), col("i") + 1).as("w2")
+        )
+      val counts = events.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      val prefix = counts.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
+      events
+        .join(counts, Seq("w1", "w2"))
+        .join(prefix, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(avg(log2(col("n_ab").cast("double") / col("n_a"))), 4).as("lm_score")
+        )
+    },
+
+    // q94: temperature-scaled source mixing — sampling weights
+    // proportional to n^alpha (alpha < 1 upweights small sources, the
+    // standard multilingual/multi-domain rebalancing), rendered as
+    // per-source target document counts for a fixed budget. One
+    // aggregate + a 1-row broadcast denominator.
+    "q94_temperature_mix" -> { (s, dir) =>
+      val counts = Tables
+        .documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint() // 1 row per source; feeds denominator + final
+      val denom = counts.agg(sum(pow(col("n_docs"), MixAlpha)).as("z"))
+      counts
+        .crossJoin(broadcast(denom))
+        // target_docs derives from the ROUNDED weight, not the raw
+        // pow/z ratio: libm pow differs across engines in the last
+        // ulp, and a symmetric corpus (equal sources) puts
+        // budget·weight exactly ON an integer, where floor(±ulp)
+        // flips. Rounding first makes both engines compute from the
+        // bit-identical double; round (not floor) absorbs the
+        // residual representation error.
+        .withColumn("weight", round(pow(col("n_docs"), MixAlpha) / col("z"), 6))
+        .select(
+          col("source"),
+          col("n_docs"),
+          col("weight"),
+          round(lit(MixBudget) * col("weight")).cast("long").as("target_docs")
+        )
     }
   )
 
@@ -578,6 +712,53 @@ object TrainingQueries {
          |t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs FROM b GROUP BY 1)
          |SELECT source, split, n_docs, n_tokens,
          |       CAST(n_docs AS DOUBLE) / src_docs AS frac
-         |FROM b JOIN t USING (source)""".stripMargin
+         |FROM b JOIN t USING (source)""".stripMargin,
+    // the oracle keeps the NAIVE whole-group window definition — the
+    // Spark plan's survivor gate must be invisible in the result
+    "q91_group_sample" ->
+      s"""WITH h AS (SELECT source, doc_id, substring(md5(text), 1, 8) AS h FROM documents),
+         |r AS (SELECT source, doc_id, h,
+         |             CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rank
+         |      FROM h)
+         |SELECT source, doc_id, h, rank FROM r WHERE rank <= $SampleK""".stripMargin,
+    "q92_pmi_collocations" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         |uni AS (SELECT unnest(t) AS w FROM toks),
+         |un AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+         |ut AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_toks FROM un),
+         |bg AS (SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+         |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+         |bc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2 HAVING count(*) >= $PmiMinCount),
+         |bt AS (SELECT CAST(sum(len(t) - 1) AS BIGINT) AS n_bigrams FROM toks WHERE len(t) >= 2)
+         |SELECT w1, w2, n_ab,
+         |       round(log2((CAST(n_ab AS DOUBLE) / n_bigrams)
+         |                  * (CAST(n_toks AS DOUBLE) / u1.n_w)
+         |                  * (CAST(n_toks AS DOUBLE) / u2.n_w)), 4) AS pmi
+         |FROM bc
+         |JOIN un u1 ON u1.w = bc.w1
+         |JOIN un u2 ON u2.w = bc.w2
+         |CROSS JOIN ut CROSS JOIN bt
+         |ORDER BY pmi DESC, w1 ASC, w2 ASC
+         |LIMIT $PmiTopK""".stripMargin,
+    "q93_bigram_lm_score" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |ev AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+        |c AS (SELECT w1, w2, count(*) AS n_ab FROM ev GROUP BY w1, w2),
+        |p AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a FROM c GROUP BY w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(log2(CAST(n_ab AS DOUBLE) / n_a)), 4) AS lm_score
+        |FROM ev JOIN c USING (w1, w2) JOIN p USING (w1)
+        |GROUP BY doc_id""".stripMargin,
+    // target_docs from the ROUNDED weight (see the Spark comment: libm
+    // pow ulp + a symmetric corpus = floor on an integer boundary)
+    "q94_temperature_mix" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |z AS (SELECT sum(pow(n_docs, $MixAlpha)) AS z FROM c),
+         |w AS (SELECT source, n_docs, round(pow(n_docs, $MixAlpha) / z, 6) AS weight
+         |      FROM c CROSS JOIN z)
+         |SELECT source, n_docs, weight,
+         |       CAST(round($MixBudget * weight) AS BIGINT) AS target_docs
+         |FROM w""".stripMargin
   )
 }

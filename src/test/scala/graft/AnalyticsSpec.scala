@@ -229,4 +229,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(v.map(_.getInt(2).toLong).toSeq == (1L to v.length).toSeq)
     assert(v.forall(_.getLong(1) >= 20))
   }
+
+  test("q96: PSI buckets cover both vintages exactly and the index is non-negative") {
+    import graft.queries.AnalyticsQueries.{PsiYearA, PsiYearB}
+    val out = SparkEntry.queries("q96_psi_drift")(spark, sf).cache()
+    val orders = graft.sources.Tables.orders(spark, sf)
+    def yearCount(y: Int): Long = orders.filter(year(col("o_orderdate")) === y).count()
+    assert(out.agg(sum(col("n_a"))).head.getLong(0) == yearCount(PsiYearA), "vintage A mass lost")
+    assert(out.agg(sum(col("n_b"))).head.getLong(0) == yearCount(PsiYearB), "vintage B mass lost")
+    // every per-bucket contribution is non-negative ((p-q) and
+    // ln(p/q) always share sign), hence so is the PSI total
+    assert(out.filter(col("contrib") < 0.0).count() == 0, "negative PSI contribution")
+    // smoothed shares are proper distributions (up to rounding)
+    val (pa, pb) = (
+      out.agg(sum(col("p_a"))).head.getDouble(0),
+      out.agg(sum(col("p_b"))).head.getDouble(0)
+    )
+    // add-one smoothing reserves mass for unseen buckets, so sums sit
+    // at (tot + seen)/(tot + seen) == 1 when every bucket is seen in
+    // either vintage — which fixed-width binning over a shared price
+    // domain gives us here
+    assert(math.abs(pa - 1.0) < 1e-3 && math.abs(pb - 1.0) < 1e-3, s"shares sum to ($pa, $pb)")
+    out.unpersist()
+  }
 }

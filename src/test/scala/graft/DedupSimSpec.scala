@@ -187,4 +187,83 @@ class DedupSimSpec extends AnyFunSuite {
     assert(meta.bucketSpec.exists(_.numBuckets == 4), "append changed the bucket layout")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("q89: segment dedup keeps exactly the first occurrence of every distinct segment") {
+    import graft.dedup.Dedup
+    import graft.queries.DedupSimQueries.SegWords
+    import spark.implicits._
+    // hand-built corpus: doc 1 is original; doc 2 repeats doc 1's
+    // first segment then adds a new one; doc 3 is a full copy of doc 1
+    // (every segment lost -> must still be reported, with n_kept = 0)
+    val seg1 = (1 to SegWords).map(i => s"a$i").mkString(" ")
+    val seg2 = (1 to SegWords).map(i => s"b$i").mkString(" ")
+    val seg3 = (1 to 3).map(i => s"c$i").mkString(" ") // short tail segment
+    val docs = Seq(
+      (1L, s"$seg1 $seg2"),
+      (2L, s"$seg1 $seg3"),
+      (3L, s"$seg1 $seg2")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .segmentDedup(docs, "doc_id", "text", SegWords)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((2L, 2L, hex(s"$seg1 $seg2"))), "original doc must keep everything")
+    assert(out(2L) == ((2L, 1L, hex(seg3))), "repeated head segment must drop, new tail must survive")
+    assert(out(3L) == ((2L, 0L, hex(""))), "full duplicate must report n_kept = 0, not vanish")
+    // corpus check at sf: survivors never exceed totals, digests are total
+    val corpus = SparkEntry.queries("q89_segment_dedup")(spark, sf).collect()
+    assert(corpus.forall(r => r.getLong(2) <= r.getLong(1)), "kept > total segments")
+    assert(corpus.forall(r => r.getString(3).length == 32), "digest missing")
+  }
+
+  test("q90: every reported pair is a strict prefix containment, and a planted pair is found") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (3L, "alpha beta gamma DIFFERENT tail here"),
+      (4L, "short") // under the 16-char contract, excluded
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .prefixContainmentPairs(docs, "doc_id", "text", graft.queries.DedupSimQueries.PrefixBlockChars)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == Set((1L, 2L)), s"expected exactly the planted truncation pair, got $got")
+    // corpus: verify the containment property on the real output
+    val corpus = SparkEntry.queries("q90_prefix_containment")(spark, sf)
+    val texts = graft.sources.Tables
+      .documents(spark, sf)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    corpus.collect().foreach { r =>
+      val (a, b) = (texts(r.getLong(0)), texts(r.getLong(1)))
+      assert(b.startsWith(a) && b.length > a.length, s"pair (${r.getLong(0)}, ${r.getLong(1)}) is not a strict prefix")
+    }
+  }
+
+  test("q95: edit-distance pairs respect the gate and the relative-distance contract") {
+    import graft.queries.DedupSimQueries.{EditDistDenom, EditMinSharedShingles}
+    val rows = SparkEntry.queries("q95_editdist_neardup")(spark, sf).collect()
+    assert(rows.nonEmpty, "the near-dup corpus must produce edit-distance pairs")
+    val texts = graft.sources.Tables
+      .documents(spark, sf)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    rows.foreach { r =>
+      val (a, b, inter, dist) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(a < b, "pair ordering violated")
+      assert(inter >= EditMinSharedShingles, "gate violated")
+      val maxLen = math.max(texts(a).length, texts(b).length)
+      assert(dist * EditDistDenom <= maxLen, s"distance contract violated for ($a, $b)")
+    }
+  }
 }

@@ -185,7 +185,23 @@ class PlanSpec extends AnyFunSuite {
     "q85_incremental_dedup" -> 1,
     "q86_census_aliases" -> 0,
     "q87_bucketed_index_dedup" -> 1,
-    "q88_geo_union_merge" -> 1
+    "q88_geo_union_merge" -> 1,
+    // q89: winner election (seg_key agg) + per-doc reassembly agg; the
+    // doc_id join rides the reassembly's partitioning
+    "q89_segment_dedup" -> 2,
+    // q90: the 16-char-prefix block join broadcasts at test scale; at
+    // corpus scale it becomes one sort-merge exchange pair — blocked
+    // equi-join either way, never all-pairs
+    "q90_prefix_containment" -> 0,
+    // q91: group-count aggregate + the survivor-only rank window
+    "q91_group_sample" -> 2,
+    "q92_pmi_collocations" -> 3,
+    "q93_bigram_lm_score" -> 4,
+    "q94_temperature_mix" -> 1,
+    // q95: pair generation reuses the checkpointed shingle frame; the
+    // Levenshtein verify joins broadcast at test scale
+    "q95_editdist_neardup" -> 1,
+    "q96_psi_drift" -> 1
   )
 
   test("no operator exceeds its shuffle budget") {

@@ -225,4 +225,73 @@ class TrainingSpec extends AnyFunSuite {
     assert(rate < 0.5, s"corpus OOV rate $rate >= 0.5 — vocabulary not covering the head")
     out.unpersist()
   }
+
+  test("q91: gated sample equals the naive whole-group window at two SFs, gate never underflows") {
+    import graft.operators.Sampling
+    import graft.queries.TrainingQueries.SampleK
+    import org.apache.spark.sql.expressions.Window
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val docs = graft.sources.Tables.documents(spark, dir)
+      // the completeness invariant the survivor gate rests on
+      assert(
+        Sampling.underflowGroups(docs, "source", "doc_id", "text", SampleK) == 0,
+        s"sample gate underflow at $dir"
+      )
+      val got = SparkEntry.queries("q91_group_sample")(spark, dir)
+      val naive = docs
+        .select(col("source"), col("doc_id"), substring(md5(col("text")), 1, 8).as("h"))
+        .withColumn(
+          "rank",
+          row_number().over(Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))).cast("long")
+        )
+        .filter(col("rank") <= SampleK)
+      assert(
+        got.except(naive).isEmpty && naive.except(got).isEmpty,
+        s"gated sample diverges from the naive definition at $dir"
+      )
+    }
+  }
+
+  test("q92: collocations respect the count floor and PMI beats independence for repeated pairs") {
+    val out = SparkEntry.queries("q92_pmi_collocations")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= graft.queries.TrainingQueries.PmiTopK)
+    assert(out.forall(_.getLong(2) >= graft.queries.TrainingQueries.PmiMinCount), "count floor violated")
+    // sorted by (pmi desc, w1, w2)
+    val keys = out.map(r => (-r.getDouble(3), r.getString(0), r.getString(1))).toSeq
+    assert(keys == keys.sorted, "top-k not in (pmi, w1, w2) order")
+  }
+
+  test("q93: LM scores are non-positive (MLE log-probs) and bigram counts match the token stream") {
+    val out = SparkEntry.queries("q93_bigram_lm_score")(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("lm_score") > 0.0).count() == 0, "a log2 probability exceeded 0")
+    // sum of per-doc bigram events == corpus bigram total
+    val totalFromDocs = out.agg(sum(col("n_bigrams"))).head.getLong(0)
+    val expected = graft.sources.Tables
+      .documents(spark, sf)
+      .select(expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))").as("n"))
+      .filter(col("n") >= 2)
+      .agg(sum(col("n") - 1))
+      .head
+      .getLong(0)
+    assert(totalFromDocs == expected, s"bigram mass mismatch: $totalFromDocs vs $expected")
+    out.unpersist()
+  }
+
+  test("q94: temperature weights sum to 1 and upweight small sources relative to their share") {
+    val out = SparkEntry.queries("q94_temperature_mix")(spark, sf).cache()
+    val wSum = out.agg(sum(col("weight"))).head.getDouble(0)
+    assert(math.abs(wSum - 1.0) < 1e-3, s"weights sum to $wSum")
+    // alpha < 1 compresses: every source's weight must sit between its
+    // raw share and the uniform share (inclusive up to rounding)
+    val n = out.agg(sum(col("n_docs"))).head.getLong(0).toDouble
+    val k = out.count().toDouble
+    out.collect().foreach { r =>
+      val share = r.getLong(1) / n
+      val w = r.getDouble(2)
+      val (lo, hi) = (math.min(share, 1.0 / k) - 1e-6, math.max(share, 1.0 / k) + 1e-6)
+      assert(w >= lo && w <= hi, s"source ${r.getString(0)}: weight $w outside [$lo, $hi]")
+    }
+    out.unpersist()
+  }
 }
