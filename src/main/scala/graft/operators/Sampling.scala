@@ -54,8 +54,16 @@ object Sampling {
     */
   private def gateHex(nG: Column, k: Int, oversample: Int): Column = {
     val budget = lit(k.toLong * oversample)
+    // floor-of-double, not SQL `/`: Spark's `/` on longs returns
+    // DOUBLE (format_string("%08x") then throws at runtime — and only
+    // for groups past the keep-all budget, so small fixtures never see
+    // it). floor can land one 2⁻³² step high for groups past ~2²⁰
+    // rows (quotient within an ulp of an integer); the gate is a
+    // survivor-budget heuristic, so a ±1 threshold step only nudges
+    // the expected survivor count — sample exactness rests on the
+    // survivors-≥-k invariant, not on the threshold value.
     when(nG <= budget, lit("g"))
-      .otherwise(lower(format_string("%08x", (budget * TwoTo32 + nG - 1) / nG)))
+      .otherwise(lower(format_string("%08x", floor((budget * TwoTo32 + nG - 1) / nG).cast("long"))))
   }
 
   /** The k-per-group sample: (group, id, h, rank), rank 1..k by

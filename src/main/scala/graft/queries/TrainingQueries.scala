@@ -39,8 +39,12 @@ object TrainingQueries {
   // q78: exact heavy hitters — tokens with share >= 1/HeavyHitterDenom
   // of all occurrences (threshold compared in integers: no fp boundary).
   val HeavyHitterDenom = 500
-  // q91: sample size per source (survivor gate = 4x this, see Sampling).
-  val SampleK = 10
+  // q91: sample size per source (survivor gate = 4x this, see
+  // Sampling). 5, not 10: sf0.01 has 25 docs/source, and k=5 puts the
+  // gate budget (20) UNDER the group size there, so CI exercises the
+  // real threshold branch, not just the keep-all sentinel (the branch
+  // a long/long-division type bug hid in until sf0.1).
+  val SampleK = 5
   // q92: PMI collocations — min pair count and global top-k size.
   val PmiMinCount = 5
   val PmiTopK = 50
