@@ -239,4 +239,72 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("segment dedup equals the brute-force first-occurrence reference on random corpora") {
+    import spark.implicits._
+    val segWords = 4 // small segments + tiny vocab force cross-doc collisions
+    for (seed <- 0 until 4) {
+      val rnd = new Random(300 + seed)
+      val vocab = Vector("aa", "bb", "cc")
+      val docs = (1L to 25L).map { id =>
+        val n = 1 + rnd.nextInt(13) // partial tail segments included
+        id -> (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // reference: global first occurrence by (doc_id, seg_idx)
+      val segs = docs.flatMap { case (id, text) =>
+        text.split(" ").grouped(segWords).zipWithIndex.map { case (ws, i) => (id, i.toLong, ws.mkString(" ")) }
+      }
+      val winners = segs.groupBy(_._3).map { case (_, occ) => occ.minBy(o => (o._1, o._2)) }.toSeq
+      val expect = docs.map { case (id, text) =>
+        val total = segs.count(_._1 == id).toLong
+        val kept = winners.filter(_._1 == id).sortBy(_._2)
+        id -> ((total, kept.length.toLong, md5Hex(kept.map(_._3).mkString(" "))))
+      }.toMap
+      val got = Dedup
+        .segmentDedup(docs.toDF("doc_id", "text"), "doc_id", "text", segWords)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("gated group sample equals the naive window across all gate branches on random inputs") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val k = 5
+    for (seed <- 0 until 4) {
+      val rnd = new Random(400 + seed)
+      // group sizes straddle every branch: under k, between k and the
+      // keep-all budget (4k), and far past it (real gate path)
+      val sizes = Seq(2, k, 3 * k, 40 * k, 200 + rnd.nextInt(200))
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (1 to n).map(i => (s"g$g", g * 100000L + i, s"content-$seed-$g-$i-${rnd.nextInt(1000)}"))
+      }
+      val df = rows.toDF("grp", "id", "payload")
+      assert(Sampling.underflowGroups(df, "grp", "id", "payload", k) == 0, s"seed=$seed underflow")
+      val got = Sampling
+        .topKByHash(df, "grp", "id", "payload", k)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val expect = rows
+        .map { case (g, id, payload) => (g, id, md5Hex(payload).take(8)) }
+        .groupBy(_._1)
+        .flatMap { case (_, members) =>
+          members.sortBy(m => (m._3, m._2)).take(k).zipWithIndex.map { case ((g, id, h), i) =>
+            (g, id, h, (i + 1).toLong)
+          }
+        }
+        .toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
 }

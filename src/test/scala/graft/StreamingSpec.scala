@@ -444,6 +444,57 @@ class StreamingSpec extends AnyFunSuite {
     batch.foreach { case (d, sig) => assert(streamed(d) == sig, s"signature differs for doc $d") }
   }
 
+  test("streaming segment-winner ingest matches batch winners (the q89 index maintenance path)") {
+    // the ingest job that keeps a segment-dedup index current: arriving
+    // documents explode to segments (no distinct — stream-safe) and the
+    // SAME min-struct aggregate the batch path uses maintains the
+    // first-occurrence winner per segment in update mode. A MIN only
+    // ever decreases, so the LAST update per key is the global winner
+    // regardless of arrival order or batch boundaries — streamed
+    // winners must equal the batch ones exactly.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    import graft.queries.DedupSimQueries.SegWords
+    val docs = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    val stream = MemoryStream[(Long, String)]
+    val winners = Dedup.segmentWinners(
+      Dedup.docSegments(stream.toDF().toDF("doc_id", "text"), "doc_id", "text", SegWords)
+    )
+    val query = winners.writeStream
+      .format("memory")
+      .queryName("segwin_stream")
+      .outputMode("update")
+      .start()
+    try {
+      // REVERSED doc order across three batches: the later-arriving
+      // smaller doc_id must overtake the earlier winner in state
+      docs.sortBy(-_._1).grouped(math.max(docs.size / 3, 1)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    // update mode appends one row per key per batch it changed in; the
+    // final winner per segment is the minimal (doc_id, seg_idx) update
+    val streamed = spark
+      .table("segwin_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._3)
+      .map { case (seg, rows) => seg -> rows.minBy(t => (t._1, t._2)) }
+    val batch = Dedup
+      .segmentWinners(Dedup.docSegments(Tables.documents(spark, sf), "doc_id", "text", SegWords))
+      .collect()
+      .map(r => r.getString(2) -> ((r.getLong(0), r.getLong(1), r.getString(2))))
+      .toMap
+    assert(streamed.keySet == batch.keySet, "segment sets differ")
+    batch.foreach { case (seg, w) => assert(streamed(seg) == w, s"winner differs for segment '$seg'") }
+  }
+
   test("stateful streaming sessionize reproduces batch q37 exactly") {
     implicit val sqlCtx = spark.sqlContext
     val rows = eventRows
