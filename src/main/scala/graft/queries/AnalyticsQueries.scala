@@ -252,6 +252,12 @@ object AnalyticsQueries {
     // at 100 TB; the oracle keeps the full-sort threshold definition —
     // same exact values.
     "q83_quantile_bucket" -> { (s, dir) =>
+      // localCheckpoint: 3 rows, but it moves the multi-stage producer
+      // OUT of the broadcast-exchange build (which would otherwise run
+      // the whole sketch→count→refine DAG single-threaded inside the
+      // broadcast timeout — measured 5.5 s → ~3 s at sf0.1, and at
+      // cluster scale a multi-stage DAG inside a broadcast build is a
+      // timeout hazard, not just slow)
       val thresholds = Quantiles
         .exactDiscrete(
           Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_extendedprice")),
@@ -261,6 +267,7 @@ object AnalyticsQueries {
           QuantileNames
         )
         .drop("n")
+        .localCheckpoint()
       Tables
         .lineitem(s, dir)
         .select(col("l_returnflag"), col("l_extendedprice"))

@@ -180,7 +180,9 @@ class PlanSpec extends AnyFunSuite {
     "q80_column_profile" -> 2,
     "q81_embed_quantize" -> 0,
     "q82_knn_join" -> 2,
-    "q83_quantile_bucket" -> 4,
+    // q83: the threshold producer is localCheckpointed out of the plan;
+    // what remains is scan + broadcast label + one aggregate shuffle
+    "q83_quantile_bucket" -> 1,
     "q84_dataset_split" -> 1,
     "q85_incremental_dedup" -> 1,
     "q86_census_aliases" -> 0,
@@ -231,8 +233,26 @@ class PlanSpec extends AnyFunSuite {
     // ±delta band, not the group). AQE off so the full tree renders.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      Seq("q45_quantile_disc", "q83_quantile_bucket").foreach { name =>
-        val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      // q83 localCheckpoints its 3-row threshold frame (so the producer
+      // DAG never runs inside a broadcast build); assert the producer's
+      // plan directly, it is the same Quantiles.exactDiscrete as q45's.
+      import org.apache.spark.sql.functions.col
+      val producerPlans = Seq(
+        "q45_quantile_disc" ->
+          SparkEntry.queries("q45_quantile_disc")(spark, sf).queryExecution.executedPlan,
+        "q83 threshold producer" ->
+          graft.operators.Quantiles
+            .exactDiscrete(
+              graft.sources.Tables.lineitem(spark, sf).select(col("l_returnflag"), col("l_extendedprice")),
+              "l_returnflag",
+              "l_extendedprice",
+              graft.queries.AnalyticsQueries.QuantileProbs,
+              graft.queries.AnalyticsQueries.QuantileNames
+            )
+            .queryExecution
+            .executedPlan
+      )
+      producerPlans.foreach { case (name, p) =>
         val windows = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
         assert(windows.nonEmpty, s"$name: expected the band-refinement window in the plan")
         windows.foreach { w =>
@@ -242,6 +262,15 @@ class PlanSpec extends AnyFunSuite {
           assert(hasBandJoin, s"$name: window input is not the banded candidate join:\n$w")
         }
       }
+      // ...and q83's OWN plan must be pure scan + broadcast label + agg:
+      // no window anywhere (the thresholds arrive pre-materialized).
+      val p83 = SparkEntry.queries("q83_quantile_bucket")(spark, sf).queryExecution.executedPlan
+      val w83 = p83.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(w83.isEmpty, s"q83: expected a window-free labeling plan over the checkpointed thresholds:\n$p83")
+      assert(
+        p83.collect { case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }.nonEmpty,
+        s"q83: thresholds not broadcast onto the scan:\n$p83"
+      )
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
