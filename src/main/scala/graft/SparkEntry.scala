@@ -33,7 +33,7 @@ object SparkEntry {
     }
   ) ++ RelationalQueries.queries ++ GeoTextQueries.queries ++ DedupSimQueries.queries ++
     EventsQueries.queries ++ MultimodalQueries.queries ++ AnalyticsQueries.queries ++
-    AuditQueries.queries ++ TrainingQueries.queries
+    AuditQueries.queries ++ TrainingQueries.queries ++ GraphQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -48,5 +48,5 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin
   ) ++ RelationalQueries.oracle ++ GeoTextQueries.oracle ++ DedupSimQueries.oracle ++
     EventsQueries.oracle ++ MultimodalQueries.oracle ++ AnalyticsQueries.oracle ++
-    AuditQueries.oracle ++ TrainingQueries.oracle
+    AuditQueries.oracle ++ TrainingQueries.oracle ++ GraphQueries.oracle
 }

@@ -59,6 +59,14 @@ object GraftFunctions {
       (children: Seq[Expression]) => SimHashAgg(children.head)
     ),
     (
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, s"graft_topk(key, id, k) takes 3 arguments, got ${children.size}")
+        TopKAgg(children.head, children(1), lit(children(2)))
+      }
+    ),
+    (
       FunctionIdentifier("graft_sigmatch"),
       new ExpressionInfo(classOf[SigMatch].getName, "graft_sigmatch"),
       (children: Seq[Expression]) => {
@@ -89,4 +97,7 @@ object GraftFunctions {
   def simhash(h: Column): Column = call_function("graft_simhash", h)
 
   def sigmatch(a: Column, b: Column): Column = call_function("graft_sigmatch", a, b)
+
+  def topk(key: Column, id: Column, k: Int): Column =
+    call_function("graft_topk", key, id, org.apache.spark.sql.functions.lit(k))
 }

@@ -94,6 +94,52 @@ object Sampling {
       .select(col(groupCol), col(idCol), col("h"), col("rank"))
   }
 
+  /** 2⁵² as a double — the md5 13-hex-digit prefix is 52 bits, so the
+    * uniform u = (v + 0.5) / 2⁵² is EXACT double arithmetic in any
+    * engine (no rounding before the ln).
+    */
+  val TwoTo52: Double = 4503599627370496.0
+
+  /** Deterministic WEIGHTED k-sample per group, without replacement —
+    * Efraimidis–Spirakis: each row draws u from the md5 coin and keys
+    * itself with -ln(u)/w; the k smallest keys per group are a sample
+    * where P(row selected) scales with its weight (quality- or
+    * length-proportional sampling, the training-data shape). Columns
+    * out: (groupCol, idCol, rank), rank 1..k ascending by key.
+    *
+    * Scale shape: NOT the per-group `row_number()` window (the q45
+    * scale-killer) and not even the gated window of [[topKByHash]] —
+    * the whole selection is ONE native bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]): O(k) state per group, map-side
+    * partial aggregation, one shuffle of k-sized heaps, no sort of
+    * any group anywhere. The md5-derived key makes the sample
+    * reproducible across engines and runs (the DuckDB oracle computes
+    * the identical key and window-ranks it — correct there, because
+    * the oracle only ever runs at test scale).
+    *
+    * Rows with weight ≤ 0 are excluded (they cannot be sampled: the
+    * E-S key is undefined).
+    */
+  def weightedTopK(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      hashCol: String,
+      weightCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val u = (conv(substring(md5(col(hashCol)), 1, 13), 16, 10).cast("long").cast("double") + lit(0.5)) / lit(TwoTo52)
+    val key = -log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol) > 0)
+      .select(col(groupCol), key.as("__k"), col(idCol).cast("long").as("__id"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.GraftFunctions.topk(col("__k"), col("__id"), k).as("__ids"))
+      .select(col(groupCol), posexplode(col("__ids")).as(Seq("__pos", idCol)))
+      .select(col(groupCol), col(idCol), (col("__pos") + 1).cast("long").as("rank"))
+  }
+
   /** Groups whose gate kept fewer than min(k, n_g) survivors — the
     * sample-completeness invariant. 0 by the Chernoff bound; asserted
     * in CI so a gate regression (or a pathological corpus) fails a

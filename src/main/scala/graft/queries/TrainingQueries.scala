@@ -548,6 +548,50 @@ object TrainingQueries {
           col("weight"),
           round(lit(MixBudget) * col("weight")).cast("long").as("target_docs")
         )
+    },
+
+    // q98: per-source token-distribution entropy + KL(source ‖ corpus)
+    // — the mixing diagnostic behind q94/q96: entropy says how
+    // self-repetitive a source is, KL says how far its vocabulary sits
+    // from the blended corpus (a spiking KL on a new crawl vintage is
+    // the drift alarm). One (source, token) count feeds ALL FOUR
+    // consumers via localCheckpoint; the corpus marginal re-aggregates
+    // those counts (vocab-sized, never re-reads documents); the final
+    // per-source reduce is one aggregate. round(,4) absorbs
+    // summation-order ulps exactly like q92/q93.
+    "q98_source_entropy" -> { (s, dir) =>
+      val tok = Tables
+        .documents(s, dir)
+        .select(col("source"), explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val srcTot = tok.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
+      val corpus = tok.groupBy(col("w")).agg(sum(col("n")).as("n_corp"))
+      val corpTot = tok.agg(sum(col("n")).as("n_all"))
+      val p = col("n").cast("double") / col("n_src")
+      val q = col("n_corp").cast("double") / col("n_all")
+      tok
+        .join(corpus, "w")
+        .join(srcTot, "source") // sources-sized; AQE broadcasts it
+        .crossJoin(broadcast(corpTot))
+        .groupBy(col("source"))
+        .agg(
+          max(col("n_src")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          round(-sum(p * log2(p)), 4).as("entropy"),
+          round(sum(p * log2(p / q)), 4).as("kl")
+        )
+    },
+
+    // q99: weighted sampling without replacement — n_chars-weighted
+    // (token-budget-proportional: a 10k-char doc is 10× likelier in
+    // the sample than a 1k-char one), k per source, reproducible via
+    // the md5 coin. The whole selection is one native bounded-heap
+    // aggregate — see Sampling.weightedTopK for why that (and not a
+    // window, gated or otherwise) is the 100 TB shape.
+    "q99_weighted_sample" -> { (s, dir) =>
+      Sampling.weightedTopK(Tables.documents(s, dir), "source", "doc_id", "text", "n_chars", SampleK)
     }
   )
 
@@ -763,6 +807,39 @@ object TrainingQueries {
          |      FROM c CROSS JOIN z)
          |SELECT source, n_docs, weight,
          |       CAST(round($MixBudget * weight) AS BIGINT) AS target_docs
-         |FROM w""".stripMargin
+         |FROM w""".stripMargin,
+    "q98_source_entropy" ->
+      """WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |              FROM documents),
+        |tc AS (SELECT source, w, count(*) AS n FROM toks GROUP BY source, w),
+        |st AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM tc GROUP BY source),
+        |cc AS (SELECT w, CAST(sum(n) AS BIGINT) AS n_corp FROM tc GROUP BY w),
+        |ct AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM tc)
+        |SELECT tc.source,
+        |       max(st.n_src) AS n_tokens,
+        |       count(*) AS vocab,
+        |       round(-sum((CAST(tc.n AS DOUBLE) / st.n_src)
+        |                  * log2(CAST(tc.n AS DOUBLE) / st.n_src)), 4) AS entropy,
+        |       round(sum((CAST(tc.n AS DOUBLE) / st.n_src)
+        |                 * log2((CAST(tc.n AS DOUBLE) / st.n_src)
+        |                        / (CAST(cc.n_corp AS DOUBLE) / ct.n_all))), 4) AS kl
+        |FROM tc
+        |JOIN st USING (source)
+        |JOIN cc USING (w)
+        |CROSS JOIN ct
+        |GROUP BY tc.source""".stripMargin,
+    // the oracle window-ranks the identical E-S key — fine THERE
+    // (the oracle only runs at test scale); the Spark side never
+    // windows (bounded-heap aggregate, Sampling.weightedTopK)
+    "q99_weighted_sample" ->
+      s"""WITH keyed AS (
+         |  SELECT source, doc_id,
+         |         -ln((('0x' || substring(md5(text), 1, 13))::BIGINT + 0.5) / 4503599627370496.0)
+         |           / CAST(n_chars AS DOUBLE) AS k
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (SELECT source, doc_id,
+         |             row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rank
+         |      FROM keyed)
+         |SELECT source, doc_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= $SampleK""".stripMargin
   )
 }

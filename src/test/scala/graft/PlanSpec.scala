@@ -203,7 +203,17 @@ class PlanSpec extends AnyFunSuite {
     // q95: pair generation reuses the checkpointed shingle frame; the
     // Levenshtein verify joins broadcast at test scale
     "q95_editdist_neardup" -> 1,
-    "q96_psi_drift" -> 1
+    "q96_psi_drift" -> 1,
+    // q97: 0 because the result frame is the last localCheckpoint —
+    // the iterative cost (2 shuffles/round over the src-partitioned
+    // edge frame) lives in the loop, see operators/PageRank.scala
+    "q97_link_pagerank" -> 0,
+    // q98: token counts + corpus marginal + source totals + final
+    // reduce; the (source, token) frame is checkpointed and re-shuffles
+    // once per consumer rather than re-reading documents
+    "q98_source_entropy" -> 4,
+    // q99: the whole weighted sample is ONE bounded-heap aggregate
+    "q99_weighted_sample" -> 1
   )
 
   test("no operator exceeds its shuffle budget") {
@@ -313,6 +323,31 @@ class PlanSpec extends AnyFunSuite {
         case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }
+  }
+
+  test("q99: the weighted sample is one partial+final heap aggregate — no window, no group sort") {
+    // the operator's point: per-group top-k WITHOUT row_number. The
+    // plan must carry the bounded heap through partial (map-side) and
+    // final ObjectHashAggregate nodes, and contain no window and no
+    // sort of the input anywhere.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q99_weighted_sample")(spark, sf).queryExecution.executedPlan
+      assert(
+        p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        s"q99 must not window:\n$p"
+      )
+      assert(
+        p.collect { case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        s"q99 must not sort:\n$p"
+      )
+      val heapAggs = p.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+            if a.aggregateExpressions.exists(_.aggregateFunction.isInstanceOf[graft.functions.TopKAgg]) =>
+          a
+      }
+      assert(heapAggs.size == 2, s"expected partial+final graft_topk aggregates, got ${heapAggs.size}:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("whole-stage codegen covers the dedup hot path") {

@@ -301,6 +301,84 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sample equals the naive E-S definition and is merge-order independent") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val k = 4
+    for (seed <- 0 until 4) {
+      val rnd = new Random(500 + seed)
+      // group sizes straddle under-k, exactly-k, and well-past-k;
+      // payloads repeat (i % 7) so identical E-S keys exercise the id
+      // tie-break; one zero-weight row per group must be excluded
+      val sizes = Seq(1, k, 3 * k, 100 + rnd.nextInt(100))
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (1 to n).map(i => (s"g$g", g * 100000L + i, s"w-$seed-$g-${i % 7}", 1L + rnd.nextInt(5000))) :+
+          ((s"g$g", g * 100000L + 99999L, "never-sampled", 0L))
+      }
+      val df = rows.toDF("grp", "id", "payload", "w")
+      def run(d: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+        Sampling
+          .weightedTopK(d, "grp", "id", "payload", "w", k)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSet
+      val got = run(df)
+      val expect = rows
+        .filter(_._4 > 0)
+        .groupBy(_._1)
+        .flatMap { case (_, ms) =>
+          ms.map { case (g, id, p, w) =>
+              val u = (java.lang.Long.parseLong(md5Hex(p).take(13), 16) + 0.5) / 4503599627370496.0
+              (g, id, -math.log(u) / w.toDouble)
+            }
+            .sortBy(m => (m._3, m._2))
+            .take(k)
+            .zipWithIndex
+            .map { case ((g, id, _), i) => (g, id, (i + 1).toLong) }
+        }
+        .toSet
+      assert(got == expect, s"seed=$seed")
+      // heap content must be partitioning-independent: same answer
+      // from many small partial heaps or one big one
+      assert(run(df.repartition(7, col("id"))) == got, s"seed=$seed repartitioned")
+      assert(run(df.repartition(1)) == got, s"seed=$seed single partition")
+    }
+  }
+
+  test("pagerank equals the in-memory power iteration on random graphs") {
+    import graft.operators.PageRank
+    import spark.implicits._
+    for (seed <- 0 until 3) {
+      val rnd = new Random(600 + seed)
+      val n = 30 + rnd.nextInt(20)
+      // random digraph with sinks (nodes with no out-edges) so the
+      // leaked-mass semantics is exercised, not just the happy cycle
+      val edges = (1 to 120)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .distinct
+      val df = edges.toDF("src", "dst")
+      val got = PageRank.run(df, "src", "dst").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val nn = nodes.size
+      val outdeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      var ranks = nodes.map(_ -> 1.0 / nn).toMap
+      for (_ <- 1 to 5) {
+        val contrib = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+        edges.foreach { case (s0, d0) => contrib(d0) += ranks(s0) / outdeg(s0) }
+        ranks = nodes.map(v => v -> ((1.0 - 0.85) / nn + 0.85 * contrib(v))).toMap
+      }
+      assert(got.keySet == ranks.keySet, s"seed=$seed node set")
+      nodes.foreach { v =>
+        assert(math.abs(got(v) - ranks(v)) < 1e-12, s"seed=$seed node=$v got=${got(v)} want=${ranks(v)}")
+      }
+      // structural invariants: every node keeps at least the base
+      // mass; sinks leak, so total mass never exceeds 1
+      assert(got.values.forall(_ >= (1.0 - 0.85) / nn - 1e-15), s"seed=$seed below base mass")
+      assert(got.values.sum <= 1.0 + 1e-9, s"seed=$seed mass exceeds 1")
+    }
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest
       .getInstance("MD5")
