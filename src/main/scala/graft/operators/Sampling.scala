@@ -120,7 +120,20 @@ object Sampling {
     * Rows with weight ≤ 0 are excluded (they cannot be sampled: the
     * E-S key is undefined).
     */
-  def weightedTopK(
+  /** The E-S key as a Column: -ln(u)/w with u from the 52-bit md5
+    * prefix — portable to any engine with md5 + ln.
+    */
+  def esKey(hashCol: Column, weightCol: Column): Column = {
+    val u = (conv(substring(md5(hashCol), 1, 13), 16, 10).cast("long").cast("double") + lit(0.5)) / lit(TwoTo52)
+    -log(u) / weightCol.cast("double")
+  }
+
+  /** The aggregated form: (groupCol, sample_ids array<bigint>), ids
+    * ascending by E-S key. Stream-safe (a streaming groupBy carries
+    * the k-sized heap buffer in state; heap content is merge-order
+    * independent, so stream ≡ batch — asserted in StreamingSpec).
+    */
+  def weightedTopKHeaps(
       df: DataFrame,
       groupCol: String,
       idCol: String,
@@ -130,15 +143,23 @@ object Sampling {
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val u = (conv(substring(md5(col(hashCol)), 1, 13), 16, 10).cast("long").cast("double") + lit(0.5)) / lit(TwoTo52)
-    val key = -log(u) / col(weightCol).cast("double")
     df.filter(col(weightCol) > 0)
-      .select(col(groupCol), key.as("__k"), col(idCol).cast("long").as("__id"))
+      .select(col(groupCol), esKey(col(hashCol), col(weightCol)).as("__k"), col(idCol).cast("long").as("__id"))
       .groupBy(col(groupCol))
-      .agg(graft.functions.GraftFunctions.topk(col("__k"), col("__id"), k).as("__ids"))
-      .select(col(groupCol), posexplode(col("__ids")).as(Seq("__pos", idCol)))
-      .select(col(groupCol), col(idCol), (col("__pos") + 1).cast("long").as("rank"))
+      .agg(graft.functions.GraftFunctions.topk(col("__k"), col("__id"), k).as("sample_ids"))
   }
+
+  def weightedTopK(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      hashCol: String,
+      weightCol: String,
+      k: Int
+  ): DataFrame =
+    weightedTopKHeaps(df, groupCol, idCol, hashCol, weightCol, k)
+      .select(col(groupCol), posexplode(col("sample_ids")).as(Seq("__pos", idCol)))
+      .select(col(groupCol), col(idCol), (col("__pos") + 1).cast("long").as("rank"))
 
   /** Groups whose gate kept fewer than min(k, n_g) survivors — the
     * sample-completeness invariant. 0 by the Chernoff bound; asserted

@@ -444,6 +444,55 @@ class StreamingSpec extends AnyFunSuite {
     batch.foreach { case (d, sig) => assert(streamed(d) == sig, s"signature differs for doc $d") }
   }
 
+  test("streaming weighted-sample heaps match batch exactly (the q99 maintenance path)") {
+    // a continuously-maintained weighted sample: arriving documents
+    // fold into the per-source bounded heap (graft_topk) in update
+    // mode. The heap's content is merge-order independent, so the
+    // final state must equal the batch aggregate EXACTLY — including
+    // the ascending-by-key id order inside each array.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val k = 5
+    val docs = Tables
+      .documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text"), col("n_chars"))
+      .as[(String, Long, String, Long)]
+      .collect()
+      .toSeq
+    val stream = MemoryStream[(String, Long, String, Long)]
+    val heaps = Sampling.weightedTopKHeaps(
+      stream.toDF().toDF("source", "doc_id", "text", "n_chars"),
+      "source",
+      "doc_id",
+      "text",
+      "n_chars",
+      k
+    )
+    val query = heaps.writeStream
+      .format("memory")
+      .queryName("wsample_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      docs.grouped(math.max(docs.size / 4, 1)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark
+      .table("wsample_stream")
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+      .toMap
+    val batch = Sampling
+      .weightedTopKHeaps(Tables.documents(spark, sf), "source", "doc_id", "text", "n_chars", k)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+      .toMap
+    assert(streamed.keySet == batch.keySet, "source sets differ")
+    batch.foreach { case (s0, ids) => assert(streamed(s0) == ids, s"sample differs for source $s0") }
+  }
+
   test("streaming segment-winner ingest matches batch winners (the q89 index maintenance path)") {
     // the ingest job that keeps a segment-dedup index current: arriving
     // documents explode to segments (no distinct — stream-safe) and the
