@@ -300,6 +300,14 @@ object DedupSimQueries {
         EditMinSharedShingles,
         EditDistDenom
       )
+    },
+
+    // q100: sparse TF-IDF cosine pairs via the inverted-index
+    // self-join — the sparse-vector twin of q34's dense embedding
+    // near-dups. df-capped stopword removal is the declared contract
+    // AND the hot-key guard (see Similarity.tfidfCosinePairs).
+    "q100_tfidf_pairs" -> { (s, dir) =>
+      Similarity.tfidfCosinePairs(Tables.documents(s, dir), "doc_id", "text", TfidfDfCap, TfidfCosThreshold)
     }
   )
 
@@ -317,6 +325,11 @@ object DedupSimQueries {
   val EditDistDenom = 4
 
   val KnnK = 3
+
+  // q100: TF-IDF pair similarity — term df cap (stopword contract +
+  // postings fan-out bound) and the cosine floor, compared ROUNDED.
+  val TfidfDfCap = 50
+  val TfidfCosThreshold = 0.6
 
   private val dotSql =
     "list_reduce(list_transform(range(1, len(%1$s) + 1), i -> %1$s[CAST(i AS INT)] * %2$s[CAST(i AS INT)]), (acc, x) -> acc + x)"
@@ -689,6 +702,25 @@ object DedupSimQueries {
          |                                ORDER BY cosine DESC, vec_id ASC) rk
          |      FROM c)
          |SELECT probe_id, rk AS rank, vec_id AS neighbor_id, round(cosine, 4) AS cosine
-         |FROM r WHERE rk <= $AnnK""".stripMargin
+         |FROM r WHERE rk <= $AnnK""".stripMargin,
+    "q100_tfidf_pairs" ->
+      s"""WITH toks AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |              FROM documents),
+         |tf AS (SELECT id, w, count(*) AS n_tw FROM toks GROUP BY id, w),
+         |dft AS (SELECT w, count(*) AS df FROM tf GROUP BY w HAVING count(*) <= $TfidfDfCap),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |wts AS (SELECT tf.id, tf.w,
+         |               CAST(tf.n_tw AS DOUBLE)
+         |                 * (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0) AS v
+         |        FROM tf JOIN dft USING (w) CROSS JOIN nd),
+         |nrm AS (SELECT id, sqrt(sum(v * v)) AS nrm FROM wts GROUP BY id),
+         |dots AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.v * b.v) AS dot
+         |         FROM wts a JOIN wts b ON a.w = b.w AND a.id < b.id
+         |         GROUP BY a.id, b.id)
+         |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos
+         |FROM dots
+         |JOIN nrm na ON na.id = dots.id_a
+         |JOIN nrm nb ON nb.id = dots.id_b
+         |WHERE round(dot / (na.nrm * nb.nrm), 4) >= $TfidfCosThreshold""".stripMargin
   )
 }

@@ -18,6 +18,66 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
+  /** Sparse TF-IDF cosine similarity pairs via an inverted-index
+    * self-join — the SPARSE twin of the dense embedding paths: the
+    * "vector" is each document's tf·idf term weights, the "index" is
+    * the term postings list, and the dot product accumulates over
+    * shared terms only.
+    *
+    * Semantics: terms with df > dfCap are excluded from the
+    * similarity space BEFORE weighting (df-capped stopword removal —
+    * norms and dots all live in the capped space, so the answer is
+    * exact within the declared contract, and the postings self-join
+    * fans out at most dfCap² pairs per term: the same hot-key guard
+    * as q31's shingle cap). idf = ln((N+1)/(df+1)) + 1 (smoothed:
+    * never zero, no div-by-zero on df=N). Emits (id_a < id_b,
+    * cos rounded to 4) above the threshold.
+    *
+    * Scale shape: tf→weights is one (doc, term) aggregate,
+    * checkpointed and reused by the norm aggregate and BOTH sides of
+    * the postings join; pair dots partial-aggregate map-side on
+    * (a, b); norms ride back in as equi-joins. At 100 TB the postings
+    * frame would be written bucketBy(term) — the cap bounds each
+    * task's pair fan-out either way.
+    */
+  def tfidfCosinePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dfCap: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(dfCap > 1, s"dfCap must exceed 1 (df=1 terms pair nothing), got $dfCap")
+    val toks = docs.select(
+      col(idCol).as("id"),
+      explode(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("w")
+    )
+    val tf = toks.groupBy(col("id"), col("w")).agg(count(lit(1)).as("n_tw"))
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val weights = tf
+      .join(dfT, "w") // drops capped terms
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("id"),
+        col("w"),
+        (col("n_tw").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0)).as("v")
+      )
+      .localCheckpoint() // feeds norms + both postings sides
+    val norms = weights.groupBy(col("id")).agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    val a = weights.select(col("w"), col("id").as("id_a"), col("v").as("va"))
+    val b = weights.select(col("w"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, "w")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("va") * col("vb")).as("dot"))
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Exact top-k cosine neighbors of each probe (probe set must be
     * small — it is broadcast). Excludes self-matches.
     */

@@ -213,7 +213,10 @@ class PlanSpec extends AnyFunSuite {
     // once per consumer rather than re-reading documents
     "q98_source_entropy" -> 4,
     // q99: the whole weighted sample is ONE bounded-heap aggregate
-    "q99_weighted_sample" -> 1
+    "q99_weighted_sample" -> 1,
+    // q100: postings self-join + pair aggregate + norm re-key, over
+    // the checkpointed weights frame (tf/df stages live behind it)
+    "q100_tfidf_pairs" -> 3
   )
 
   test("no operator exceeds its shuffle budget") {

@@ -379,6 +379,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf cosine pairs equal the brute-force reference on random corpora") {
+    import graft.sim.Similarity
+    import spark.implicits._
+    val dfCap = 4
+    val threshold = 0.3
+    for (seed <- 0 until 3) {
+      val rnd = new Random(700 + seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+      // small vocab forces df collisions around the cap; duplicate
+      // docs force cos = 1.0 pairs
+      val docs = (1 to 20).map { i =>
+        val words = (1 to 3 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, words.mkString(" "))
+      } :+ ((21L, "alpha beta beta")) :+ ((22L, "alpha beta beta"))
+      val got = Similarity
+        .tfidfCosinePairs(docs.toDF("doc_id", "text"), "doc_id", "text", dfCap, threshold)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      // in-memory reference with identical arithmetic
+      val tf = docs.map { case (id, t) =>
+        id -> "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq.groupBy(identity).map { case (w, o) => w -> o.size }
+      }.toMap
+      val dfm = tf.values.flatMap(_.keys).groupBy(identity).map { case (w, o) => w -> o.size }.filter(_._2 <= dfCap)
+      val n = docs.size
+      val wts = tf.map { case (id, m) =>
+        id -> m.collect {
+          case (w, c) if dfm.contains(w) =>
+            w -> (c.toDouble * (math.log((n + 1.0) / (dfm(w) + 1.0)) + 1.0))
+        }
+      }
+      val nrm = wts.map { case (id, m) => id -> math.sqrt(m.values.map(v => v * v).sum) }
+      val expect = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        shared = wts(a).keySet & wts(b).keySet if shared.nonEmpty
+        dot = shared.toSeq.map(w => wts(a)(w) * wts(b)(w)).sum
+        // same rounding-then-threshold contract as the operator
+        cos = BigDecimal(dot / (nrm(a) * nrm(b))).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if cos >= threshold
+      } yield (a, b) -> cos).toMap
+      // keys must match exactly; values within summation-order ulps
+      assert(got.keySet == expect.keySet, s"seed=$seed pair sets differ: ${got.keySet.diff(expect.keySet)} / ${expect.keySet.diff(got.keySet)}")
+      expect.foreach { case (k, cos) =>
+        assert(math.abs(got(k) - cos) < 1e-4 + 1e-9, s"seed=$seed pair=$k got=${got(k)} want=$cos")
+      }
+    }
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest
       .getInstance("MD5")
