@@ -76,4 +76,28 @@ object Formats {
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Range-sorted parquet: rows globally ordered by `key` across
+    * files AND row groups (repartitionByRange gives disjoint
+    * per-file key ranges; sortWithinPartitions orders row groups
+    * inside each file), so parquet min/max statistics let a narrow
+    * key filter SKIP whole row groups — the scan emits ~selected
+    * rows, not ~all rows (asserted on scan metrics in SourcesSpec).
+    *
+    * This is the third layout lever next to partitionBy (prune
+    * directories by low-cardinality column) and bucketBy (shuffle-free
+    * key joins): sort when the hot filter is a RANGE on a
+    * high-cardinality key (time, id). At 100 TB the difference is
+    * reading gigabytes instead of the full table for every
+    * point-in-range query. `blockBytes` sizes row groups — the skip
+    * granularity (default parquet 128 MB; smaller groups skip finer
+    * but compress worse).
+    */
+  def writeSorted(df: DataFrame, path: String, key: String, blockBytes: Long = 128L * 1024 * 1024): Unit =
+    df.repartitionByRange(org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(org.apache.spark.sql.functions.col(key))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("parquet.block.size", blockBytes.toString)
+      .parquet(path)
 }
