@@ -67,7 +67,12 @@ object PageRank {
     require(n > 0, "PageRank on an empty edge list")
     val base = (1.0 - damping) / n
 
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint()
+    // in-loop checkpoints are LAZY: they still cut lineage (each
+    // round's plan reads the previous round's RDD, not the whole
+    // prefix) but materialize inside the next round's job instead of
+    // paying one extra eager job per iteration (~30% of q97's wall
+    // time at sf0.1 was those launches)
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint(false)
     for (_ <- 1 to iterations) {
       val contrib = edgesW
         .join(ranks, ranks("node") === edgesW("src"))
@@ -76,7 +81,7 @@ object PageRank {
       ranks = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"), (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("pr"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks
   }

@@ -23,22 +23,26 @@ object GraphQueries {
   val PrDamping = 0.85
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // q97: part co-occurrence PageRank — parts adjacent by linenumber
-    // within an order form a directed edge (the co-supply "citation"
-    // graph); 5 damped power steps rank parts by centrality. The
-    // edge derivation is one self-equi-join on (orderkey, succ
-    // linenumber); each iteration is join + aggregate on the
+    // q97: part co-occurrence PageRank — each part links to the NEXT
+    // part in its order's line sequence (the co-supply "citation"
+    // graph); 5 damped power steps rank parts by centrality. Edge
+    // derivation is ONE lead() window — a single shuffle of the fact
+    // table, where a (orderkey, linenumber+1) self-join would shuffle
+    // it twice; per-order partitions are ≤7 rows, so the window is
+    // skew-free. Each iteration is join + aggregate on the
     // checkpointed src-partitioned edge frame.
     "q97_link_pagerank" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-      val nxt = li.select(
-        col("l_orderkey"),
-        (col("l_linenumber") - 1).as("l_linenumber"),
-        col("l_partkey").as("dst_part")
-      )
-      val edges = li
-        .join(nxt, Seq("l_orderkey", "l_linenumber"))
-        .filter(col("l_partkey") =!= col("dst_part"))
+      // linenumbers are NOT unique per order in this corpus — the
+      // partkey tiebreak makes the sequence (and so the edge set)
+      // total and engine-independent
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))
+      val edges = Tables
+        .lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst_part", lead(col("l_partkey"), 1).over(w))
+        .filter(col("dst_part").isNotNull && col("l_partkey") =!= col("dst_part"))
         .select(col("l_partkey").as("src"), col("dst_part").as("dst"))
         .distinct()
       PageRank
@@ -66,12 +70,13 @@ object GraphQueries {
            |    GROUP BY e.dst) c ON c.dst = n.node)""".stripMargin
       }
       .mkString(",\n")
-    s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+    s"""WITH li AS (
+       |  SELECT l_partkey,
+       |         lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst_part
+       |  FROM lineitem),
        |edges AS (
-       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-       |  FROM li a JOIN li b
-       |    ON b.l_orderkey = a.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
-       |  WHERE a.l_partkey <> b.l_partkey),
+       |  SELECT DISTINCT l_partkey AS src, dst_part AS dst
+       |  FROM li WHERE dst_part IS NOT NULL AND l_partkey <> dst_part),
        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
