@@ -59,6 +59,14 @@ object GraftFunctions {
       (children: Seq[Expression]) => SimHashAgg(children.head)
     ),
     (
+      FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsAgg].getName, "graft_cms"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, s"graft_cms(hash, depth, width) takes 3 arguments, got ${children.size}")
+        CmsAgg(children.head, lit(children(1)), lit(children(2)))
+      }
+    ),
+    (
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (children: Seq[Expression]) => {
@@ -100,4 +108,12 @@ object GraftFunctions {
 
   def topk(key: Column, id: Column, k: Int): Column =
     call_function("graft_topk", key, id, org.apache.spark.sql.functions.lit(k))
+
+  def cms(h: Column, depth: Int, width: Int): Column =
+    call_function(
+      "graft_cms",
+      h,
+      org.apache.spark.sql.functions.lit(depth),
+      org.apache.spark.sql.functions.lit(width)
+    )
 }

@@ -308,6 +308,41 @@ object DedupSimQueries {
     // AND the hot-key guard (see Similarity.tfidfCosinePairs).
     "q100_tfidf_pairs" -> { (s, dir) =>
       Similarity.tfidfCosinePairs(Tables.documents(s, dir), "doc_id", "text", TfidfDfCap, TfidfCosThreshold)
+    },
+
+    // q101: Count-Min frequency estimates from the sketch ALONE — the
+    // q66 posture for term frequencies: one native aggregate builds a
+    // per-source depth×width counter matrix (pure sums: merges are
+    // bit-deterministic in any order), then probe-token estimates read
+    // the checkpointed 16 KB sketches with NO document re-scan
+    // (PlanSpec-asserted). est = min over rows ≥ true count, the CMS
+    // overcount contract (never under) — bounded vs exact counts in
+    // DedupSimSpec. The oracle rebuilds the identical counters from
+    // the same portable-hash arithmetic.
+    "q101_cms_est" -> { (s, dir) =>
+      import graft.functions.GraftFunctions
+      GraftFunctions.ensureRegistered(s)
+      val toks = Tables
+        .documents(s, dir)
+        .select(col("source"), explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      val sketches = toks
+        .select(col("source"), GraftFunctions.strhash2(col("w")).as("h"))
+        .groupBy(col("source"))
+        .agg(GraftFunctions.cms(col("h"), CmsDepth, CmsWidth).as("cms"))
+        .localCheckpoint() // estimation below never re-reads documents
+      import s.implicits._
+      val probes = CmsProbeTokens
+        .toDF("token")
+        .withColumn("hp", GraftFunctions.strhash2(col("token")))
+      probes
+        .crossJoin(broadcast(sketches))
+        .select(
+          col("source"),
+          col("token"),
+          least((0 until CmsDepth).map { d =>
+            element_at(col("cms"), (cmsIdx(d, col("hp")) + lit(d * CmsWidth) + 1).cast("int"))
+          }: _*).as("est")
+        )
     }
   )
 
@@ -330,6 +365,28 @@ object DedupSimQueries {
   // postings fan-out bound) and the cosine floor, compared ROUNDED.
   val TfidfDfCap = 50
   val TfidfCosThreshold = 0.6
+
+  // q101: CMS geometry (depth 4 × width 512 = 16 KB of counters per
+  // source) and a FIXED probe vocabulary — estimation must be
+  // data-independent so the sketch is provably the only input.
+  val CmsDepth = 4
+  val CmsWidth = 512
+  val CmsProbeTokens: Seq[String] =
+    Seq("the", "and", "of", "to", "in", "a", "is", "data", "with", "for")
+
+  /** Spark twin of the oracle's permSql-mod-width bucket index: the
+    * MinHash permutation arithmetic over the 62-bit hash's halves,
+    * reduced mod the CMS width (all intermediates < 2⁶², like
+    * [[graft.functions.CmsAgg]]'s update loop).
+    */
+  private[graft] def cmsIdx(d: Int, h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.PortableHash.{permA, permB, permC, Mask31, Mask62}
+    val p = lit(graft.functions.PortableHash.P)
+    val hm = h.bitwiseAND(lit(Mask62))
+    val hi = shiftrightunsigned(hm, 31)
+    val lo = hm.bitwiseAND(lit(Mask31))
+    (((lit(permA(d)) * hi) % p + (lit(permB(d)) * lo) % p + lit(permC(d))) % p) % lit(CmsWidth.toLong)
+  }
 
   private val dotSql =
     "list_reduce(list_transform(range(1, len(%1$s) + 1), i -> %1$s[CAST(i AS INT)] * %2$s[CAST(i AS INT)]), (acc, x) -> acc + x)"
@@ -721,6 +778,37 @@ object DedupSimQueries {
          |FROM dots
          |JOIN nrm na ON na.id = dots.id_a
          |JOIN nrm nb ON nb.id = dots.id_b
-         |WHERE round(dot / (na.nrm * nb.nrm), 4) >= $TfidfCosThreshold""".stripMargin
+         |WHERE round(dot / (na.nrm * nb.nrm), 4) >= $TfidfCosThreshold""".stripMargin,
+    "q101_cms_est" -> q101Sql
   )
+
+  /** DuckDB twin of the CMS build + probe: the same strhash2 +
+    * permutation arithmetic rebuilds every counter the native
+    * aggregate increments, so estimates match EXACTLY (counters are
+    * pure sums — no merge-order sensitivity to paper over).
+    */
+  private lazy val q101Sql: String = {
+    val probeValues = CmsProbeTokens.map(t => s"('$t')").mkString(", ")
+    val idxUnions = (0 until CmsDepth)
+      .map(d => s"SELECT source, $d AS d, (${permSql(d)}) % $CmsWidth AS idx FROM h")
+      .mkString("\n|  UNION ALL\n|  ")
+    val pidxUnions = (0 until CmsDepth)
+      .map(d => s"SELECT token, $d AS d, (${permSql(d)}) % $CmsWidth AS idx FROM ph")
+      .mkString("\n|  UNION ALL\n|  ")
+    s"""WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |              FROM documents),
+       |h AS (SELECT source, ${strhash2Sql("w")} AS h FROM toks),
+       |idx AS (
+       |  $idxUnions),
+       |cnt AS (SELECT source, d, idx, count(*) AS c FROM idx GROUP BY 1, 2, 3),
+       |probes AS (SELECT * FROM (VALUES $probeValues) AS t(token)),
+       |ph AS (SELECT token, ${strhash2Sql("token")} AS h FROM probes),
+       |pidx AS (
+       |  $pidxUnions),
+       |j AS (SELECT s.source, p.token, p.d, coalesce(c.c, 0) AS c
+       |      FROM (SELECT DISTINCT source FROM documents) s
+       |      CROSS JOIN pidx p
+       |      LEFT JOIN cnt c ON c.source = s.source AND c.d = p.d AND c.idx = p.idx)
+       |SELECT source, token, CAST(min(c) AS BIGINT) AS est FROM j GROUP BY source, token""".stripMargin
+  }
 }

@@ -80,6 +80,10 @@ class PlanSpec extends AnyFunSuite {
     // back in (the thing sketch-only estimation exists to avoid)
     val p = plan("q66_minhash_est")
     assert(!p.contains("Scan parquet"), s"q66 re-scans source data:\n$p")
+    // same posture for the CMS probe: estimates read the checkpointed
+    // 16 KB sketches only
+    val p101 = plan("q101_cms_est")
+    assert(!p101.contains("Scan parquet"), s"q101 re-scans source data:\n$p101")
   }
 
   // Shuffle budget per operator: the number of data exchanges
@@ -216,7 +220,9 @@ class PlanSpec extends AnyFunSuite {
     "q99_weighted_sample" -> 1,
     // q100: postings self-join + pair aggregate + norm re-key, over
     // the checkpointed weights frame (tf/df stages live behind it)
-    "q100_tfidf_pairs" -> 3
+    "q100_tfidf_pairs" -> 3,
+    // q101: probes × checkpointed sketches, broadcast only
+    "q101_cms_est" -> 0
   )
 
   test("no operator exceeds its shuffle budget") {

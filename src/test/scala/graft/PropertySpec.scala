@@ -427,6 +427,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CMS estimates dominate exact counts, go exact without collisions, and merge deterministically") {
+    import graft.functions.GraftFunctions
+    import graft.functions.PortableHash.{permA, permB, permC, Mask31, Mask62}
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val depth = 4
+    def idx(d: Int, h: org.apache.spark.sql.Column, width: Int): org.apache.spark.sql.Column = {
+      val p = lit(graft.functions.PortableHash.P)
+      val hm = h.bitwiseAND(lit(Mask62))
+      val hi = shiftrightunsigned(hm, 31)
+      val lo = hm.bitwiseAND(lit(Mask31))
+      (((lit(permA(d)) * hi) % p + (lit(permB(d)) * lo) % p + lit(permC(d))) % p) % lit(width.toLong)
+    }
+    val rnd = new Random(800)
+    val vocab = (1 to 60).map(i => s"tok$i")
+    val rows = (1 to 3000).map(_ => ("g" + rnd.nextInt(3), vocab(rnd.nextInt(vocab.size))))
+    val exact = rows.groupBy(identity).map { case ((g, w), o) => (g, w) -> o.size.toLong }
+    def estimates(width: Int, df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] = {
+      val sk = df
+        .select(col("grp"), GraftFunctions.strhash2(col("w")).as("h"))
+        .groupBy(col("grp"))
+        .agg(GraftFunctions.cms(col("h"), depth, width).as("cms"))
+      vocab
+        .toDF("token")
+        .withColumn("hp", GraftFunctions.strhash2(col("token")))
+        .crossJoin(broadcast(sk))
+        .select(
+          col("grp"),
+          col("token"),
+          least((0 until depth).map(d =>
+            element_at(col("cms"), (idx(d, col("hp"), width) + lit(d * width) + 1).cast("int"))
+          ): _*).as("est")
+        )
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    }
+    val df = rows.toDF("grp", "w")
+    // narrow sketch: heavy collisions, but NEVER an undercount
+    val narrow = estimates(32, df)
+    exact.foreach { case (k, n) =>
+      assert(narrow(k) >= n, s"CMS undercounted $k: ${narrow(k)} < $n")
+    }
+    // wide sketch: 60 keys in 4×8192 counters — estimates collapse to
+    // the exact counts (min over 4 rows needs only one collision-free
+    // row per key; deterministic under the fixed seed)
+    val wide = estimates(8192, df)
+    exact.foreach { case (k, n) =>
+      assert(wide(k) == n, s"CMS wide-sketch estimate not exact for $k: ${wide(k)} != $n")
+    }
+    vocab.foreach { w =>
+      (0 to 2).map("g" + _).foreach { g =>
+        if (!exact.contains((g, w))) assert(wide((g, w)) == 0L, s"phantom count for ($g, $w)")
+      }
+    }
+    // counters are pure sums: any partitioning merges to the same bits
+    assert(estimates(32, df.repartition(13, col("w"))) == narrow, "CMS merge is partitioning-dependent")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest
       .getInstance("MD5")
