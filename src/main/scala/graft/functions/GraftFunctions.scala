@@ -67,6 +67,25 @@ object GraftFunctions {
       }
     ),
     (
+      FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, s"graft_bloom(hash, numBits, numHashes) takes 3 arguments, got ${children.size}")
+        BloomAgg(children.head, lit(children(1)), lit(children(2)))
+      }
+    ),
+    (
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 3,
+          s"graft_bloom_contains(bloom, hash, numHashes) takes 3 arguments, got ${children.size}"
+        )
+        BloomContains(children.head, children(1), lit(children(2)))
+      }
+    ),
+    (
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (children: Seq[Expression]) => {
@@ -108,6 +127,17 @@ object GraftFunctions {
 
   def topk(key: Column, id: Column, k: Int): Column =
     call_function("graft_topk", key, id, org.apache.spark.sql.functions.lit(k))
+
+  def bloom(h: Column, numBits: Int, numHashes: Int): Column =
+    call_function(
+      "graft_bloom",
+      h,
+      org.apache.spark.sql.functions.lit(numBits),
+      org.apache.spark.sql.functions.lit(numHashes)
+    )
+
+  def bloomContains(bloom: Column, h: Column, numHashes: Int): Column =
+    call_function("graft_bloom_contains", bloom, h, org.apache.spark.sql.functions.lit(numHashes))
 
   def cms(h: Column, depth: Int, width: Int): Column =
     call_function(

@@ -355,6 +355,39 @@ object AnalyticsQueries {
           round(pB, 6).as("p_b"),
           round((pA - pB) * log(pA / pB), 6).as("contrib")
         )
+    },
+
+    // q102: Bloom-pruned semi-join — the runtime-filter pattern made
+    // explicit: ONE aggregate folds the dim side's join keys into an
+    // 8 KB bitset (graft_bloom: pure-OR merges), the bitset broadcasts,
+    // and graft_bloom_contains prunes the fact scan BEFORE the
+    // semi-join's shuffle (codegen'd per-row probe). False positives
+    // only reach the exact semi-join and die there — the RESULT is
+    // byte-identical to the plain semi-join, which is exactly what the
+    // oracle runs. At 100 TB this is the difference between shuffling
+    // the full fact table and shuffling ~the matching fraction
+    // (pruning effectiveness asserted in AnalyticsSpec; fpp at these
+    // geometries ≈ 8e-4).
+    "q102_bloom_semi_join" -> { (s, dir) =>
+      import graft.functions.GraftFunctions
+      GraftFunctions.ensureRegistered(s)
+      val keys = Tables
+        .orders(s, dir)
+        .filter(col("o_orderpriority") === BloomDimPriority)
+        .select(col("o_orderkey"))
+      // the bitset rides in as a SCALAR SUBQUERY, not a cross join:
+      // it evaluates once and inlines as a literal, so the probe is a
+      // plain filter that pushes to the fact scan — a cross-joined
+      // bitset is itself a join, and Catalyst's join reorder happily
+      // floats the semi-join BELOW it, defeating the prune
+      val bloomBf = keys.agg(GraftFunctions.bloom(col("o_orderkey"), BloomBits, BloomHashes)).scalar()
+      Tables
+        .lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+        .filter(GraftFunctions.bloomContains(bloomBf, col("l_orderkey"), BloomHashes))
+        .join(keys.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
     }
   )
 
@@ -368,6 +401,13 @@ object AnalyticsQueries {
   /** q96: drift-compared vintages and the fixed price-bin width. */
   val PsiYearA = 1995
   val PsiYearB = 1996
+
+  /** q102: Bloom geometry (2¹⁶ bits = 8 KB, 4 hash rows — fpp ≈ 8e-4
+    * at ~3k keys) and the dim-side selection.
+    */
+  val BloomBits: Int = 1 << 16
+  val BloomHashes = 4
+  val BloomDimPriority = "1-URGENT"
   val PsiBucketWidth = 50000.0
 
   def oracle: Map[String, String] = Map(
@@ -526,6 +566,13 @@ object AnalyticsQueries {
          |       round((n_b + 1.0) / (tot_b + k), 6) AS p_b,
          |       round(((n_a + 1.0) / (tot_a + k) - (n_b + 1.0) / (tot_b + k))
          |             * ln(((n_a + 1.0) / (tot_a + k)) / ((n_b + 1.0) / (tot_b + k))), 6) AS contrib
-         |FROM b CROSS JOIN t""".stripMargin
+         |FROM b CROSS JOIN t""".stripMargin,
+    // the Bloom filter is invisible to the answer (prune-then-verify):
+    // the oracle is the PLAIN semi-join
+    "q102_bloom_semi_join" ->
+      s"""SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '$BloomDimPriority')
+         |GROUP BY l_returnflag""".stripMargin
   )
 }

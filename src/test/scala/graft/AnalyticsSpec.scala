@@ -252,4 +252,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(pa - 1.0) < 1e-3 && math.abs(pb - 1.0) < 1e-3, s"shares sum to ($pa, $pb)")
     out.unpersist()
   }
+
+  test("q102's bloom probe passes ~only matching fact rows to the semi-join") {
+    import graft.functions.GraftFunctions
+    import graft.queries.AnalyticsQueries.{BloomBits, BloomDimPriority, BloomHashes}
+    import graft.sources.Tables
+    GraftFunctions.ensureRegistered(spark)
+    val keys = Tables
+      .orders(spark, sf)
+      .filter(col("o_orderpriority") === BloomDimPriority)
+      .select(col("o_orderkey"))
+    val bloom = keys.agg(GraftFunctions.bloom(col("o_orderkey"), BloomBits, BloomHashes).as("bf"))
+    val fact = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+    val total = fact.count()
+    val matching = fact
+      .join(keys.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"), "left_semi")
+      .count()
+    val surviving = fact
+      .crossJoin(broadcast(bloom))
+      .filter(GraftFunctions.bloomContains(col("bf"), col("l_orderkey"), BloomHashes))
+      .count()
+    // never a false negative: every matching row survives the probe
+    assert(surviving >= matching, s"bloom dropped matches: $surviving < $matching")
+    // the pruning claim: false positives are a sliver of the fact
+    // table (geometry puts fpp well under 1%)
+    assert(
+      surviving - matching <= total / 100,
+      s"bloom barely pruned: $surviving survivors for $matching matches of $total rows"
+    )
+  }
 }

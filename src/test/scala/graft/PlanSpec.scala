@@ -222,7 +222,13 @@ class PlanSpec extends AnyFunSuite {
     // the checkpointed weights frame (tf/df stages live behind it)
     "q100_tfidf_pairs" -> 3,
     // q101: probes × checkpointed sketches, broadcast only
-    "q101_cms_est" -> 0
+    "q101_cms_est" -> 0,
+    // q102: 1 real data shuffle (the final group agg) + the bloom
+    // subquery's SinglePartition exchange, which the counter sees at
+    // each of its reference sites (fact filter, inferred key filter,
+    // and the subquery itself) — at runtime it executes ONCE
+    // (subquery reuse); the semi-join broadcasts
+    "q102_bloom_semi_join" -> 5
   )
 
   test("no operator exceeds its shuffle budget") {
@@ -356,6 +362,25 @@ class PlanSpec extends AnyFunSuite {
           a
       }
       assert(heapAggs.size == 2, s"expected partial+final graft_topk aggregates, got ${heapAggs.size}:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q102: the bloom probe prunes the fact side below the semi-join") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q102_bloom_semi_join")(spark, sf).queryExecution.executedPlan
+      val semis = p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi =>
+          j
+      }
+      assert(semis.nonEmpty, s"no broadcast semi-join in:\n$p")
+      // the probe filter must sit INSIDE the semi-join's streamed
+      // subtree — pruning before the join, not after
+      assert(
+        semis.exists(_.left.toString.contains("graft_bloom_contains")),
+        s"bloom probe does not pre-filter the fact side:\n$p"
+      )
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -486,6 +486,36 @@ class PropertySpec extends AnyFunSuite {
     assert(estimates(32, df.repartition(13, col("w"))) == narrow, "CMS merge is partitioning-dependent")
   }
 
+  test("bloom filter never false-negatives, bounds false positives, and merges deterministically") {
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val bits = 1 << 12 // 4096 bits, k=4
+    val k = 4
+    val rnd = new Random(900)
+    val inserted = (1 to 300).map(_ => rnd.nextLong()).distinct
+    val absent = (1 to 2000).map(_ => rnd.nextLong()).distinct.filterNot(inserted.toSet)
+    val df = inserted.toDF("h")
+    def bitset(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.agg(GraftFunctions.bloom(col("h"), bits, k).as("bf")).collect().head.getSeq[Long](0)
+    val bf = bitset(df)
+    def contains(keys: Seq[Long]): Seq[Boolean] =
+      keys
+        .toDF("h")
+        .crossJoin(broadcast(df.agg(GraftFunctions.bloom(col("h"), bits, k).as("bf"))))
+        .select(GraftFunctions.bloomContains(col("bf"), col("h"), k))
+        .collect()
+        .map(_.getBoolean(0))
+        .toSeq
+    // completeness: every inserted key probes true
+    assert(contains(inserted).forall(identity), "false negative")
+    // load = 300·4/4096 ≈ 0.29 → fpp ≈ (1-e^-0.29)^4 ≈ 0.4%; allow 5%
+    val fp = contains(absent).count(identity)
+    assert(fp <= absent.size / 20, s"false positive rate too high: $fp/${absent.size}")
+    // OR-merges: any partitioning produces the identical bitset
+    assert(bitset(df.repartition(11, col("h"))) == bf, "bloom merge is partitioning-dependent")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest
       .getInstance("MD5")
