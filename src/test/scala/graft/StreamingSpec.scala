@@ -493,6 +493,62 @@ class StreamingSpec extends AnyFunSuite {
     batch.foreach { case (s0, ids) => assert(streamed(s0) == ids, s"sample differs for source $s0") }
   }
 
+  test("streaming CMS and Bloom maintenance are bit-equal to batch (pure-sum/OR merges)") {
+    // the continuously-maintained q101/q102 sketches: counters and
+    // bitsets fold over a stream in complete mode; because both
+    // merges are commutative integer ops, the streamed state must
+    // equal the batch aggregate EXACTLY, element for element
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+    val docs = Tables
+      .documents(spark, sf)
+      .select(col("source"), col("doc_id"))
+      .as[(String, Long)]
+      .collect()
+      .toSeq
+    val stream = MemoryStream[(String, Long)]
+    val agged = stream
+      .toDF()
+      .toDF("source", "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        GraftFunctions.cms(col("doc_id"), 4, 128).as("cms"),
+        GraftFunctions.bloom(col("doc_id"), 1024, 4).as("bf")
+      )
+    val query = agged.writeStream
+      .format("memory")
+      .queryName("sketch_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      docs.grouped(math.max(docs.size / 4, 1)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark
+      .table("sketch_stream")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2))))
+      .toMap
+    val batch = Tables
+      .documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(
+        GraftFunctions.cms(col("doc_id"), 4, 128).as("cms"),
+        GraftFunctions.bloom(col("doc_id"), 1024, 4).as("bf")
+      )
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2))))
+      .toMap
+    assert(streamed.keySet == batch.keySet, "source sets differ")
+    batch.foreach { case (s0, (cms, bf)) =>
+      assert(streamed(s0)._1 == cms, s"CMS differs for source $s0")
+      assert(streamed(s0)._2 == bf, s"bloom differs for source $s0")
+    }
+  }
+
   test("streaming segment-winner ingest matches batch winners (the q89 index maintenance path)") {
     // the ingest job that keeps a segment-dedup index current: arriving
     // documents explode to segments (no distinct — stream-safe) and the
