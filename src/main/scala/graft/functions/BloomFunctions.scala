@@ -63,7 +63,7 @@ case class BloomAgg(
       val lo = h & PortableHash.Mask31
       var d = 0
       while (d < numHashes) {
-        val x = ((as(d) * hi) % PortableHash.P + (bs(d) * lo) % PortableHash.P + cs(d)) % PortableHash.P
+        val x = PortableHash.permParts(as(d), bs(d), cs(d), hi, lo)
         val j = x % numBits
         buffer((j >>> 6).toInt) |= (1L << (j & 63L))
         d += 1
@@ -141,7 +141,7 @@ case class BloomContains(left: Expression, right: Expression, numHashes: Int) ex
     val lo = h & PortableHash.Mask31
     var d = 0
     while (d < numHashes) {
-      val x = ((as(d) * hi) % PortableHash.P + (bs(d) * lo) % PortableHash.P + cs(d)) % PortableHash.P
+      val x = PortableHash.permParts(as(d), bs(d), cs(d), hi, lo)
       val j = x % bits
       if ((arr.getLong((j >>> 6).toInt) & (1L << (j & 63L))) == 0L) return false
       d += 1

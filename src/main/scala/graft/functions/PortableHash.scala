@@ -96,8 +96,18 @@ object PortableHash {
     */
   def perm(a: Long, b: Long, c: Long, h: Long): Long = {
     val hm = h & Mask62
-    ((a * (hm >>> 31)) % P + (b * (hm & Mask31)) % P + c) % P
+    permParts(a, b, c, hm >>> 31, hm & Mask31)
   }
+
+  /** [[perm]] on a pre-split hash — the per-row aggregate loops
+    * (MinHash/CMS/Bloom) split hi/lo ONCE and run this per
+    * permutation row. Every interpreted consumer of the permutation
+    * goes through here, so the arithmetic cannot silently diverge
+    * between sketches (the codegen template in BloomContains and the
+    * oracle permSql mirror it textually).
+    */
+  @inline def permParts(a: Long, b: Long, c: Long, hi: Long, lo: Long): Long =
+    ((a * hi) % P + (b * lo) % P + c) % P
 
   private def mix(i: Long): Long = {
     var x = i * 6364136223846793005L + 1442695040888963407L

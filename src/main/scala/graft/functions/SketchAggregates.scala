@@ -63,7 +63,7 @@ case class MinHashAgg(
       val lo = h & PortableHash.Mask31
       var p = 0
       while (p < numPerms) {
-        val x = ((as(p) * hi) % PortableHash.P + (bs(p) * lo) % PortableHash.P + cs(p)) % PortableHash.P
+        val x = PortableHash.permParts(as(p), bs(p), cs(p), hi, lo)
         if (x < buffer(p)) buffer(p) = x
         p += 1
       }
@@ -259,7 +259,7 @@ case class CmsAgg(
       val lo = h & PortableHash.Mask31
       var d = 0
       while (d < depth) {
-        val x = ((as(d) * hi) % PortableHash.P + (bs(d) * lo) % PortableHash.P + cs(d)) % PortableHash.P
+        val x = PortableHash.permParts(as(d), bs(d), cs(d), hi, lo)
         buffer(d * width + (x % width).toInt) += 1L
         d += 1
       }

@@ -50,17 +50,22 @@ object PageRank {
     import spark.implicits._
 
     val src = col(srcCol)
+    // materialize the edge derivation ONCE: deg, the weighted join's
+    // probe side, and both union branches of nodes all read it — an
+    // unchecked plan would re-execute the caller's derivation (for
+    // q97: a fact-table window + distinct) four times
+    val edgesC = edges.select(src.as("src"), col(dstCol).as("dst")).localCheckpoint()
     // the per-iteration join key is src: partition the (src, dst,
     // outdeg) frame by it once, cut lineage, reuse every round
-    val deg = edges.groupBy(src).agg(count(lit(1)).as("outdeg"))
-    val edgesW = edges
-      .join(deg, srcCol)
-      .select(src.as("src"), col(dstCol).as("dst"), col("outdeg"))
+    val deg = edgesC.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesW = edgesC
+      .join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
       .repartition(col("src"))
       .localCheckpoint()
-    val nodes = edges
-      .select(src.as("node"))
-      .union(edges.select(col(dstCol).as("node")))
+    val nodes = edgesC
+      .select(col("src").as("node"))
+      .union(edgesC.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
     val n = nodes.count()

@@ -100,12 +100,22 @@ object Sampling {
     */
   val TwoTo52: Double = 4503599627370496.0
 
+  /** The E-S key as a Column: -ln(u)/w with u from the 52-bit md5
+    * prefix — portable to any engine with md5 + ln.
+    */
+  def esKey(hashCol: Column, weightCol: Column): Column = {
+    val u = (conv(substring(md5(hashCol), 1, 13), 16, 10).cast("long").cast("double") + lit(0.5)) / lit(TwoTo52)
+    -log(u) / weightCol.cast("double")
+  }
+
   /** Deterministic WEIGHTED k-sample per group, without replacement —
     * Efraimidis–Spirakis: each row draws u from the md5 coin and keys
     * itself with -ln(u)/w; the k smallest keys per group are a sample
     * where P(row selected) scales with its weight (quality- or
-    * length-proportional sampling, the training-data shape). Columns
-    * out: (groupCol, idCol, rank), rank 1..k ascending by key.
+    * length-proportional sampling, the training-data shape). This is
+    * the aggregated form: (groupCol, sample_ids array<bigint>), ids
+    * ascending by E-S key; [[weightedTopK]] explodes it to
+    * (groupCol, idCol, rank).
     *
     * Scale shape: NOT the per-group `row_number()` window (the q45
     * scale-killer) and not even the gated window of [[topKByHash]] —
@@ -115,23 +125,14 @@ object Sampling {
     * any group anywhere. The md5-derived key makes the sample
     * reproducible across engines and runs (the DuckDB oracle computes
     * the identical key and window-ranks it — correct there, because
-    * the oracle only ever runs at test scale).
+    * the oracle only ever runs at test scale). Stream-safe: a
+    * streaming groupBy carries the k-sized heap buffer in state, and
+    * heap content is merge-order independent, so stream ≡ batch
+    * (asserted in StreamingSpec).
     *
     * Rows with weight ≤ 0 are excluded (they cannot be sampled: the
-    * E-S key is undefined).
-    */
-  /** The E-S key as a Column: -ln(u)/w with u from the 52-bit md5
-    * prefix — portable to any engine with md5 + ln.
-    */
-  def esKey(hashCol: Column, weightCol: Column): Column = {
-    val u = (conv(substring(md5(hashCol), 1, 13), 16, 10).cast("long").cast("double") + lit(0.5)) / lit(TwoTo52)
-    -log(u) / weightCol.cast("double")
-  }
-
-  /** The aggregated form: (groupCol, sample_ids array<bigint>), ids
-    * ascending by E-S key. Stream-safe (a streaming groupBy carries
-    * the k-sized heap buffer in state; heap content is merge-order
-    * independent, so stream ≡ batch — asserted in StreamingSpec).
+    * E-S key is undefined); rows whose key or id is NULL are skipped
+    * by the aggregate (a null sort key cannot rank).
     */
   def weightedTopKHeaps(
       df: DataFrame,

@@ -401,6 +401,7 @@ object AnalyticsQueries {
   /** q96: drift-compared vintages and the fixed price-bin width. */
   val PsiYearA = 1995
   val PsiYearB = 1996
+  val PsiBucketWidth = 50000.0
 
   /** q102: Bloom geometry (2¹⁶ bits = 8 KB, 4 hash rows — fpp ≈ 8e-4
     * at ~3k keys) and the dim-side selection.
@@ -408,7 +409,6 @@ object AnalyticsQueries {
   val BloomBits: Int = 1 << 16
   val BloomHashes = 4
   val BloomDimPriority = "1-URGENT"
-  val PsiBucketWidth = 50000.0
 
   def oracle: Map[String, String] = Map(
     "q42_asof_join" ->

@@ -806,7 +806,7 @@ object DedupSimQueries {
        |pidx AS (
        |  $pidxUnions),
        |j AS (SELECT s.source, p.token, p.d, coalesce(c.c, 0) AS c
-       |      FROM (SELECT DISTINCT source FROM documents) s
+       |      FROM (SELECT DISTINCT source FROM h) s
        |      CROSS JOIN pidx p
        |      LEFT JOIN cnt c ON c.source = s.source AND c.d = p.d AND c.idx = p.idx)
        |SELECT source, token, CAST(min(c) AS BIGINT) AS est FROM j GROUP BY source, token""".stripMargin

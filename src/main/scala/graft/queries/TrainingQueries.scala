@@ -836,7 +836,7 @@ object TrainingQueries {
          |  SELECT source, doc_id,
          |         -ln((('0x' || substring(md5(text), 1, 13))::BIGINT + 0.5) / 4503599627370496.0)
          |           / CAST(n_chars AS DOUBLE) AS k
-         |  FROM documents WHERE n_chars > 0),
+         |  FROM documents WHERE n_chars > 0 AND text IS NOT NULL),
          |r AS (SELECT source, doc_id,
          |             row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rank
          |      FROM keyed)

@@ -446,8 +446,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming weighted-sample heaps match batch exactly (the q99 maintenance path)") {
     // a continuously-maintained weighted sample: arriving documents
-    // fold into the per-source bounded heap (graft_topk) in update
-    // mode. The heap's content is merge-order independent, so the
+    // fold into the per-source bounded heap (graft_topk), read back in
+    // complete mode. The heap's content is merge-order independent, so the
     // final state must equal the batch aggregate EXACTLY — including
     // the ascending-by-key id order inside each array.
     implicit val sqlCtx = spark.sqlContext
