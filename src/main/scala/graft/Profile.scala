@@ -16,9 +16,20 @@ object Profile {
     * counting rule shared by the --shuffles census and PlanSpec's
     * budget assertion, so the measurement tool and the gate cannot
     * drift apart.
+    *
+    * Exchanges carrying a plan_id are counted ONCE per id: a scalar
+    * subquery referenced from several operators re-renders its whole
+    * subtree (same plan_id) at every reference site, but executes
+    * once — q102's bloom-build exchange would otherwise count 3×.
+    * Id-less renderings keep the raw count.
     */
-  def countShuffles(plan: String): Int =
-    "Exchange (hash|range|SinglePartition)".r.findAllIn(plan).size
+  def countShuffles(plan: String): Int = {
+    val withId = "Exchange (?:hash|range|SinglePartition)[^\n]*\\[plan_id=(\\d+)\\]".r
+    val idMatches = withId.findAllMatchIn(plan).toSeq
+    val distinctIds = idMatches.map(_.group(1)).toSet.size
+    val all = "Exchange (hash|range|SinglePartition)".r.findAllIn(plan).size
+    distinctIds + (all - idMatches.size)
+  }
 
   def main(args: Array[String]): Unit = {
     val reps = args.collectFirst { case a if a.startsWith("--reps=") => a.drop(7).toInt }.getOrElse(1)

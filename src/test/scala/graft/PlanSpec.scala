@@ -223,12 +223,10 @@ class PlanSpec extends AnyFunSuite {
     "q100_tfidf_pairs" -> 3,
     // q101: probes × checkpointed sketches, broadcast only
     "q101_cms_est" -> 0,
-    // q102: 1 real data shuffle (the final group agg) + the bloom
-    // subquery's SinglePartition exchange, which the counter sees at
-    // each of its reference sites (fact filter, inferred key filter,
-    // and the subquery itself) — at runtime it executes ONCE
-    // (subquery reuse); the semi-join broadcasts
-    "q102_bloom_semi_join" -> 5
+    // q102: the final group agg + the bloom subquery's SinglePartition
+    // exchange (counted once across its reference sites — it executes
+    // once); the semi-join broadcasts
+    "q102_bloom_semi_join" -> 2
   )
 
   test("no operator exceeds its shuffle budget") {

@@ -516,6 +516,39 @@ class PropertySpec extends AnyFunSuite {
     assert(bitset(df.repartition(11, col("h"))) == bf, "bloom merge is partitioning-dependent")
   }
 
+  test("native aggregates survive the sort-based aggregation fallback") {
+    // ObjectHashAggregate falls back to sort-based aggregation past a
+    // per-partition distinct-group threshold — a path that leans hard
+    // on every TypedImperativeAggregate's serialize/deserialize/merge.
+    // Force the fallback at 1 group and assert results identical to
+    // the default hash path for all four sketch aggregates.
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new Random(1000)
+    val rows = (1 to 2000).map(i => (s"g${i % 17}", rnd.nextLong() & ((1L << 62) - 1), i.toLong))
+    val df = rows.toDF("grp", "h", "id")
+    def all(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy(col("grp"))
+      .agg(
+        GraftFunctions.minhash(col("h"), 16).as("mh"),
+        GraftFunctions.simhash(col("h")).as("sh"),
+        GraftFunctions.cms(col("h"), 4, 64).as("cms"),
+        GraftFunctions.bloom(col("h"), 256, 4).as("bf"),
+        GraftFunctions.topk(col("h").cast("double"), col("id"), 5).as("tk")
+      )
+      .collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1))
+      .toMap
+    val default = all(df)
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1")
+    try {
+      val fallback = all(df)
+      assert(fallback.keySet == default.keySet)
+      default.foreach { case (g, vs) => assert(fallback(g) == vs, s"fallback diverges for group $g") }
+    } finally spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest
       .getInstance("MD5")
