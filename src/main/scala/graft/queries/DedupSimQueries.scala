@@ -281,9 +281,12 @@ object DedupSimQueries {
     // q90: proper-prefix containment pairs (truncated re-crawls).
     // Blocked on the first 16 chars — an equi-join that provably
     // keeps every prefix pair among length>=16 docs — then one
-    // startsWith verify. Never an all-pairs comparison.
+    // startsWith verify. Never an all-pairs comparison; blocks hotter
+    // than PrefixBlockCap are dropped by contract (shared-boilerplate
+    // guard — the q31 df-cap pattern on the block key), so no block
+    // can go quadratic on "<!doctype html><"-style openings.
     "q90_prefix_containment" -> { (s, dir) =>
-      Dedup.prefixContainmentPairs(Tables.documents(s, dir), "doc_id", "text", PrefixBlockChars)
+      Dedup.prefixContainmentPairs(Tables.documents(s, dir), "doc_id", "text", PrefixBlockChars, PrefixBlockCap)
     },
 
     // q95: edit-distance near-dup verify — the integer shared-shingle
@@ -352,8 +355,13 @@ object DedupSimQueries {
   // q89: fixed segment width (words) for segment-level dedup.
   val SegWords = 10
   // q90: prefix-containment block width (chars); docs shorter than
-  // this are out of contract.
+  // this are out of contract. Blocks with more than PrefixBlockCap
+  // docs are dropped (shared-boilerplate contract + hot-key guard —
+  // see Dedup.prefixContainmentPairs; at the test scales the hottest
+  // block holds 2 docs, so results are unchanged and the oracle
+  // mirrors the cap).
   val PrefixBlockChars = 16
+  val PrefixBlockCap = 50
   // q95: shared-shingle gate and the edit-distance denominator
   // (dist*denom <= max_len, denom=4 -> within 25%).
   val EditMinSharedShingles = 10
@@ -631,11 +639,14 @@ object DedupSimQueries {
          |       coalesce(k.kept_md5, md5('')) AS kept_md5
          |FROM base b LEFT JOIN kept k USING (doc_id)""".stripMargin,
     "q90_prefix_containment" ->
-      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= $PrefixBlockChars)
+      s"""WITH d0 AS (SELECT doc_id, text, substr(text, 1, $PrefixBlockChars) AS blk
+         |            FROM documents WHERE len(text) >= $PrefixBlockChars),
+         |hot AS (SELECT blk FROM d0 GROUP BY blk HAVING count(*) > $PrefixBlockCap),
+         |d AS (SELECT * FROM d0 WHERE blk NOT IN (SELECT blk FROM hot))
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |       CAST(len(a.text) AS BIGINT) AS a_len, CAST(len(b.text) AS BIGINT) AS b_len
          |FROM d a JOIN d b
-         |  ON substr(a.text, 1, $PrefixBlockChars) = substr(b.text, 1, $PrefixBlockChars)
+         |  ON a.blk = b.blk
          | AND len(b.text) > len(a.text)
          | AND starts_with(b.text, a.text)""".stripMargin,
     "q95_editdist_neardup" ->

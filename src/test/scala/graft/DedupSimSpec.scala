@@ -221,6 +221,7 @@ class DedupSimSpec extends AnyFunSuite {
 
   test("q90: every reported pair is a strict prefix containment, and a planted pair is found") {
     import graft.dedup.Dedup
+    import graft.queries.DedupSimQueries.{PrefixBlockCap, PrefixBlockChars}
     import spark.implicits._
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
@@ -229,7 +230,7 @@ class DedupSimSpec extends AnyFunSuite {
       (4L, "short") // under the 16-char contract, excluded
     ).toDF("doc_id", "text")
     val got = Dedup
-      .prefixContainmentPairs(docs, "doc_id", "text", graft.queries.DedupSimQueries.PrefixBlockChars)
+      .prefixContainmentPairs(docs, "doc_id", "text", PrefixBlockChars, PrefixBlockCap)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
@@ -246,6 +247,53 @@ class DedupSimSpec extends AnyFunSuite {
       val (a, b) = (texts(r.getLong(0)), texts(r.getLong(1)))
       assert(b.startsWith(a) && b.length > a.length, s"pair (${r.getLong(0)}, ${r.getLong(1)}) is not a strict prefix")
     }
+  }
+
+  test("q90: blocks hotter than the cap are dropped, so shared boilerplate cannot go quadratic") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // synthetic crawl shard: every "page" opens with the same 16+ char
+    // boilerplate ("<!doctype html> " is exactly 16 chars), far more
+    // docs than the cap — plus one real truncation pair in a cold block
+    val cap = 5
+    val boiler = (1L to 40L).map(i => (i, s"<!doctype html> page body number $i with its own tail"))
+    val cold = Seq(
+      (100L, "unique opening line alpha beta"),
+      (101L, "unique opening line alpha beta gamma delta")
+    )
+    val docs = (boiler ++ cold).toDF("doc_id", "text")
+    val out = Dedup
+      .prefixContainmentPairs(docs, "doc_id", "text", 16, cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // the hot block contributes NOTHING (contract); the cold pair survives
+    assert(out == Set((100L, 101L)), s"hot-block pairs leaked or cold pair lost: $out")
+    // the bound itself: no surviving block exceeds cap docs, so the
+    // self-join's per-block fan-out is ≤ cap² by construction
+    val survivingMax = docs
+      .filter(length(col("text")) >= 16)
+      .groupBy(substring(col("text"), 1, 16).as("blk"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= cap)
+      .agg(max(col("n")))
+      .head()
+      .getLong(0)
+    assert(survivingMax <= cap)
+    // at the corpus SF the cap is loose (hottest real block ≤ 2 docs),
+    // so the capped operator equals the uncapped definition there: the
+    // driver oracle (which mirrors the cap) stays a real containment
+    // check, not a vacuous one
+    val corpusMax = graft.sources.Tables
+      .documents(spark, sf)
+      .filter(length(col("text")) >= 16)
+      .groupBy(substring(col("text"), 1, 16))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")))
+      .head()
+      .getLong(0)
+    assert(corpusMax <= graft.queries.DedupSimQueries.PrefixBlockCap, "test corpus now trips the cap; revisit")
   }
 
   test("q95: edit-distance pairs respect the gate and the relative-distance contract") {

@@ -195,10 +195,14 @@ class PlanSpec extends AnyFunSuite {
     // q89: winner election (seg_key agg) + per-doc reassembly agg; the
     // doc_id join rides the reassembly's partitioning
     "q89_segment_dedup" -> 2,
-    // q90: the 16-char-prefix block join broadcasts at test scale; at
-    // corpus scale it becomes one sort-merge exchange pair — blocked
-    // equi-join either way, never all-pairs
-    "q90_prefix_containment" -> 0,
+    // q90: the block-frequency cap pays a blk-keyed count exchange
+    // plus the hot-set anti-join's exchange in the initial plan (AQE
+    // broadcasts the tiny hot set at runtime; no forced hint — the
+    // dfCapped rationale). Both exchanges carry 16-char keys, never
+    // bodies; the block self-join itself broadcasts at test scale and
+    // becomes a sort-merge pair over CAPPED blocks at corpus scale —
+    // never all-pairs, never a hot key.
+    "q90_prefix_containment" -> 2,
     // q91: group-count aggregate + the survivor-only rank window
     "q91_group_sample" -> 2,
     "q92_pmi_collocations" -> 3,
