@@ -21,7 +21,15 @@ object Profile {
     * subquery referenced from several operators re-renders its whole
     * subtree (same plan_id) at every reference site, but executes
     * once — q102's bloom-build exchange would otherwise count 3×.
-    * Id-less renderings keep the raw count.
+    * Id-less renderings keep the raw count. KNOWN LIMITATION (r7
+    * advice): plan strings rendered WITHOUT plan ids (AQE off) can
+    * therefore still overcount a multiply-referenced subquery
+    * exchange once per rendering — deduping identical id-less
+    * subtree strings would instead UNDERcount genuinely distinct
+    * exchanges that happen to render identically (two scans of the
+    * same table aggregated the same way), so the census accepts the
+    * conservative overcount there. PlanSpec budgets run with AQE on
+    * (plan ids present), where the count is exact.
     */
   def countShuffles(plan: String): Int = {
     val withId = "Exchange (?:hash|range|SinglePartition)[^\n]*\\[plan_id=(\\d+)\\]".r

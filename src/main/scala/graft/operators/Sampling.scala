@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Deterministic per-group top-k-by-hash sampling.
   *
@@ -143,6 +144,16 @@ object Sampling {
       k: Int
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // the heap carries long ids; a silent cast of a string id column
+    // would yield NULLs that TopKAgg skips — the caller would get
+    // EMPTY samples instead of an error (r7 advice). Enforce the
+    // bigint-id contract loudly.
+    val idType = df.schema(idCol).dataType
+    require(
+      Seq(types.LongType, types.IntegerType, types.ShortType, types.ByteType).contains(idType),
+      s"weightedTopKHeaps requires an integral id column; '$idCol' is $idType " +
+        "(hash or dictionary-encode non-numeric ids to bigint first)"
+    )
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     df.filter(col(weightCol) > 0)
       .select(col(groupCol), esKey(col(hashCol), col(weightCol)).as("__k"), col(idCol).cast("long").as("__id"))
@@ -166,6 +177,12 @@ object Sampling {
     * sample-completeness invariant. 0 by the Chernoff bound; asserted
     * in CI so a gate regression (or a pathological corpus) fails a
     * spec, not a silent short sample.
+    *
+    * Counted from the COUNTS side (left join of kept survivors onto
+    * the per-group totals): aggregating the survivor stream alone
+    * cannot see a group whose gate kept ZERO rows — the one extreme
+    * failure mode this check exists to catch would silently pass
+    * (r7 advice).
     */
   def underflowGroups(
       df: DataFrame,
@@ -177,12 +194,15 @@ object Sampling {
   ): Long = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n_g"))
     val gates = counts.select(col(groupCol), col("__n_g"), gateHex(col("__n_g"), k, oversample).as("__thr"))
-    df.select(col(groupCol), substring(md5(col(hashCol)), 1, 8).as("h"))
-      .join(broadcast(gates), groupCol)
+    val kept = df
+      .select(col(groupCol), substring(md5(col(hashCol)), 1, 8).as("h"))
+      .join(broadcast(gates.select(col(groupCol), col("__thr"))), groupCol)
       .filter(col("h") < col("__thr"))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("kept"), first(col("__n_g")).as("n_g"))
-      .filter(col("kept") < least(lit(k.toLong), col("n_g")))
+      .agg(count(lit(1)).as("kept"))
+    counts
+      .join(kept, Seq(groupCol), "left_outer")
+      .filter(coalesce(col("kept"), lit(0L)) < least(lit(k.toLong), col("__n_g")))
       .count()
   }
 }

@@ -39,6 +39,17 @@ object Similarity {
     * (a, b); norms ride back in as equi-joins. At 100 TB the postings
     * frame would be written bucketBy(term) — the cap bounds each
     * task's pair fan-out either way.
+    *
+    * DECLARED CONTRACT (r7 advice): membership is decided on the
+    * 4dp-ROUNDED cosine, and the dot underneath is a partition-order-
+    * dependent double sum — a pair whose unrounded cosine sits within
+    * ~1 ulp of a 4th-decimal rounding boundary that coincides with
+    * `threshold` could flip inclusion between partitionings. This is
+    * the same round-then-compare class as every other FP-thresholded
+    * operator here; the alternative (a half-ulp tolerance band) just
+    * moves the knife edge to the band's own boundary. Callers needing
+    * partition-stable membership should threshold on an integer
+    * surrogate (e.g. q85's 2·n_match ≥ numPerms gate).
     */
   def tfidfCosinePairs(
       docs: DataFrame,

@@ -301,6 +301,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("underflowGroups detects a group whose gate kept ZERO survivors") {
+    // the extreme failure mode the invariant exists to catch (r7
+    // advice): a survivor-side-only aggregate never sees such a group.
+    // Force it deterministically: k=1, oversample=1 → a 2-row group
+    // gates at md5-prefix < 80000000, and payloads are picked (by the
+    // same JVM md5) so both rows hash ABOVE the gate → 0 survivors.
+    import graft.operators.Sampling
+    import spark.implicits._
+    val high = (1 to 1000).map(i => s"zpay-$i").filter(p => md5Hex(p).head >= '8').take(2)
+    assert(high.size == 2, "fixture generation failed to find high-hash payloads")
+    val low = (1 to 1000).map(i => s"apay-$i").filter(p => md5Hex(p).head < '8').take(2)
+    val df = (high.zipWithIndex.map { case (p, i) => ("dead", i.toLong, p) } ++
+      low.zipWithIndex.map { case (p, i) => ("alive", 100L + i, p) }).toDF("grp", "id", "payload")
+    assert(Sampling.underflowGroups(df, "grp", "id", "payload", 1, 1) == 1L, "zero-survivor group not detected")
+  }
+
   test("weighted sample equals the naive E-S definition and is merge-order independent") {
     import graft.operators.Sampling
     import spark.implicits._
