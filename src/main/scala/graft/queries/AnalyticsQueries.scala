@@ -158,19 +158,54 @@ object AnalyticsQueries {
     },
 
     // q57: sketch-based approximate statistics — HLL distinct counts
-    // and KLL-style approximate quantiles per group. At 100 TB these
-    // replace their exact counterparts (q45's exact quantile needs a
-    // full sort per group; HLL is one pass, fixed memory). No DuckDB
-    // oracle (sketch internals differ across engines) — AnalyticsSpec
-    // bounds the error against the exact answers instead.
+    // and KLL-style approximate quantiles per group, ORACLE-GATED
+    // (round 8; retires the suite's last rows-only check). Sketch
+    // INTERNALS are engine-specific, so the raw estimates cannot be
+    // hash-compared — instead the query emits the exact statistics
+    // (which DuckDB reproduces) plus booleans asserting each sketch
+    // landed within its declared bound, and the oracle expects TRUE:
+    // a broken sketch flips a boolean and fails the hash compare.
+    // Both sketches are deterministic given the data (no RNG), so the
+    // booleans cannot flake — hll_ok has 5% headroom vs the 2% rsd
+    // configuration, kll_ok grants ±5% rank slack vs the ~0.01%
+    // accuracy=10000 guarantee. At 100 TB the production call is the
+    // sketch half ALONE (one pass, fixed memory — the point of q57);
+    // the exact half here is the acceptance harness, built from the
+    // same banded-refinement producer as q45 (no full-group sort).
     "q57_approx_stats" -> { (s, dir) =>
-      Tables
+      val li = Tables
         .lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+      val stats = li
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n_rows"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median")
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("__hll"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__kll")
+        )
+      // 3-row exact quantile frame; localCheckpoint for the same
+      // reason as q83 — the multi-stage producer must not run inside
+      // a broadcast build
+      val q = Quantiles
+        .exactDiscrete(
+          li.select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag",
+          "l_extendedprice",
+          Seq(0.45, 0.5, 0.55),
+          Seq("p45", "median", "p55")
+        )
+        .drop("n")
+        .localCheckpoint()
+      stats
+        .join(broadcast(q), "l_returnflag")
+        .select(
+          col("l_returnflag"),
+          col("n_rows"),
+          col("n_orders"),
+          col("median"),
+          (abs(col("__hll") - col("n_orders")) <= col("n_orders") * lit(0.05)).as("hll_ok"),
+          (col("__kll") >= col("p45") && col("__kll") <= col("p55")).as("kll_ok")
         )
     },
 
@@ -461,6 +496,18 @@ object AnalyticsQueries {
         |             count(*) OVER (PARTITION BY l_returnflag) n
         |      FROM lineitem)
         |GROUP BY l_returnflag""".stripMargin,
+    // the exact half hash-compares; the sketch half is gated by the
+    // booleans the oracle expects TRUE (see the query comment)
+    "q57_approx_stats" ->
+      """WITH r AS (SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |                  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) rn,
+        |                  count(*) OVER (PARTITION BY l_returnflag) n
+        |           FROM lineitem)
+        |SELECT l_returnflag, max(n) AS n_rows,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       min(CASE WHEN rn = floor(0.5 * (n - 1)) + 1 THEN l_extendedprice END) AS median,
+        |       TRUE AS hll_ok, TRUE AS kll_ok
+        |FROM r GROUP BY l_returnflag""".stripMargin,
     "q46_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,

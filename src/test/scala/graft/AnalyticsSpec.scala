@@ -146,28 +146,41 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("approx sketches stay within error bounds of the exact answers at two SFs") {
-    // q57 is the one rows-only driver check (HLL/KLL internals are
-    // engine-specific), so its correctness contract lives HERE: every
-    // group's approx distinct and median within 5% relative error of
-    // the exact answers, at sf0.001 and sf0.01. The 5% bound is ~9
-    // standard errors for HLL++ at the default relativeSD=0.05/sqrt(m)
-    // configuration and ~25x the KLL rank error at accuracy 10000 —
-    // loose enough to never flake, tight enough to catch a broken
-    // sketch or a swapped column.
+    // q57's sketch gate is oracle-checked since round 8 (the booleans
+    // must hash-compare TRUE); this spec keeps the RAW-estimate bound
+    // at two SFs — every group's approx distinct and median within 5%
+    // relative error of the exact answers (~9 HLL standard errors,
+    // ~25x the KLL rank error: loose enough to never flake, tight
+    // enough to catch a broken sketch or a swapped column) — and
+    // asserts the query's own booleans and exact columns agree with a
+    // direct computation.
     import graft.sources.Tables
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
-      val approx = SparkEntry.queries("q57_approx_stats")(spark, dir).collect()
-        .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      val out = SparkEntry.queries("q57_approx_stats")(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4), r.getBoolean(5))))
+        .toMap
       val li = Tables.lineitem(spark, dir)
       val exact = li.groupBy("l_returnflag")
-        .agg(countDistinct("l_orderkey").as("d"), expr("percentile(l_extendedprice, 0.5)").as("m"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct("l_orderkey").as("d"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("hll"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("kll"),
+          expr("percentile(l_extendedprice, 0.5)").as("m")
+        )
         .collect()
-        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-      assert(approx.keySet == exact.keySet, s"group sets diverge at $dir")
-      exact.foreach { case (flag, (d, m)) =>
-        val (ad, am) = approx(flag)
-        assert(math.abs(ad - d).toDouble / d <= 0.05, s"$dir $flag distinct: approx $ad vs exact $d")
-        assert(math.abs(am - m) / m <= 0.05, s"$dir $flag median: approx $am vs exact $m")
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+      assert(out.keySet == exact.keySet, s"group sets diverge at $dir")
+      exact.foreach { case (flag, (n, d, hll, kll, m)) =>
+        val (qn, qd, qMed, hllOk, kllOk) = out(flag)
+        assert(qn == n && qd == d, s"$dir $flag exact columns diverge")
+        assert(hllOk && kllOk, s"$dir $flag sketch gate boolean false")
+        // the query's discrete median and the interpolating exact
+        // median agree within the bound (they differ by ≤1 rank)
+        assert(math.abs(qMed - m) / m <= 0.05, s"$dir $flag median column off: $qMed vs $m")
+        assert(math.abs(hll - d).toDouble / d <= 0.05, s"$dir $flag distinct: approx $hll vs exact $d")
+        assert(math.abs(kll - m) / m <= 0.05, s"$dir $flag median: approx $kll vs exact $m")
       }
     }
   }

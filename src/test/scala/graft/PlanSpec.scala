@@ -158,7 +158,11 @@ class PlanSpec extends AnyFunSuite {
     "q54_cdc_diff" -> 3,
     "q55_dup_clusters" -> 1,
     "q56_clean_corpus" -> 1,
-    "q57_approx_stats" -> 1,
+    // q57: the Expand'd distinct+sketch aggregate pair (the exact
+    // half is the acceptance harness; production runs the sketch half
+    // alone — see the query comment); the quantile producer rides the
+    // localCheckpoint, the 3-row threshold join broadcasts
+    "q57_approx_stats" -> 2,
     "q58_rolling_avg" -> 1,
     "q59_frame_sample" -> 0,
     "q60_mom_growth" -> 2,
