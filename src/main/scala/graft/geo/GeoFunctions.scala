@@ -45,4 +45,70 @@ object GeoFunctions {
   /** Point-in-bbox containment (pl_geo.py:216 internal-point checks). */
   def inBbox(lat: Column, lon: Column, minLat: Double, maxLat: Double, minLon: Double, maxLon: Double): Column =
     lat >= minLat && lat <= maxLat && lon >= minLon && lon <= maxLon
+
+  // --- Polygon rings (round 8): the executable slice of the reference's
+  // real-geometry semantics (pl_geo.py:149-190 unions shapely polygons;
+  // :216 constructs a representative point INSIDE the geometry). The
+  // container has no geometry lib, so rings are plain
+  // array<struct<x: bigint, y: bigint>> columns in integer
+  // (centi-degree) coordinates — every operation below is EXACT integer
+  // arithmetic, reproducible verbatim by any SQL engine. Vertices are
+  // listed WITHOUT repeating the first point; the closing edge
+  // (last -> first) is implicit.
+
+  /** A ring vertex struct; build rings as array(ringPoint(x1,y1), ...). */
+  def ringPoint(x: Column, y: Column): Column = struct(x.cast("long").as("x"), y.cast("long").as("y"))
+
+  /** TWICE the signed shoelace area of a ring: Σ (xᵢ·yⱼ − xⱼ·yᵢ) over
+    * consecutive vertex pairs (j = i+1 cyclically). Doubling keeps the
+    * result an exact BIGINT (no halving division to round); sign > 0 ⇔
+    * counter-clockwise winding. Degenerate rings (< 3 vertices)
+    * correctly yield 0.
+    */
+  def shoelace2(ring: Column): Column = {
+    val n = size(ring)
+    aggregate(
+      sequence(lit(0), n - 1),
+      lit(0L),
+      (acc, i) => {
+        val a = element_at(ring, i + 1)
+        val b = element_at(ring, ((i + 1) % n) + 1)
+        acc + (a.getField("x") * b.getField("y") - b.getField("x") * a.getField("y"))
+      }
+    )
+  }
+
+  /** Ray-cast point-in-polygon over a ring, division-free: edge (i, j)
+    * contributes a crossing when it straddles the horizontal ray at py
+    * ((yᵢ > py) ≠ (yⱼ > py) — strict on both, so horizontal edges never
+    * straddle) and the intersection lies right of px, tested in exact
+    * integers by comparing (px−xᵢ)·dy against (xⱼ−xᵢ)·(py−yᵢ) with the
+    * inequality flipped for dy < 0 (multiplying through by dy instead
+    * of dividing — no FP, no engine drift). Odd crossing parity =
+    * inside. Works for ANY simple polygon, convex or not. CONTRACT:
+    * points exactly ON an edge get an arbitrary but deterministic
+    * verdict (the usual crossing-number boundary behavior).
+    */
+  def pointInRing(px: Column, py: Column, ring: Column): Column = {
+    val n = size(ring)
+    val crossings = aggregate(
+      sequence(lit(0), n - 1),
+      lit(0L),
+      (acc, i) => {
+        val a = element_at(ring, i + 1)
+        val b = element_at(ring, ((i + 1) % n) + 1)
+        val xi = a.getField("x")
+        val yi = a.getField("y")
+        val xj = b.getField("x")
+        val yj = b.getField("y")
+        val straddles = (yi > py) =!= (yj > py)
+        val dy = yj - yi
+        val lhs = (px - xi) * dy
+        val rhs = (xj - xi) * (py - yi)
+        val crosses = straddles && when(dy > 0, lhs < rhs).otherwise(lhs > rhs)
+        acc + when(crosses, 1L).otherwise(0L)
+      }
+    )
+    crossings % 2 === 1
+  }
 }

@@ -145,6 +145,61 @@ object GeoTextQueries {
         .select(col("doc_id"), fingerprint("text").as("fp"))
     },
 
+    // q103: polygon statistics — shoelace area + ray-cast
+    // point-in-polygon as pure Column trees over
+    // array<struct<x,y>> rings (round 8; closes more of the
+    // pl_geo.py:149-190/:216 real-geometry gap without a geo lib).
+    // Every customer key synthesizes a deterministic integer pentagon:
+    // keys ≡ 0 (mod 3) get a CONCAVE top notch (the bbox center falls
+    // OUTSIDE — exactly the case where the reference needs a true
+    // interior point, pl_geo.py:216), others a convex-ish roof spike
+    // (center inside). area2 = exact-integer twice-signed-area;
+    // center_in = division-free integer ray cast. The oracle unrolls
+    // the same arithmetic over the 5 vertices as scalar SQL —
+    // bit-identical BIGINT ops, no FP anywhere.
+    "q103_polygon_stats" -> { (s, dir) =>
+      import graft.geo.GeoFunctions
+      val ring = col("ring")
+      Tables
+        .customer(s, dir)
+        .select(
+          col("c_custkey"),
+          (col("c_custkey") * 7919 % 30000).as("x0"),
+          (col("c_custkey") * 104729 % 15000).as("y0"),
+          (col("c_custkey") % 80 + 20).as("w"),
+          (col("c_custkey") % 60 + 20).as("h")
+        )
+        .select(
+          col("c_custkey"),
+          col("x0"),
+          col("y0"),
+          col("w"),
+          col("h"),
+          expr("x0 + w DIV 2").as("cx"),
+          expr("CASE WHEN c_custkey % 3 = 0 THEN y0 + h DIV 4 ELSE y0 + 2 * h END").as("apex_y"),
+          expr("CASE WHEN c_custkey % 3 = 0 THEN y0 + h DIV 2 ELSE y0 + h END").as("cy")
+        )
+        .select(
+          col("c_custkey"),
+          col("cx"),
+          col("cy"),
+          array(
+            GeoFunctions.ringPoint(col("x0"), col("y0")),
+            GeoFunctions.ringPoint(col("x0") + col("w"), col("y0")),
+            GeoFunctions.ringPoint(col("x0") + col("w"), col("y0") + col("h")),
+            GeoFunctions.ringPoint(col("cx"), col("apex_y")),
+            GeoFunctions.ringPoint(col("x0"), col("y0") + col("h"))
+          ).as("ring")
+        )
+        .select(
+          col("c_custkey"),
+          size(ring).cast("long").as("n_vertices"),
+          GeoFunctions.shoelace2(ring).as("area2"),
+          (GeoFunctions.shoelace2(ring) > 0).as("is_ccw"),
+          GeoFunctions.pointInRing(col("cx"), col("cy"), ring).as("center_in")
+        )
+    },
+
     // q88: geometry union on collision (pl_geo.py:149-190's missing
     // half — q10 merges the measures; this merges the GEOMETRY, at the
     // envelope level since the container has no polygon lib): parts
@@ -182,7 +237,61 @@ object GeoTextQueries {
 
   private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** One ray-cast edge term of the q103 oracle — the SQL twin of the
+    * integer comparison inside GeoFunctions.pointInRing.
+    */
+  private def pipEdgeSql(xi: String, yi: String, xj: String, yj: String): String =
+    s"""(CASE WHEN (($yi > py) <> ($yj > py))
+       |       AND (CASE WHEN ($yj - $yi) > 0
+       |                 THEN (px - $xi) * ($yj - $yi) < ($xj - $xi) * (py - $yi)
+       |                 ELSE (px - $xi) * ($yj - $yi) > ($xj - $xi) * (py - $yi) END)
+       |      THEN 1 ELSE 0 END)""".stripMargin
+
+  /** q103 oracle: the pentagon's 5 vertices as scalar columns, the
+    * shoelace sum and crossing count unrolled — identical BIGINT
+    * arithmetic to the Column-tree functions.
+    */
+  private lazy val q103Sql: String = {
+    val vs = Seq(("x_a", "y_a"), ("x_b", "y_b"), ("x_c", "y_c"), ("x_d", "y_d"), ("x_e", "y_e"))
+    val shoelace = vs.indices
+      .map { i =>
+        val (xi, yi) = vs(i); val (xj, yj) = vs((i + 1) % vs.size)
+        s"($xi * $yj - $xj * $yi)"
+      }
+      .mkString(" + ")
+    val crossings = vs.indices
+      .map { i =>
+        val (xi, yi) = vs(i); val (xj, yj) = vs((i + 1) % vs.size)
+        pipEdgeSql(xi, yi, xj, yj)
+      }
+      .mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT c_custkey,
+       |         (c_custkey * 7919) % 30000 AS x0,
+       |         (c_custkey * 104729) % 15000 AS y0,
+       |         c_custkey % 80 + 20 AS w,
+       |         c_custkey % 60 + 20 AS h
+       |  FROM customer),
+       |v AS (
+       |  SELECT c_custkey,
+       |         x0 AS x_a, y0 AS y_a,
+       |         x0 + w AS x_b, y0 AS y_b,
+       |         x0 + w AS x_c, y0 + h AS y_c,
+       |         x0 + w // 2 AS x_d,
+       |         CASE WHEN c_custkey % 3 = 0 THEN y0 + h // 4 ELSE y0 + 2 * h END AS y_d,
+       |         x0 AS x_e, y0 + h AS y_e,
+       |         x0 + w // 2 AS px,
+       |         CASE WHEN c_custkey % 3 = 0 THEN y0 + h // 2 ELSE y0 + h END AS py
+       |  FROM p)
+       |SELECT c_custkey, CAST(5 AS BIGINT) AS n_vertices,
+       |       CAST($shoelace AS BIGINT) AS area2,
+       |       ($shoelace) > 0 AS is_ccw,
+       |       ($crossings) % 2 = 1 AS center_in
+       |FROM v""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q103_polygon_stats" -> q103Sql,
     "q23_utm_zone" ->
       s"""SELECT c_nationkey, modal_zone, n FROM (
          |  SELECT c_nationkey, zone AS modal_zone, count(*) AS n,

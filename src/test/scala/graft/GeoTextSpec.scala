@@ -53,6 +53,60 @@ class GeoTextSpec extends AnyFunSuite {
     assert(sh == Seq("a b", "b c", "c d"))
   }
 
+  test("shoelace2 and pointInRing agree with hand-computed values on square and concave rings") {
+    // unit square ×10: area2 = 200, CCW; dart (concave) polygon: the
+    // bbox center is OUTSIDE — the case a true interior point exists for
+    def ring(pts: (Long, Long)*) =
+      array(pts.map { case (x, y) => GeoFunctions.ringPoint(lit(x), lit(y)) }: _*)
+    val square = ring((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    // dart: notch dips to (5, 2) between the top corners
+    val dart = ring((0L, 0L), (10L, 0L), (10L, 10L), (5L, 2L), (0L, 10L))
+    val r = Seq(1)
+      .toDF("x")
+      .select(
+        GeoFunctions.shoelace2(square).as("sq_area2"),
+        GeoFunctions.shoelace2(dart).as("dart_area2"),
+        GeoFunctions.pointInRing(lit(5L), lit(5L), square).as("sq_center"),
+        GeoFunctions.pointInRing(lit(11L), lit(5L), square).as("sq_out"),
+        GeoFunctions.pointInRing(lit(5L), lit(5L), dart).as("dart_center"),
+        GeoFunctions.pointInRing(lit(2L), lit(5L), dart).as("dart_wing"),
+        // clockwise square: negative signed area, PIP parity unaffected
+        GeoFunctions.shoelace2(ring((0L, 0L), (0L, 10L), (10L, 10L), (10L, 0L))).as("cw_area2")
+      )
+      .head()
+    assert(r.getLong(0) == 200L, s"square area2 ${r.getLong(0)}")
+    // dart area: square minus the notch triangle ((0,10),(5,2),(10,10)): 2A = 200 - 80 = 120
+    assert(r.getLong(1) == 120L, s"dart area2 ${r.getLong(1)}")
+    assert(r.getBoolean(2), "square center must be inside")
+    assert(!r.getBoolean(3), "point right of the square must be outside")
+    assert(!r.getBoolean(4), "dart bbox center sits in the notch - outside")
+    assert(r.getBoolean(5), "dart wing point must be inside")
+    assert(r.getLong(6) == -200L, "clockwise winding must flip the sign")
+  }
+
+  test("q103: concave pentagons reject the bbox center, convex ones keep it; area matches a JVM shoelace") {
+    val out = SparkEntry.queries("q103_polygon_stats")(spark, sf).cache()
+    val n = graft.sources.Tables.customer(spark, sf).count()
+    assert(out.count() == n, "one polygon row per customer")
+    // the split the synth guarantees: k % 3 == 0 -> notch -> center out
+    assert(out.filter(col("c_custkey") % 3 === 0 && col("center_in")).count() == 0, "a notched center leaked inside")
+    assert(out.filter(col("c_custkey") % 3 =!= 0 && !col("center_in")).count() == 0, "a spiked center fell outside")
+    assert(out.filter(!col("is_ccw") || col("area2") <= 0).count() == 0, "synth rings are CCW-positive")
+    // cross-check the Column-tree shoelace against plain JVM arithmetic
+    out.select("c_custkey", "area2").collect().take(200).foreach { r =>
+      val k = r.getLong(0)
+      val (x0, y0, w, h) = (k * 7919 % 30000, k * 104729 % 15000, k % 80 + 20, k % 60 + 20)
+      val apexY = if (k % 3 == 0) y0 + h / 4 else y0 + 2 * h
+      val vs = Seq((x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0 + w / 2, apexY), (x0, y0 + h))
+      val jvm = vs.indices.map { i =>
+        val (xi, yi) = vs(i); val (xj, yj) = vs((i + 1) % vs.size)
+        xi * yj - xj * yi
+      }.sum
+      assert(r.getLong(1) == jvm, s"key $k: area2 ${r.getLong(1)} != JVM $jvm")
+    }
+    out.unpersist()
+  }
+
   test("q88 envelope union covers every part and keeps an interior representative point") {
     val out = SparkEntry.queries("q88_geo_union_merge")(spark, sf).cache()
     // every customer part lands in exactly one merged geoid row
@@ -65,6 +119,28 @@ class GeoTextSpec extends AnyFunSuite {
         col("rep_lon2") < col("u_lon_lo") * 2 || col("rep_lon2") > col("u_lon_hi") * 2
     )
     assert(escaped.count() == 0, "representative point escaped the union envelope")
+    // the same containment through q103's ray-cast PIP predicate: the
+    // doubled rep point is strictly inside the doubled envelope ring
+    // (rep = a part's center, parts have ≥1-unit extent, so it clears
+    // the hull edge by ≥1 doubled unit — never ON the boundary)
+    val viaPip = out
+      .select(
+        GeoFunctions
+          .pointInRing(
+            col("rep_lon2"),
+            col("rep_lat2"),
+            array(
+              GeoFunctions.ringPoint(col("u_lon_lo") * 2, col("u_lat_lo") * 2),
+              GeoFunctions.ringPoint(col("u_lon_hi") * 2, col("u_lat_lo") * 2),
+              GeoFunctions.ringPoint(col("u_lon_hi") * 2, col("u_lat_hi") * 2),
+              GeoFunctions.ringPoint(col("u_lon_lo") * 2, col("u_lat_hi") * 2)
+            )
+          )
+          .as("in")
+      )
+      .filter(!col("in"))
+      .count()
+    assert(viaPip == 0, "ray-cast PIP disagrees with the envelope containment")
     // envelope sanity: hull bounds are ordered and area is positive
     assert(out.filter(col("u_lat_lo") > col("u_lat_hi") || col("u_lon_lo") > col("u_lon_hi")).count() == 0)
     assert(out.filter(col("total_area") <= 0).count() == 0)

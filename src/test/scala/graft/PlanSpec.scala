@@ -231,6 +231,9 @@ class PlanSpec extends AnyFunSuite {
     "q100_tfidf_pairs" -> 3,
     // q101: probes × checkpointed sketches, broadcast only
     "q101_cms_est" -> 0,
+    // q103: pure scan-side integer geometry — ring synth, shoelace and
+    // ray cast are all per-row Column trees, no exchange anywhere
+    "q103_polygon_stats" -> 0,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts
