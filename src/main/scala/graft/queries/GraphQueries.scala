@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.PageRank
@@ -22,31 +22,66 @@ object GraphQueries {
   val PrIterations = 5
   val PrDamping = 0.85
 
+  /** q104: persisted edge-table name, bucket count, and the
+    * base/delta split predicate's modulus (orders ≡ 0 mod 5 arrive as
+    * the "daily" delta batch).
+    */
+  val EdgeTable = "graft_part_edges"
+  val EdgeBuckets = 8
+  val DeltaMod = 5
+
+  /** The part co-occurrence edge derivation shared by q97 and q104:
+    * each part links to the NEXT part in its order's line sequence.
+    * ONE lead() window (a single fact-table shuffle; a self-join
+    * would pay two); linenumbers are NOT unique per order in this
+    * corpus, so the partkey tiebreak makes the sequence — and the
+    * edge set — total and engine-independent. `orderFilter` restricts
+    * to a subset of ORDERS (whole orders, so a split derivation is
+    * exactly the full derivation restricted to those orders).
+    */
+  private[graft] def partEdges(s: SparkSession, dir: String, orderFilter: Column = lit(true)): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    Tables
+      .lineitem(s, dir)
+      .filter(orderFilter)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("dst_part", lead(col("l_partkey"), 1).over(w))
+      .filter(col("dst_part").isNotNull && col("l_partkey") =!= col("dst_part"))
+      .select(col("l_partkey").as("src"), col("dst_part").as("dst"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // q97: part co-occurrence PageRank — each part links to the NEXT
-    // part in its order's line sequence (the co-supply "citation"
-    // graph); 5 damped power steps rank parts by centrality. Edge
-    // derivation is ONE lead() window — a single shuffle of the fact
-    // table, where a (orderkey, linenumber+1) self-join would shuffle
-    // it twice; per-order partitions are ≤7 rows, so the window is
-    // skew-free. Each iteration is join + aggregate on the
-    // checkpointed src-partitioned edge frame.
+    // q97: part co-occurrence PageRank — 5 damped power steps rank
+    // parts by centrality (crawl-authority quality prior). Each
+    // iteration is join + aggregate on the checkpointed
+    // src-partitioned edge frame; per-order window partitions are ≤7
+    // rows, so the derivation is skew-free.
     "q97_link_pagerank" -> { (s, dir) =>
-      // linenumbers are NOT unique per order in this corpus — the
-      // partkey tiebreak makes the sequence (and so the edge set)
-      // total and engine-independent
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_orderkey"))
-        .orderBy(col("l_linenumber"), col("l_partkey"))
-      val edges = Tables
-        .lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        .withColumn("dst_part", lead(col("l_partkey"), 1).over(w))
-        .filter(col("dst_part").isNotNull && col("l_partkey") =!= col("dst_part"))
-        .select(col("l_partkey").as("src"), col("dst_part").as("dst"))
-        .distinct()
       PageRank
-        .run(edges, "src", "dst", PrDamping, PrIterations)
+        .run(partEdges(s, dir), "src", "dst", PrDamping, PrIterations)
+        .select(col("node"), round(col("pr"), 7).as("pr"))
+    },
+
+    // q104: incremental PageRank maintenance — the q87 persisted-state
+    // story for graphs. The edge list lives in a table bucketed by
+    // src (the per-iteration join key): the base build writes it
+    // once, the delta batch (orders ≡ 0 mod DeltaMod, standing in for
+    // today's crawl) APPENDS raw observations preserving the layout,
+    // and the re-rank reads it back with ZERO exchange on the edge
+    // side (observation dedup + outdegree + weighted join all ride
+    // the stored bucketing — GraphSpec asserts the exchange-free
+    // plan, and that append-then-rank ≡ rebuild-then-rank). The
+    // ranking arithmetic is identical to q97 over the identical full
+    // edge set, so the oracle IS q97's unrolled-CTE loop — the
+    // incremental path must be answer-invisible.
+    "q104_pagerank_delta" -> { (s, dir) =>
+      PageRank.writeEdgeTable(partEdges(s, dir, col("l_orderkey") % DeltaMod =!= 0), EdgeTable, EdgeBuckets)
+      PageRank.appendEdgeTable(partEdges(s, dir, col("l_orderkey") % DeltaMod === 0), EdgeTable)
+      PageRank
+        .runFromEdgeTable(s, EdgeTable, PrDamping, PrIterations)
         .select(col("node"), round(col("pr"), 7).as("pr"))
     }
   )
@@ -87,6 +122,9 @@ object GraphQueries {
   }
 
   val oracle: Map[String, String] = Map(
-    "q97_link_pagerank" -> pagerankOracleSql
+    "q97_link_pagerank" -> pagerankOracleSql,
+    // the persisted/append path changes the physical plan, never the
+    // edge set or the arithmetic — one oracle serves both
+    "q104_pagerank_delta" -> pagerankOracleSql
   )
 }

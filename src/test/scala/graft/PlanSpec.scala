@@ -220,6 +220,10 @@ class PlanSpec extends AnyFunSuite {
     // the iterative cost (2 shuffles/round over the src-partitioned
     // edge frame) lives in the loop, see operators/PageRank.scala
     "q97_link_pagerank" -> 0,
+    // q104: same — result rides the loop's last localCheckpoint; the
+    // edge side's zero-exchange property is asserted structurally in
+    // GraphSpec
+    "q104_pagerank_delta" -> 0,
     // q98: token counts + corpus marginal + source totals + final
     // reduce; the (source, token) frame is checkpointed and re-shuffles
     // once per consumer rather than re-reading documents
