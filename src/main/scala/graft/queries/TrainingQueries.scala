@@ -70,6 +70,51 @@ object TrainingQueries {
       ).as("raw")
     )
 
+  /** q93's whole plan over any (doc_id, text) frame — factored so
+    * TrainingSpec can drive it over a synthetic hot-bigram corpus
+    * (the Zipf-skew case the scoring join must survive at scale).
+    */
+  /** The per-occurrence (doc_id, w1, w2) bigram event stream behind
+    * q93 — factored so the spec's salted variant scores the exact
+    * same events.
+    */
+  private[graft] def bigramEvents(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("t"))
+    toks
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(
+        col("doc_id"),
+        try_element_at(col("t"), col("i")).as("w1"),
+        try_element_at(col("t"), col("i") + 1).as("w2")
+      )
+  }
+
+  private[graft] def bigramLmScore(docs: DataFrame): DataFrame = {
+    val events = bigramEvents(docs)
+    // the model tables are CHECKPOINTED, which buys two things at
+    // once: (1) counts feeds both the scoring join and the prefix
+    // aggregate — unchecked, the whole events→counts pipeline runs
+    // twice; (2) Zipf-hot scoring keys ("of the") need AQE's
+    // skew-join split, and OptimizeSkewedJoin only matches a join
+    // whose children are sorts DIRECTLY over shuffle stages — with
+    // the aggregate left inside the build subtree the rule never
+    // fires (measured in TrainingSpec's hot-bigram case; force-mode
+    // made no difference), while a checkpointed model joins as
+    // scan→exchange→sort and splits fine.
+    val counts = events.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab")).localCheckpoint()
+    val prefix = counts.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a")).localCheckpoint()
+    events
+      .join(counts, Seq("w1", "w2"))
+      .join(prefix, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log2(col("n_ab").cast("double") / col("n_a"))), 4).as("lm_score")
+      )
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q61: PII redaction — count and strip emails/phones as one scalar
     // projection (scan-bound at 100 TB; the regex chain rides the
@@ -495,29 +540,12 @@ object TrainingQueries {
     // Model tables are corpus-bounded aggregates; scoring is two
     // equi-joins + one per-doc aggregate. Every bigram appears in the
     // model by construction (trained on the same corpus), so no
-    // smoothing branch.
+    // smoothing branch. The scoring join's (w1, w2) keys are Zipf-hot
+    // at corpus scale ("of the"); TrainingSpec pins the AQE skew-split
+    // assumption on a synthetic 49%-hot-bigram corpus and checks the
+    // salted fallback agrees.
     "q93_bigram_lm_score" -> { (s, dir) =>
-      val toks = Tables
-        .documents(s, dir)
-        .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("t"))
-      val events = toks
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
-        .select(
-          col("doc_id"),
-          try_element_at(col("t"), col("i")).as("w1"),
-          try_element_at(col("t"), col("i") + 1).as("w2")
-        )
-      val counts = events.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
-      val prefix = counts.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
-      events
-        .join(counts, Seq("w1", "w2"))
-        .join(prefix, Seq("w1"))
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_bigrams"),
-          round(avg(log2(col("n_ab").cast("double") / col("n_a"))), 4).as("lm_score")
-        )
+      bigramLmScore(Tables.documents(s, dir).select(col("doc_id"), col("text")))
     },
 
     // q94: temperature-scaled source mixing — sampling weights

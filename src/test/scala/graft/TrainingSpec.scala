@@ -294,4 +294,83 @@ class TrainingSpec extends AnyFunSuite {
     }
     out.unpersist()
   }
+
+  test("q93: a 49%-hot bigram survives the scoring join under AQE skew-split and matches the salted variant") {
+    // the Zipf-skew assumption q93 rests on at corpus scale ("of the"
+    // carries a double-digit share of all bigram occurrences), pinned
+    // on a synthetic corpus where (of, the) is ~49% of events. The
+    // model side is deliberately made non-broadcastable (threshold
+    // -1, the 100 TB relative-size regime) and the skew thresholds
+    // scaled down to the fixture so the detector faces the same
+    // RELATIVE skew a cluster would.
+    import graft.operators.SkewJoin
+    import graft.queries.TrainingQueries
+    import spark.implicits._
+    // ONE hot key: "of of of ..." puts ~94% of events on (of, of) —
+    // a second hot key (e.g. "of the" ⇒ hot (the, of) too) would land
+    // in a different partition and inflate the detector's MEDIAN
+    // partition size past the point where the hot one looks skewed at
+    // the test's partition count (measured: that fixture does NOT
+    // split)
+    val docs = (1L to 400L)
+      .map(i => (i, s"u$i v$i " + ("of " * 30).trim))
+      .toDF("doc_id", "text")
+      .localCheckpoint()
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // thresholds scale to the fixture's COMPRESSED shuffle sizes (a
+    // partition of repeated "of of" pairs lz4-compresses to a few KB)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    try {
+      val out = TrainingQueries.bigramLmScore(docs)
+      val got = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got.size == 400, "hot-bigram corpus did not complete")
+      // fixture sanity: the hottest bigram really dominates
+      val events = TrainingQueries.bigramEvents(docs)
+      val counts = events.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab")).localCheckpoint()
+      val hotShare = counts.agg(max(col("n_ab")).cast("double") / sum(col("n_ab"))).head.getDouble(0)
+      assert(hotShare >= 0.5, s"fixture lost its skew: hottest bigram share $hotShare")
+      // MEASURED (Spark 4.1, this config): with the model tables left
+      // as in-plan aggregates AQE NEVER split — OptimizeSkewedJoin
+      // only matches a join whose children are sorts directly over
+      // shuffle stages, and forceOptimizeSkewedJoin made no
+      // difference. bigramLmScore therefore checkpoints the model
+      // (see its comment), after which the scoring SortMergeJoin is
+      // marked skew=true without force. Asserted so a Spark upgrade
+      // or a plan change that reintroduces the unsplittable shape
+      // fails here — the signal to wire SkewJoin.saltedJoin in.
+      val planStr = out.queryExecution.executedPlan.toString
+      assert(planStr.contains("skew=true"), s"AQE did not skew-split the scoring join:\n$planStr")
+      // the salted fallback (SkewJoin on the packed (w1,w2) key,
+      // doc-hash salt) produces the identical scores
+      val pack = concat_ws("", col("w1"), col("w2"))
+      val eventsK = TrainingQueries
+        .bigramEvents(docs)
+        .withColumn("__bk", pack)
+        .select(col("doc_id"), col("__bk"))
+      val prefix = counts.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
+      val dimK = counts.join(prefix, "w1").withColumn("__bk", pack).select(col("__bk"), col("n_ab"), col("n_a"))
+      val salted = SkewJoin
+        .saltedJoin(eventsK, dimK, "__bk", 8, Seq("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(avg(log2(col("n_ab").cast("double") / col("n_a"))), 4).as("lm_score")
+        )
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(salted == got, "salted variant diverged from the AQE-split plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
