@@ -43,7 +43,17 @@ object Bench {
     graft.sources.Tables.All.foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY=q97_link_pagerank,q31_... restricts the
+    // sweep (the sf1 scaling runs time only the top-10 most expensive
+    // queries; the driver leaves it unset)
+    val only = sys.env
+      .get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
     val passTimes = Array.fill(passes)(scala.collection.mutable.LinkedHashMap[String, Double]())
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     for (p <- 0 until passes; name <- names if !failed.contains(name)) {

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derive a larger benchmark dataset from an existing SF directory by
+  * key-shifted replication — the 100× scaling point the sf0.01→sf0.1
+  * table cannot provide (strongly sub-linear there = mostly fixed
+  * overhead; the data terms only start to bite another decade up).
+  *
+  * Replication is FAIR to the operators being stressed, not a
+  * degenerate copy: a plain 10× duplication of documents would make
+  * every near-dup family quadratic in the replica count (10 identical
+  * copies of each doc = 100× the pairs of a real 10× corpus), which
+  * benchmarks a pathology, not scale. Instead each replica is mapped
+  * into its own disjoint key/content space:
+  *  - fact/dim keys shift by replica · KeyStride (joins stay
+  *    consistent; the part graph becomes `replicas` disconnected
+  *    copies — PageRank over 10× nodes and edges);
+  *  - document TEXT suffixes every token with a replica tag, so
+  *    within-replica duplicate structure is preserved exactly while
+  *    cross-replica shingles never collide (vocabulary grows ~10×,
+  *    which is what a 10× crawl does);
+  *  - embeddings rotate their dimensions by the replica index —
+  *    norms preserved, cross-replica cosines decorrelated.
+  * nation/region stay fixed (dims don't grow with fact scale).
+  *
+  * Output is a bench artifact under target/ — correctness always runs
+  * against the driver's own testdata, never this.
+  *
+  * Usage: sbt "runMain graft.ScaleUp [srcDir] [outDir]"
+  *   SPARK_GRAFT_SCALE_REPLICAS=10 (default)
+  */
+object ScaleUp {
+
+  val KeyStride = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/root/repo/target/sf1-derived"
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
+    require(replicas >= 1, s"replicas must be >= 1, got $replicas")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def shifted(df: DataFrame, keyCols: Seq[String], i: Int): DataFrame =
+      keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(KeyStride * i)))
+
+    def replicate(
+        name: String,
+        keyCols: Seq[String],
+        perReplica: (DataFrame, Int) => DataFrame = (d, _) => d
+    ): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val full = (0 until replicas)
+        .map(i => perReplica(shifted(base, keyCols, i), i))
+        .reduce(_ union _)
+      full.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+      println(s"[scaleup] $name x$replicas -> $out/$name.parquet")
+    }
+
+    // dims stay fixed
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    }
+    replicate("customer", Seq("c_custkey"))
+    replicate("supplier", Seq("s_suppkey"))
+    replicate("part", Seq("p_partkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("events", Seq("event_id", "user_id"))
+    replicate(
+      "documents",
+      Seq("doc_id"),
+      (d, i) =>
+        if (i == 0) d
+        else
+          d.withColumn(
+            "text",
+            array_join(transform(split(col("text"), "\\s+"), w => concat(w, lit(s"_r$i"))), " ")
+          )
+    )
+    replicate(
+      "embeddings",
+      Seq("vec_id"),
+      (d, i) => {
+        if (i == 0) d
+        else {
+          val n = size(col("embedding"))
+          val k = lit(i) % n
+          d.withColumn(
+            "embedding",
+            concat(slice(col("embedding"), k + 1, n - k), slice(col("embedding"), lit(1), k))
+          )
+        }
+      }
+    )
+    spark.stop()
+  }
+}
