@@ -301,6 +301,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pointInRing matches the exact half-plane classification on random convex integer polygons") {
+    // generator: a jittered regular m-gon on a radius-10⁶ circle,
+    // vertices rounded to integers (always CCW, edges well-separated).
+    // Rounding can dent convexity by ~1 unit, so probe points within
+    // distance 4 of any edge are skipped via an exact integer margin
+    // (|cross| ≤ 4·|edge|); everywhere else the convex definition —
+    // strictly left of every directed edge — must agree with the ray
+    // cast EXACTLY, for interior and exterior points alike.
+    import graft.geo.GeoFunctions
+    import spark.implicits._
+    for (seed <- 0 until 4) {
+      val rnd = new Random(900 + seed)
+      val m = 5 + rnd.nextInt(4)
+      val r = 1000000.0
+      val verts = (0 until m).map { i =>
+        val a = 2 * math.Pi * (i + 0.25 + rnd.nextDouble() * 0.5) / m
+        (math.round(r * math.cos(a)), math.round(r * math.sin(a)))
+      }
+      def cross(a: (Long, Long), b: (Long, Long), px: Long, py: Long): Long =
+        (b._1 - a._1) * (py - a._2) - (b._2 - a._2) * (px - a._1)
+      def edgeLen2(a: (Long, Long), b: (Long, Long)): Long = {
+        val dx = b._1 - a._1; val dy = b._2 - a._2
+        dx * dx + dy * dy
+      }
+      val probes = Seq.fill(80)((rnd.nextLong() % 1100000, rnd.nextLong() % 1100000))
+      val classified = probes.flatMap { case (px, py) =>
+        val cs = verts.indices.map { i =>
+          val a = verts(i); val b = verts((i + 1) % m)
+          (cross(a, b, px, py), edgeLen2(a, b))
+        }
+        // margin: skip points within ~4 units of any edge line
+        // (|cross|/|edge| is the distance; double math is fine for a
+        // conservative FILTER — cross² would overflow Long here)
+        if (cs.exists { case (c, l2) => math.abs(c.toDouble) <= 4.0 * math.sqrt(l2.toDouble) }) None
+        else Some((px, py, cs.forall(_._1 > 0)))
+      }
+      assert(classified.nonEmpty, s"seed=$seed produced no classifiable probes")
+      val ring = array(verts.map { case (x, y) => GeoFunctions.ringPoint(lit(x), lit(y)) }: _*)
+      val got = classified
+        .map { case (px, py, e) => (px, py, e) }
+        .toDF("px", "py", "expect")
+        .select(col("px"), col("py"), col("expect"), GeoFunctions.pointInRing(col("px"), col("py"), ring).as("in"))
+        .collect()
+      got.foreach { row =>
+        assert(
+          row.getBoolean(3) == row.getBoolean(2),
+          s"seed=$seed point (${row.getLong(0)}, ${row.getLong(1)}): ray cast ${row.getBoolean(3)} vs half-plane ${row.getBoolean(2)}"
+        )
+      }
+    }
+  }
+
   test("underflowGroups detects a group whose gate kept ZERO survivors") {
     // the extreme failure mode the invariant exists to catch (r7
     // advice): a survivor-side-only aggregate never sees such a group.

@@ -643,4 +643,59 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(k) == v, s"session $k differs: ${streamed(k)} vs $v")
     }
   }
+
+  test("streaming edge-table ingest feeds the q104 incremental rank (the graph maintenance path)") {
+    // the ingest job that keeps q104's bucketed edge table current:
+    // edge observations arrive as a stream, each micro-batch APPENDS
+    // through the same PageRank.appendEdgeTable the batch path uses
+    // (foreachBatch — the canonical bridge for bucketed-table sinks,
+    // which writeStream cannot target directly). The accumulated
+    // table must dedup to the batch edge set, keep its bucket layout
+    // through every append, and rank identically to the in-memory
+    // run.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.PageRank
+    import graft.queries.GraphQueries
+    val tbl = "graft_edge_stream_spec"
+    val edges = GraphQueries
+      .partEdges(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    val chunks = edges.grouped(math.max(edges.size / 3, 1)).toSeq
+    // bootstrap: the table exists before the stream starts (day-0 build)
+    PageRank.writeEdgeTable(chunks.head.toDF("src", "dst"), tbl, 4)
+    val stream = MemoryStream[(Long, Long)]
+    val query = stream
+      .toDF()
+      .toDF("src", "dst")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        PageRank.appendEdgeTable(batch, tbl)
+      }
+      .start()
+    try {
+      chunks.tail.foreach { c =>
+        stream.addData(c)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    // contents: streamed appends dedup to exactly the batch edge set
+    val stored = PageRank.edgesFromTable(spark, tbl).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == edges.toSet, "streamed edge table diverges from the batch edge set")
+    // layout survived every micro-batch append
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+    assert(meta.bucketSpec.exists(_.numBuckets == 4), "append changed the bucket layout")
+    // and the maintained rank equals the in-memory run (round-7 contract)
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("node"), round(col("pr"), 7).as("pr"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+        .toMap
+    val maintained = ranks(PageRank.runFromEdgeTable(spark, tbl, 0.85, 3))
+    val direct = ranks(PageRank.run(edges.toDF("src", "dst"), "src", "dst", 0.85, 3))
+    assert(maintained == direct, "stream-maintained rank diverged from the direct run")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
