@@ -176,14 +176,26 @@ object AnalyticsQueries {
       val li = Tables
         .lineitem(s, dir)
         .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
-      val stats = li
+      // exact and sketch halves run as SEPARATE aggregates: mixing
+      // countDistinct with the sketch functions triggers Spark's
+      // distinct-agg rewrite, which re-keys the WHOLE aggregate on
+      // (flag, orderkey) — percentile_approx then builds a sketch
+      // object per ORDER and merges ~150k of them per flag (measured
+      // 27 s at sf0.1 vs ~2 s split). Two scans of a 2-column pruned
+      // parquet read are far cheaper than one scan with that rewrite.
+      val exact = li
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n_rows"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_orderkey")).as("n_orders")
+        )
+      val sketches = li
+        .groupBy(col("l_returnflag"))
+        .agg(
           approx_count_distinct(col("l_orderkey"), 0.02).as("__hll"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__kll")
         )
+      val stats = exact.join(broadcast(sketches), "l_returnflag")
       // 3-row exact quantile frame; localCheckpoint for the same
       // reason as q83 — the multi-stage producer must not run inside
       // a broadcast build

@@ -158,11 +158,13 @@ class PlanSpec extends AnyFunSuite {
     "q54_cdc_diff" -> 3,
     "q55_dup_clusters" -> 1,
     "q56_clean_corpus" -> 1,
-    // q57: the Expand'd distinct+sketch aggregate pair (the exact
-    // half is the acceptance harness; production runs the sketch half
-    // alone — see the query comment); the quantile producer rides the
-    // localCheckpoint, the 3-row threshold join broadcasts
-    "q57_approx_stats" -> 2,
+    // q57: the exact half's two-stage distinct (2 exchanges) + the
+    // sketch half's own single-exchange aggregate — kept SEPARATE so
+    // the distinct rewrite cannot re-key the percentile sketch per
+    // order (see the query comment; production runs the sketch half
+    // alone); the quantile producer rides the localCheckpoint, the
+    // 3-row joins broadcast
+    "q57_approx_stats" -> 3,
     "q58_rolling_avg" -> 1,
     "q59_frame_sample" -> 0,
     "q60_mom_growth" -> 2,
