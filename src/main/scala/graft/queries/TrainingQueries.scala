@@ -620,8 +620,50 @@ object TrainingQueries {
     // window, gated or otherwise) is the 100 TB shape.
     "q99_weighted_sample" -> { (s, dir) =>
       Sampling.weightedTopK(Tables.documents(s, dir), "source", "doc_id", "text", "n_chars", SampleK)
+    },
+
+    // q105: vocabulary growth curve (Heaps'-law saturation) — the
+    // "is more data still buying new vocabulary?" diagnostic a corpus
+    // curator reads before paying for another crawl tranche. Docs
+    // split into VocabGrowthBuckets equal doc_id ranges (ingestion
+    // order; range bounds from a 1-row broadcast, no global rank
+    // window); each token type is attributed to the FIRST bucket it
+    // appears in via one min-aggregate over the (bucket, token)
+    // counts. Output is bucket-count-sized: occurrences, new types,
+    // and the cumulative type count (a window over 10 rows). All
+    // integer arithmetic — hash-exact in any engine.
+    "q105_vocab_growth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      val nb = lit(VocabGrowthBuckets)
+      val toks = docs
+        .crossJoin(broadcast(bounds))
+        .select(
+          // DIV, not `/`: Spark's `/` on longs is a double divide —
+          // exact integer bucketing is what makes the oracle hash-safe
+          least(nb - 1, expr(s"(doc_id - lo) * $VocabGrowthBuckets DIV (hi - lo + 1)"))
+            .cast("long")
+            .as("bucket"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token")
+        )
+      // ONE (bucket, token) aggregate feeds both consumers
+      val tokBucket = toks.groupBy(col("bucket"), col("token")).agg(count(lit(1)).as("n")).localCheckpoint()
+      val occ = tokBucket.groupBy(col("bucket")).agg(sum(col("n")).as("n_tokens"))
+      val firsts = tokBucket
+        .groupBy(col("token"))
+        .agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+      occ
+        .join(firsts, Seq("bucket"), "left_outer")
+        .select(col("bucket"), col("n_tokens"), coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .withColumn("cum_types", sum(col("new_types")).over(Window.orderBy(col("bucket"))))
     }
   )
+
+  /** q105: number of equal doc_id-range buckets in the growth curve. */
+  val VocabGrowthBuckets = 10
 
   /** q84: split thresholds — ceil(0.8 * 16^8) and ceil(0.9 * 16^8) in
     * lowercase hex, compared against the md5 coin's first 8 digits.
@@ -868,6 +910,20 @@ object TrainingQueries {
          |r AS (SELECT source, doc_id,
          |             row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rank
          |      FROM keyed)
-         |SELECT source, doc_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= $SampleK""".stripMargin
+         |SELECT source, doc_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= $SampleK""".stripMargin,
+    "q105_vocab_growth" ->
+      s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |toks AS (SELECT least($VocabGrowthBuckets - 1,
+         |                      (doc_id - lo) * $VocabGrowthBuckets // (hi - lo + 1)) AS bucket,
+         |                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+         |         FROM documents CROSS JOIN b),
+         |tb AS (SELECT bucket, token, count(*) AS n FROM toks GROUP BY bucket, token),
+         |occ AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n_tokens FROM tb GROUP BY bucket),
+         |firsts AS (SELECT min(bucket) AS bucket FROM tb GROUP BY token),
+         |nt AS (SELECT bucket, count(*) AS new_types FROM firsts GROUP BY bucket)
+         |SELECT occ.bucket, occ.n_tokens,
+         |       CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+         |       CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY occ.bucket) AS BIGINT) AS cum_types
+         |FROM occ LEFT JOIN nt USING (bucket)""".stripMargin
   )
 }

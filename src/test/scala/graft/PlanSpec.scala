@@ -244,6 +244,10 @@ class PlanSpec extends AnyFunSuite {
     // q103: pure scan-side integer geometry — ring synth, shoelace and
     // ray cast are all per-row Column trees, no exchange anywhere
     "q103_polygon_stats" -> 0,
+    // q105: the (bucket, token) aggregate + its two consumers (bucket
+    // occurrences; token-first-bucket then per-bucket type counts) +
+    // the 10-row cumulative window's single-partition exchange
+    "q105_vocab_growth" -> 4,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts

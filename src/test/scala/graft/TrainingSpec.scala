@@ -295,6 +295,36 @@ class TrainingSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q105: vocab growth is a partition of the corpus vocabulary with monotone saturation") {
+    val out = SparkEntry.queries("q105_vocab_growth")(spark, sf).collect().sortBy(_.getLong(0))
+    assert(out.length == graft.queries.TrainingQueries.VocabGrowthBuckets, "one row per bucket")
+    // new_types partitions the vocabulary: the final cumulative count
+    // is exactly the corpus-wide distinct token count
+    val vocab = graft.sources.Tables
+      .documents(spark, sf)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
+      .distinct()
+      .count()
+    assert(out.last.getLong(3) == vocab, s"cum_types ${out.last.getLong(3)} != vocab $vocab")
+    // cumulative counts are strictly the running sum and monotone;
+    // occurrences cover the whole token stream
+    var cum = 0L
+    out.foreach { r =>
+      cum += r.getLong(2)
+      assert(r.getLong(3) == cum, s"bucket ${r.getLong(0)}: cum_types not the running sum")
+    }
+    val totalToks = graft.sources.Tables
+      .documents(spark, sf)
+      .select(expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))").as("n"))
+      .agg(sum(col("n")))
+      .head()
+      .getLong(0)
+    assert(out.map(_.getLong(1)).sum == totalToks, "bucket occurrences must cover the token stream")
+    // Heaps saturation on a homogeneous synthetic corpus: the first
+    // bucket discovers more types than the last
+    assert(out.head.getLong(2) > out.last.getLong(2), "no saturation signal")
+  }
+
   test("q93: a 49%-hot bigram survives the scoring join under AQE skew-split and matches the salted variant") {
     // the Zipf-skew assumption q93 rests on at corpus scale ("of the"
     // carries a double-digit share of all bigram occurrences), pinned
