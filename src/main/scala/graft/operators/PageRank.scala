@@ -74,7 +74,18 @@ object PageRank {
     val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    Formats.writeBucketed(edges.select(col("src"), col("dst")), table, "src", numBuckets)
+    // repartition BY THE BUCKET FUNCTION (hash(src) mod numBuckets)
+    // before the write: this IS the one-shot ingest shuffle the table
+    // amortizes, and it leaves each task holding exactly one bucket —
+    // one file per bucket instead of tasks × buckets small files
+    // (bucketed writes otherwise emit a file per (task, bucket), and
+    // the read side pays the file count on every re-rank)
+    Formats.writeBucketed(
+      edges.select(col("src"), col("dst")).repartition(numBuckets, col("src")),
+      table,
+      "src",
+      numBuckets
+    )
   }
 
   /** Append a batch of edge observations, preserving the bucket layout
@@ -90,6 +101,7 @@ object PageRank {
       .getOrElse(throw new IllegalStateException(s"edge table '$table' is not bucketed"))
     edges
       .select(col("src"), col("dst"))
+      .repartition(numBuckets, col("src")) // one file per bucket per append
       .write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .format("parquet")
