@@ -76,8 +76,8 @@ object Bench {
     }
     def esc(s: String): String =
       s.flatMap {
-        case '"' => "\\\""
         case '\\' => "\\\\"
+        case '"' => "\\\""
         case c if c < ' ' => " "
         case c => c.toString
       }

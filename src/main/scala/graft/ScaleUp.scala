@@ -47,12 +47,23 @@ object ScaleUp {
     def shifted(df: DataFrame, keyCols: Seq[String], i: Int): DataFrame =
       keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(KeyStride * i)))
 
+    def requireKeysFit(df: DataFrame, name: String, keyCols: Seq[String]): Unit =
+      keyCols.foreach { c =>
+        val mx = df.agg(max(col(c))).head.getLong(0)
+        require(
+          mx < KeyStride,
+          s"$name.$c max $mx >= KeyStride $KeyStride — replicas would cross-link " +
+            "(e.g. scaling an already-scaled output); raise KeyStride"
+        )
+      }
+
     def replicate(
         name: String,
         keyCols: Seq[String],
         perReplica: (DataFrame, Int) => DataFrame = (d, _) => d
     ): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
+      requireKeysFit(base, name, keyCols)
       val full = (0 until replicas)
         .map(i => perReplica(shifted(base, keyCols, i), i))
         .reduce(_ union _)
@@ -78,8 +89,27 @@ object ScaleUp {
         else
           d.withColumn(
             "text",
-            array_join(transform(split(col("text"), "\\s+"), w => concat(w, lit(s"_r$i"))), " ")
+            // tag WITHOUT a separator char: the engine's word regex is
+            // '[a-z0-9]+', so 'alphar3' stays ONE (new) token while
+            // 'alpha_r3' would split back into the ORIGINAL token plus
+            // a tag — silently collapsing the vocabulary growth this
+            // transform exists to produce for regex-tokenized
+            // operators (q48/q76/q92/q93/q98/q100/q105)
+            array_join(transform(split(col("text"), "\\s+"), w => concat(w, lit(s"zq$i"))), " ")
           )
+          // the tag lengthens the text; n_chars must keep describing it
+          // (length gates and sampling weights read n_chars)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+    )
+    // rotation degenerates to the identity when i ≡ 0 (mod dims) —
+    // replica `dims` would carry bit-identical vectors to replica 0
+    // (cross-replica cosine 1.0, the exact pathology the rotation
+    // prevents). Refuse loudly rather than silently re-duplicate.
+    val dims = spark.read.parquet(s"$src/embeddings.parquet").select(size(col("embedding"))).head.getInt(0)
+    require(
+      replicas <= dims,
+      s"replicas ($replicas) must not exceed the embedding dimension ($dims): " +
+        "dimension rotation would repeat and recreate exact duplicate vectors"
     )
     replicate(
       "embeddings",

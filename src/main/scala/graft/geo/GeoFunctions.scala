@@ -67,14 +67,19 @@ object GeoFunctions {
     */
   def shoelace2(ring: Column): Column = {
     val n = size(ring)
-    aggregate(
-      sequence(lit(0), n - 1),
-      lit(0L),
-      (acc, i) => {
-        val a = element_at(ring, i + 1)
-        val b = element_at(ring, ((i + 1) % n) + 1)
-        acc + (a.getField("x") * b.getField("y") - b.getField("x") * a.getField("y"))
-      }
+    // the degenerate branch guards the modulo and the descending
+    // sequence(0, -1) an empty ring would otherwise evaluate (ANSI
+    // divide-by-zero); CaseWhen only evaluates the taken branch
+    when(n < 3, lit(0L)).otherwise(
+      aggregate(
+        sequence(lit(0), n - 1),
+        lit(0L),
+        (acc, i) => {
+          val a = element_at(ring, i + 1)
+          val b = element_at(ring, ((i + 1) % n) + 1)
+          acc + (a.getField("x") * b.getField("y") - b.getField("x") * a.getField("y"))
+        }
+      )
     )
   }
 
@@ -109,6 +114,7 @@ object GeoFunctions {
         acc + when(crosses, 1L).otherwise(0L)
       }
     )
-    crossings % 2 === 1
+    // degenerate guard as in shoelace2: nothing is inside a <3-vertex ring
+    when(n < 3, lit(false)).otherwise(crossings % 2 === 1)
   }
 }

@@ -82,6 +82,19 @@ class GeoTextSpec extends AnyFunSuite {
     assert(!r.getBoolean(4), "dart bbox center sits in the notch - outside")
     assert(r.getBoolean(5), "dart wing point must be inside")
     assert(r.getLong(6) == -200L, "clockwise winding must flip the sign")
+    // degenerate rings: empty/1-point/2-point yield area 0 and contain
+    // nothing (the empty case would otherwise hit ANSI modulo-by-zero)
+    val deg = Seq(1)
+      .toDF("x")
+      .select(
+        GeoFunctions.shoelace2(array().cast("array<struct<x:bigint,y:bigint>>")).as("a0"),
+        GeoFunctions.shoelace2(ring((1L, 1L), (5L, 5L))).as("a2"),
+        GeoFunctions.pointInRing(lit(0L), lit(0L), array().cast("array<struct<x:bigint,y:bigint>>")).as("p0"),
+        GeoFunctions.pointInRing(lit(3L), lit(3L), ring((1L, 1L), (5L, 5L))).as("p2")
+      )
+      .head()
+    assert(deg.getLong(0) == 0L && deg.getLong(1) == 0L, "degenerate rings must have zero area")
+    assert(!deg.getBoolean(2) && !deg.getBoolean(3), "nothing is inside a degenerate ring")
   }
 
   test("q103: concave pentagons reject the bbox center, convex ones keep it; area matches a JVM shoelace") {
