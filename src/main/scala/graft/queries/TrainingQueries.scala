@@ -659,11 +659,51 @@ object TrainingQueries {
         .join(firsts, Seq("bucket"), "left_outer")
         .select(col("bucket"), col("n_tokens"), coalesce(col("new_types"), lit(0L)).as("new_types"))
         .withColumn("cum_types", sum(col("new_types")).over(Window.orderBy(col("bucket"))))
+    },
+
+    // q106: per-source z-score normalization of document length — the
+    // feature-engineering step before length-aware mixing/filtering
+    // (a 500-char doc is "short" for web text, "long" for chat). ONE
+    // source-keyed aggregate of EXACT integer moments (count, Σx,
+    // Σx²) broadcasts back onto the scan; the sample variance derives
+    // from a single integer expression (n·Σx² − (Σx)²) / (n·(n−1)),
+    // and z = (n·x − Σx) / (n·σ) keeps the numerator integer-exact —
+    // every double op is a fixed sequence (one divide, one IEEE sqrt,
+    // one multiply, one divide) both engines execute identically, so
+    // the 4dp-rounded score hash-compares. Degenerate sources (n=1 or
+    // zero variance) emit NULL z and no flag, identically in both
+    // engines.
+    "q106_zscore_norm" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val stats = docs
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_chars")).as("s1"),
+          sum(col("n_chars") * col("n_chars")).as("s2")
+        )
+      val varNum = col("n") * col("s2") - col("s1") * col("s1")
+      val sd = sqrt(varNum.cast("double") / (col("n") * (col("n") - 1)).cast("double"))
+      val z = (col("n") * col("n_chars") - col("s1")).cast("double") / (col("n").cast("double") * sd)
+      docs
+        .join(broadcast(stats), "source")
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("n_chars"),
+          when(col("n") > 1 && varNum > 0, round(z, 4)).as("z"),
+          when(col("n") > 1 && varNum > 0, abs(round(z, 4)) > ZOutlier).as("len_outlier")
+        )
     }
   )
 
   /** q105: number of equal doc_id-range buckets in the growth curve. */
   val VocabGrowthBuckets = 10
+
+  /** q106: |z| outlier threshold (compared on the ROUNDED score, so
+    * no cross-engine ulp can flip the flag).
+    */
+  val ZOutlier = 3.0
 
   /** q84: split thresholds — ceil(0.8 * 16^8) and ceil(0.9 * 16^8) in
     * lowercase hex, compared against the md5 coin's first 8 digits.
@@ -924,6 +964,23 @@ object TrainingQueries {
          |SELECT occ.bucket, occ.n_tokens,
          |       CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
          |       CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY occ.bucket) AS BIGINT) AS cum_types
-         |FROM occ LEFT JOIN nt USING (bucket)""".stripMargin
+         |FROM occ LEFT JOIN nt USING (bucket)""".stripMargin,
+    "q106_zscore_norm" ->
+      s"""WITH st AS (SELECT source, count(*) AS n,
+         |                   CAST(sum(n_chars) AS BIGINT) AS s1,
+         |                   CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+         |            FROM documents GROUP BY source),
+         |j AS (SELECT d.doc_id, d.source, d.n_chars, st.n, st.s1,
+         |             st.n * st.s2 - st.s1 * st.s1 AS var_num,
+         |             sqrt(CAST(st.n * st.s2 - st.s1 * st.s1 AS DOUBLE)
+         |                  / CAST(st.n * (st.n - 1) AS DOUBLE)) AS sd
+         |      FROM documents d JOIN st USING (source))
+         |SELECT doc_id, source, n_chars,
+         |       CASE WHEN n > 1 AND var_num > 0
+         |            THEN round(CAST(n * n_chars - s1 AS DOUBLE) / (CAST(n AS DOUBLE) * sd), 4) END AS z,
+         |       CASE WHEN n > 1 AND var_num > 0
+         |            THEN abs(round(CAST(n * n_chars - s1 AS DOUBLE) / (CAST(n AS DOUBLE) * sd), 4)) > $ZOutlier
+         |       END AS len_outlier
+         |FROM j""".stripMargin
   )
 }

@@ -248,6 +248,9 @@ class PlanSpec extends AnyFunSuite {
     // occurrences; token-first-bucket then per-bucket type counts) +
     // the 10-row cumulative window's single-partition exchange
     "q105_vocab_growth" -> 4,
+    // q106: one source-keyed moment aggregate; the stats broadcast
+    // back onto the scan (scan-side z computation, no second shuffle)
+    "q106_zscore_norm" -> 1,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts
