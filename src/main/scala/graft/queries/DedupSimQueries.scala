@@ -155,6 +155,24 @@ object DedupSimQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), AnnK, IvfCells, IvfNprobe)
     },
 
+    // q107: q50's IVF ANN over a PERSISTED index partitioned by cell
+    // — the ANN twin of q87's persisted signature index, keyed for
+    // PRUNING: the index lives as one directory per cent_id, the
+    // probe's nprobe cells arrive as a broadcast join side, and
+    // dynamic partition pruning reduces the candidate read to those
+    // directories alone (plan + partition count asserted in
+    // DedupSimSpec; append ≡ rebuild under the shared deterministic
+    // centroids). Identical answers to the in-memory path, so the
+    // oracle IS q50's — the persisted layout must be
+    // answer-invisible.
+    "q107_ann_ivf_index" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = embDouble(s, dir)
+      val cents = Similarity.ivfCentroids(e, IvfCells)
+      Similarity.writeIvfIndex(cents, e, IvfIndexPath)
+      Similarity.ivfTopKFromIndex(s, IvfIndexPath, cents, e.filter(col("vec_id") < 5), AnnK, IvfNprobe)
+    },
+
     // q66: sketch-only similarity estimation — Jaccard estimated from
     // signature agreement (matching minima / numPerms) for LSH
     // candidate pairs, WITHOUT re-joining shingles. This is the true
@@ -351,6 +369,11 @@ object DedupSimQueries {
 
   val SigIndexTable = "graft_sig_index"
   val SigIndexBuckets = 8
+
+  /** q107: cell-partitioned IVF index location (a bench/test artifact
+    * directory; production would be a lake path).
+    */
+  val IvfIndexPath = "target/graft_ivf_index"
 
   // q89: fixed segment width (words) for segment-level dedup.
   val SegWords = 10
@@ -734,30 +757,10 @@ object DedupSimQueries {
          |      JOIN n nb ON nb.vec_id = vec_b)
          |WHERE cosine >= $CosineThreshold""".stripMargin
     },
-    "q50_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) norm FROM e),
-         |cents AS (SELECT vec_id cent_id, v cv, norm cnorm FROM n WHERE vec_id < $IvfCells),
-         |ca AS (SELECT vec_id, v, norm, cent_id FROM (
-         |    SELECT n.vec_id, n.v, n.norm, cents.cent_id,
-         |           row_number() OVER (PARTITION BY n.vec_id
-         |                              ORDER BY ${dot("n.v", "cents.cv")} / (n.norm * cents.cnorm) DESC,
-         |                                       cents.cent_id ASC) rk
-         |    FROM n CROSS JOIN cents) WHERE rk = 1),
-         |pa AS (SELECT probe_id, pv, pnorm, cent_id FROM (
-         |    SELECT p.vec_id probe_id, p.v pv, p.norm pnorm, cents.cent_id,
-         |           row_number() OVER (PARTITION BY p.vec_id
-         |                              ORDER BY ${dot("p.v", "cents.cv")} / (p.norm * cents.cnorm) DESC,
-         |                                       cents.cent_id ASC) rk
-         |    FROM n p CROSS JOIN cents WHERE p.vec_id < 5) WHERE rk <= $IvfNprobe),
-         |cand AS (SELECT DISTINCT probe_id, ca.vec_id,
-         |                ${dot("ca.v", "pa.pv")} / (ca.norm * pa.pnorm) cosine
-         |         FROM ca JOIN pa USING (cent_id) WHERE ca.vec_id != pa.probe_id),
-         |r AS (SELECT probe_id, vec_id, cosine,
-         |             row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) rk
-         |      FROM cand)
-         |SELECT probe_id, rk AS rank, vec_id AS neighbor_id, round(cosine, 4) AS cosine
-         |FROM r WHERE rk <= $AnnK""".stripMargin,
+    // identical semantics to q50 — the persisted partitioned index
+    // changes the physical read, never the candidate set or ranking
+    "q107_ann_ivf_index" -> q50Sql,
+    "q50_ann_ivf" -> q50Sql,
     "q35_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) norm FROM e),
@@ -792,6 +795,31 @@ object DedupSimQueries {
          |WHERE round(dot / (na.nrm * nb.nrm), 4) >= $TfidfCosThreshold""".stripMargin,
     "q101_cms_est" -> q101Sql
   )
+
+  private lazy val q50Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) norm FROM e),
+         |cents AS (SELECT vec_id cent_id, v cv, norm cnorm FROM n WHERE vec_id < $IvfCells),
+         |ca AS (SELECT vec_id, v, norm, cent_id FROM (
+         |    SELECT n.vec_id, n.v, n.norm, cents.cent_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |                              ORDER BY ${dot("n.v", "cents.cv")} / (n.norm * cents.cnorm) DESC,
+         |                                       cents.cent_id ASC) rk
+         |    FROM n CROSS JOIN cents) WHERE rk = 1),
+         |pa AS (SELECT probe_id, pv, pnorm, cent_id FROM (
+         |    SELECT p.vec_id probe_id, p.v pv, p.norm pnorm, cents.cent_id,
+         |           row_number() OVER (PARTITION BY p.vec_id
+         |                              ORDER BY ${dot("p.v", "cents.cv")} / (p.norm * cents.cnorm) DESC,
+         |                                       cents.cent_id ASC) rk
+         |    FROM n p CROSS JOIN cents WHERE p.vec_id < 5) WHERE rk <= $IvfNprobe),
+         |cand AS (SELECT DISTINCT probe_id, ca.vec_id,
+         |                ${dot("ca.v", "pa.pv")} / (ca.norm * pa.pnorm) cosine
+         |         FROM ca JOIN pa USING (cent_id) WHERE ca.vec_id != pa.probe_id),
+         |r AS (SELECT probe_id, vec_id, cosine,
+         |             row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) rk
+         |      FROM cand)
+         |SELECT probe_id, rk AS rank, vec_id AS neighbor_id, round(cosine, 4) AS cosine
+         |FROM r WHERE rk <= $AnnK""".stripMargin
 
   /** DuckDB twin of the CMS build + probe: the same strhash2 +
     * permutation arithmetic rebuilds every counter the native

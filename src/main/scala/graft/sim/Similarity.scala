@@ -164,37 +164,67 @@ object Similarity {
     * nprobe file groups; the centroid set is dim-table-sized and
     * broadcast.
     */
-  def ivfTopK(
-      corpus: DataFrame,
-      probes: DataFrame,
-      k: Int,
-      numCells: Int,
-      nprobe: Int
-  ): DataFrame = {
-    val cents = corpus
+  /** Deterministic IVF "training": the `numCells` lowest-id vectors
+    * serve as centroids (see ivfTopK's rationale). Shared by the
+    * in-memory path, the persisted index build, and index appends —
+    * ONE definition so an appended batch can never be assigned under
+    * different centroids than the build.
+    */
+  def ivfCentroids(corpus: DataFrame, numCells: Int): DataFrame =
+    corpus
       .filter(col("vec_id") < numCells)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
       .withColumn("cnorm", sqrt(GraftFunctions.dot(col("cv"), col("cv"))))
-    def assign(df: DataFrame, idCol: String, vCol: String, normCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cent_cos").desc, col("cent_id").asc)
-      df.crossJoin(broadcast(cents))
-        .withColumn("cent_cos", GraftFunctions.dot(col(vCol), col("cv")) / (col(normCol) * col("cnorm")))
-        .withColumn("cent_rk", row_number().over(w))
-        .filter(col("cent_rk") <= keep)
-        .drop("cv", "cnorm", "cent_cos", "cent_rk")
-    }
-    val c = assign(
+
+  private def assignCells(
+      cents: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      vCol: String,
+      normCol: String,
+      keep: Int
+  ): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cent_cos").desc, col("cent_id").asc)
+    df.crossJoin(broadcast(cents))
+      .withColumn("cent_cos", GraftFunctions.dot(col(vCol), col("cv")) / (col(normCol) * col("cnorm")))
+      .withColumn("cent_rk", row_number().over(w))
+      .filter(col("cent_rk") <= keep)
+      .drop("cv", "cnorm", "cent_cos", "cent_rk")
+  }
+
+  /** Every vector's (cent_id, vec_id, v, norm) — the IVF index
+    * content (nearest cell per vector).
+    */
+  def ivfAssignments(cents: DataFrame, corpus: DataFrame): DataFrame =
+    assignCells(
+      cents,
       corpus.select(col("vec_id"), col("v")).withColumn("norm", sqrt(GraftFunctions.dot(col("v"), col("v")))),
-      "vec_id", "v", "norm", 1
+      "vec_id",
+      "v",
+      "norm",
+      1
     )
-    val p = assign(
+
+  /** Each probe's `nprobe` nearest cells (probe_id, pv, pnorm, cent_id). */
+  def ivfProbeCells(cents: DataFrame, probes: DataFrame, nprobe: Int): DataFrame =
+    assignCells(
+      cents,
       probes
         .select(col("vec_id").as("probe_id"), col("v").as("pv"))
         .withColumn("pnorm", sqrt(GraftFunctions.dot(col("pv"), col("pv")))),
-      "probe_id", "pv", "pnorm", nprobe
+      "probe_id",
+      "pv",
+      "pnorm",
+      nprobe
     )
+
+  /** The shared probe tail: candidates (index rows × probe cells met
+    * on cent_id) scored, deduped, ranked top-k per probe.
+    */
+  def ivfRank(assignments: DataFrame, probeCells: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    c.join(p, "cent_id")
+    assignments
+      .join(probeCells, "cent_id")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(
         col("probe_id"),
@@ -206,6 +236,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
+
+  def ivfTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      numCells: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val cents = ivfCentroids(corpus, numCells)
+    ivfRank(ivfAssignments(cents, corpus), ivfProbeCells(cents, probes, nprobe), k)
+  }
+
+  /** Persist the IVF index PARTITIONED by cell — the ANN twin of
+    * q87's bucketed signature index, but keyed for PRUNING rather
+    * than join co-location: a probe touches `nprobe` cells, and with
+    * the index laid out as one directory per cent_id, dynamic
+    * partition pruning turns the candidate join into a read of those
+    * directories ALONE (asserted in DedupSimSpec) — at 100 TB the
+    * probe cost is nprobe/numCells of the corpus, not a corpus scan.
+    * Appends write new vectors' assignments into the same layout
+    * under the SAME centroids (ivfCentroids is deterministic), so
+    * append ≡ rebuild exactly.
+    */
+  def writeIvfIndex(cents: DataFrame, corpus: DataFrame, path: String): Unit =
+    graft.sources.Formats.writePartitioned(ivfAssignments(cents, corpus), path, Seq("cent_id"))
+
+  def appendIvfIndex(cents: DataFrame, newVecs: DataFrame, path: String): Unit =
+    ivfAssignments(cents, newVecs).write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cent_id")
+      .parquet(path)
+
+  /** ivfTopK over the persisted index. */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cents: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      nprobe: Int
+  ): DataFrame =
+    ivfRank(spark.read.parquet(path), ivfProbeCells(cents, probes, nprobe), k)
 
   def lshTopK(
       corpus: DataFrame,

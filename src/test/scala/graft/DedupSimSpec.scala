@@ -296,6 +296,38 @@ class DedupSimSpec extends AnyFunSuite {
     assert(corpusMax <= graft.queries.DedupSimQueries.PrefixBlockCap, "test corpus now trips the cap; revisit")
   }
 
+  test("q107: persisted IVF index equals the in-memory path, prunes partitions dynamically, appends cleanly") {
+    import graft.queries.DedupSimQueries.{AnnK, IvfCells, IvfIndexPath, IvfNprobe}
+    import graft.sim.Similarity
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // the persisted layout must be answer-invisible
+    val viaIndex = rows(SparkEntry.queries("q107_ann_ivf_index")(spark, sf))
+    val direct = rows(SparkEntry.queries("q50_ann_ivf")(spark, sf))
+    assert(viaIndex == direct, "index path diverged from the in-memory IVF")
+    // dynamic partition pruning: the probe join must read only the
+    // probed cells' directories, not the whole index
+    val e = graft.sources.Tables
+      .embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val cents = Similarity.ivfCentroids(e, IvfCells)
+    val probed = Similarity.ivfTopKFromIndex(
+      spark, IvfIndexPath, cents, e.filter(col("vec_id") < 5), AnnK, IvfNprobe)
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no dynamic partition pruning on the index scan:\n$plan")
+    // append under the SAME deterministic centroids ≡ one-shot build
+    val path2 = IvfIndexPath + "_append_spec"
+    val isDelta = col("vec_id") % 5 === 4 && col("vec_id") >= IvfCells
+    Similarity.writeIvfIndex(cents, e.filter(!isDelta), path2)
+    Similarity.appendIvfIndex(cents, e.filter(isDelta), path2)
+    val appended = rows(
+      Similarity.ivfTopKFromIndex(spark, path2, cents, e.filter(col("vec_id") < 5), AnnK, IvfNprobe)
+    )
+    assert(appended == viaIndex, "append-then-probe diverged from the one-shot index")
+  }
+
   test("q95: edit-distance pairs respect the gate and the relative-distance contract") {
     import graft.queries.DedupSimQueries.{EditDistDenom, EditMinSharedShingles}
     val rows = SparkEntry.queries("q95_editdist_neardup")(spark, sf).collect()

@@ -251,6 +251,10 @@ class PlanSpec extends AnyFunSuite {
     // q106: one source-keyed moment aggregate; the stats broadcast
     // back onto the scan (scan-side z computation, no second shuffle)
     "q106_zscore_norm" -> 1,
+    // q107: the probe-cell window (5 probes) + the candidate
+    // dedup/rank; the index read itself is pruned directories joined
+    // by broadcast — the build job runs at call time, off-plan
+    "q107_ann_ivf_index" -> 2,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts
