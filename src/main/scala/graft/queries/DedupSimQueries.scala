@@ -186,6 +186,37 @@ object DedupSimQueries {
       sigmatchEstimate(Dedup.lshCandidates(sigs, NumPerms, RowsPerBand), sigs, "doc_a", "doc_b")
     },
 
+    // q108: sketch-only asymmetric CONTAINMENT estimation — the
+    // direction-aware complement to q90's exact prefix containment
+    // and q66's symmetric Jaccard: for LSH candidate pairs, estimate
+    // |A∩B|/|A| and |A∩B|/|B| from the signature agreement plus the
+    // per-doc shingle counts, via |A∩B| ≈ J·(|A|+|B|)/(1+J). A high
+    // one-sided containment with low Jaccard is the truncated-or-
+    // extended re-crawl signature (WHICH doc subsumes which), found
+    // WITHOUT re-touching shingles: the estimate costs one 64-slot
+    // kernel per pair and two integer lookups. est_jaccard is an
+    // exact binary fraction (k/64) and the containment formula is a
+    // fixed double-op sequence, so the oracle hash-compares at 4dp.
+    "q108_containment_est" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val sh = shingles3(s, dir)
+      val sigs = Dedup.minhashSignatures(sh, NumPerms).localCheckpoint()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")).localCheckpoint()
+      val est = sigmatchEstimate(Dedup.lshCandidates(sigs, NumPerms, RowsPerBand), sigs, "doc_a", "doc_b")
+      val inter = (col("est_jaccard") * (col("n_a") + col("n_b")).cast("double")) / (lit(1.0) + col("est_jaccard"))
+      est
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          col("n_match"),
+          col("est_jaccard"),
+          round(inter / col("n_a").cast("double"), 4).as("cont_a_in_b"),
+          round(inter / col("n_b").cast("double"), 4).as("cont_b_in_a")
+        )
+    },
+
     // q55: dup-pair clustering — connected components over the q31
     // near-dup pairs; each doc labeled with its cluster's minimum
     // doc_id (the representative a dedup pipeline keeps). Oracle =
@@ -584,6 +615,41 @@ object DedupSimQueries {
        |JOIN sig b ON b.doc_id = doc_b""".stripMargin
   }
 
+  /** q108 oracle: the q66 sketch reproduction + shingle sizes, with
+    * the containment estimates computed from the ROUNDED est_jaccard
+    * in the same mult/div/div sequence as the Spark side.
+    */
+  private lazy val q108Sql: String = {
+    val mins = sigMinsSql
+    val bands = bandsUnionSql
+    val matches = sigMatchesSql
+    def cont(denom: String) =
+      s"round(((est_jaccard * CAST(sa.n_sh + sb.n_sh AS DOUBLE)) / (1 + est_jaccard)) / CAST($denom AS DOUBLE), 4)"
+    s"""WITH $shingleCtes,
+       |hh AS (SELECT doc_id, ${strhash2Sql("s")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins
+       |        FROM hh GROUP BY doc_id),
+       |bands AS (
+       |  $bands
+       |),
+       |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
+       |m AS (SELECT doc_a, doc_b,
+       |             CAST($matches AS INT) AS n_match,
+       |             round(CAST($matches AS DOUBLE) / $NumPerms, 4) AS est_jaccard
+       |      FROM cand
+       |      JOIN sig a ON a.doc_id = doc_a
+       |      JOIN sig b ON b.doc_id = doc_b)
+       |SELECT doc_a, doc_b, n_match, est_jaccard,
+       |       ${cont("sa.n_sh")} AS cont_a_in_b,
+       |       ${cont("sb.n_sh")} AS cont_b_in_a
+       |FROM m
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b""".stripMargin
+  }
+
   /** q36 oracle: the hyperplane weights are PURE DATA (deterministic
     * LCG over (plane, dim) — Similarity.hyperplane), so they embed as
     * literal DOUBLE[] arrays whose shortest-round-trip decimal reprs
@@ -724,6 +790,7 @@ object DedupSimQueries {
          |FROM rk WHERE rank <= $KnnK""".stripMargin
     },
     "q66_minhash_est" -> q66Sql,
+    "q108_containment_est" -> q108Sql,
     "q36_ann_lsh" -> q36Sql,
     "q30_dedup_text_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies

@@ -328,6 +328,48 @@ class DedupSimSpec extends AnyFunSuite {
     assert(appended == viaIndex, "append-then-probe diverged from the one-shot index")
   }
 
+  test("q108: containment estimates are direction-aware for a planted truncation pair") {
+    import graft.dedup.Dedup
+    import graft.functions.GraftFunctions
+    import graft.queries.DedupSimQueries.{NumPerms, RowsPerBand}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // corpus invariants: estimates stay in sane ranges and the two
+    // directions order by size (the smaller set is the more contained)
+    val out = SparkEntry.queries("q108_containment_est")(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("cont_a_in_b") < 0 || col("cont_b_in_a") < 0).count() == 0, "negative containment")
+    out.unpersist()
+    // planted truncation: B = A + a long tail. All of A's shingles
+    // appear in B, so containment must be near-total A-in-B and
+    // visibly partial B-in-A.
+    val aText = (1 to 30).map(i => s"w$i").mkString(" ")
+    val bText = aText + " " + (1 to 15).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, aText), (2L, bText)).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignatures(sh, NumPerms)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val cands = Dedup.lshCandidates(sigs, NumPerms, RowsPerBand)
+    assert(cands.count() == 1, "the truncation pair must be an LSH candidate")
+    val est = cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(
+        (GraftFunctions.sigmatch(col("mh_a"), col("mh_b")).cast("double") / NumPerms).as("j"),
+        col("n_a"),
+        col("n_b")
+      )
+      .head()
+    val (j, na, nb) = (est.getDouble(0), est.getLong(1), est.getLong(2))
+    val inter = j * (na + nb) / (1 + j)
+    val (contA, contB) = (inter / na, inter / nb)
+    assert(contA > contB, s"direction lost: a-in-b $contA vs b-in-a $contB")
+    assert(contA >= 0.8, s"near-total containment underestimated: $contA")
+    assert(contB <= 0.85, s"partial containment overestimated: $contB")
+  }
+
   test("q95: edit-distance pairs respect the gate and the relative-distance contract") {
     import graft.queries.DedupSimQueries.{EditDistDenom, EditMinSharedShingles}
     val rows = SparkEntry.queries("q95_editdist_neardup")(spark, sf).collect()

@@ -255,6 +255,9 @@ class PlanSpec extends AnyFunSuite {
     // dedup/rank; the index read itself is pruned directories joined
     // by broadcast — the build job runs at call time, off-plan
     "q107_ann_ivf_index" -> 2,
+    // q108: band self-join over the checkpointed signatures; the
+    // size/signature joins broadcast at test scale
+    "q108_containment_est" -> 1,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts
