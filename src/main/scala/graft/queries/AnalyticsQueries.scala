@@ -366,6 +366,56 @@ object AnalyticsQueries {
         )
     },
 
+    // q109: cross-vintage column-profile drift — q80's one-pass
+    // profiler run per vintage (one Expand'd aggregate grouped by
+    // year: TWO rows out, never a melt) and self-joined on column
+    // name: per-column row/null/distinct deltas between two order
+    // vintages. This is the schema-level drift gate next to q96's
+    // value-level PSI — a distinct-count collapse or a null-rate jump
+    // is how an upstream export break shows up before any value
+    // distribution moves. Integer counts + one exact division per
+    // rate keep the oracle hash-exact.
+    "q109_profile_drift" -> { (s, dir) =>
+      val prof = Tables
+        .orders(s, dir)
+        .filter(year(col("o_orderdate")).isin(PsiYearA, PsiYearB))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderstatus")).as("nn_status"),
+          countDistinct(col("o_orderstatus")).as("nd_status"),
+          count(col("o_orderpriority")).as("nn_prio"),
+          countDistinct(col("o_orderpriority")).as("nd_prio"),
+          count(col("o_custkey")).as("nn_cust"),
+          countDistinct(col("o_custkey")).as("nd_cust")
+        )
+        .select(
+          col("yr"),
+          expr(
+            """stack(3,
+              |  'o_orderstatus',   n_rows, n_rows - nn_status, nd_status,
+              |  'o_orderpriority', n_rows, n_rows - nn_prio,   nd_prio,
+              |  'o_custkey',       n_rows, n_rows - nn_cust,   nd_cust
+              |) AS (col_name, n_rows, n_null, n_distinct)""".stripMargin
+          )
+        )
+        .localCheckpoint() // 6 rows; both vintage sides read it
+      val a = prof.filter(col("yr") === PsiYearA).drop("yr")
+      val b = prof.filter(col("yr") === PsiYearB).drop("yr")
+      a.as("a")
+        .join(b.as("b"), Seq("col_name"))
+        .select(
+          col("col_name"),
+          col("a.n_rows").as("rows_a"),
+          col("b.n_rows").as("rows_b"),
+          round(col("a.n_null").cast("double") / col("a.n_rows"), 6).as("null_rate_a"),
+          round(col("b.n_null").cast("double") / col("b.n_rows"), 6).as("null_rate_b"),
+          col("a.n_distinct").as("nd_a"),
+          col("b.n_distinct").as("nd_b"),
+          (col("b.n_distinct") - col("a.n_distinct")).as("nd_delta")
+        )
+    },
+
     // q96: PSI distribution-drift monitor — the data-quality gate a
     // continuously-refreshed training corpus runs between vintages:
     // bucket a measure into fixed-width bins, compare two periods'
@@ -610,6 +660,27 @@ object AnalyticsQueries {
         |UNION ALL
         |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
         |       count(DISTINCT o_custkey) FROM orders""".stripMargin,
+    "q109_profile_drift" ->
+      s"""WITH p AS (
+         |  SELECT year(o_orderdate) AS yr, 'o_orderstatus' AS col_name, count(*) AS n_rows,
+         |         count(*) - count(o_orderstatus) AS n_null, count(DISTINCT o_orderstatus) AS n_distinct
+         |  FROM orders WHERE year(o_orderdate) IN ($PsiYearA, $PsiYearB) GROUP BY 1
+         |  UNION ALL
+         |  SELECT year(o_orderdate), 'o_orderpriority', count(*),
+         |         count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority)
+         |  FROM orders WHERE year(o_orderdate) IN ($PsiYearA, $PsiYearB) GROUP BY 1
+         |  UNION ALL
+         |  SELECT year(o_orderdate), 'o_custkey', count(*),
+         |         count(*) - count(o_custkey), count(DISTINCT o_custkey)
+         |  FROM orders WHERE year(o_orderdate) IN ($PsiYearA, $PsiYearB) GROUP BY 1)
+         |SELECT a.col_name,
+         |       a.n_rows AS rows_a, b.n_rows AS rows_b,
+         |       round(CAST(a.n_null AS DOUBLE) / a.n_rows, 6) AS null_rate_a,
+         |       round(CAST(b.n_null AS DOUBLE) / b.n_rows, 6) AS null_rate_b,
+         |       a.n_distinct AS nd_a, b.n_distinct AS nd_b,
+         |       b.n_distinct - a.n_distinct AS nd_delta
+         |FROM p a JOIN p b ON a.col_name = b.col_name
+         |WHERE a.yr = $PsiYearA AND b.yr = $PsiYearB""".stripMargin,
     "q96_psi_drift" ->
       s"""WITH o AS (SELECT year(o_orderdate) AS yr,
          |                  CAST(floor(o_totalprice / $PsiBucketWidth) AS BIGINT) AS bucket

@@ -258,6 +258,9 @@ class PlanSpec extends AnyFunSuite {
     // q108: band self-join over the checkpointed signatures; the
     // size/signature joins broadcast at test scale
     "q108_containment_est" -> 1,
+    // q109: the 6-row profile rides its localCheckpoint; the vintage
+    // self-join broadcasts
+    "q109_profile_drift" -> 0,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts
