@@ -661,6 +661,24 @@ object TrainingQueries {
         .withColumn("cum_types", sum(col("new_types")).over(Window.orderBy(col("bucket"))))
     },
 
+    // q110: per-source document-length quantiles — the curation
+    // report behind length-gate tuning (q56's min/max chars are
+    // corpus-wide today; per-source quartiles say where those gates
+    // actually cut). Runs on Quantiles.exactDiscrete, i.e. the
+    // sketch-seeded band refinement whose ONLY window sorts the
+    // ±delta candidate band (q45's scale path applied to a second
+    // table/grouping); the oracle keeps the full-sort definition —
+    // same exact values.
+    "q110_length_quantiles" -> { (s, dir) =>
+      graft.operators.Quantiles.exactDiscrete(
+        Tables.documents(s, dir).select(col("source"), col("n_chars").cast("double").as("len")),
+        "source",
+        "len",
+        graft.queries.AnalyticsQueries.QuantileProbs,
+        graft.queries.AnalyticsQueries.QuantileNames
+      )
+    },
+
     // q106: per-source z-score normalization of document length — the
     // feature-engineering step before length-aware mixing/filtering
     // (a 500-char doc is "short" for web text, "long" for chat). ONE
@@ -965,6 +983,16 @@ object TrainingQueries {
          |       CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
          |       CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY occ.bucket) AS BIGINT) AS cum_types
          |FROM occ LEFT JOIN nt USING (bucket)""".stripMargin,
+    "q110_length_quantiles" ->
+      """SELECT source, max(n) AS n,
+        |       min(CASE WHEN rn = floor(0.25 * (n - 1)) + 1 THEN len END) AS p25,
+        |       min(CASE WHEN rn = floor(0.5 * (n - 1)) + 1 THEN len END) AS p50,
+        |       min(CASE WHEN rn = floor(0.75 * (n - 1)) + 1 THEN len END) AS p75
+        |FROM (SELECT source, CAST(n_chars AS DOUBLE) AS len,
+        |             row_number() OVER (PARTITION BY source ORDER BY CAST(n_chars AS DOUBLE)) rn,
+        |             count(*) OVER (PARTITION BY source) n
+        |      FROM documents)
+        |GROUP BY source""".stripMargin,
     "q106_zscore_norm" ->
       s"""WITH st AS (SELECT source, count(*) AS n,
          |                   CAST(sum(n_chars) AS BIGINT) AS s1,

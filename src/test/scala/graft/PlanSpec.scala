@@ -261,6 +261,9 @@ class PlanSpec extends AnyFunSuite {
     // q109: the 6-row profile rides its localCheckpoint; the vintage
     // self-join broadcasts
     "q109_profile_drift" -> 0,
+    // q110: the q45 banded-quantile shape on (source, n_chars) —
+    // exact counts, band window, final agg (same 3 as q45)
+    "q110_length_quantiles" -> 3,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts
