@@ -257,12 +257,19 @@ object TrainingQueries {
     // and resumable — the sequence-packing step before writing
     // training shards.
     "q71_token_shards" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), col("source"), TextFunctions.tokenCountWs(col("text")).cast("long").as("n_toks"))
-        .withColumn("cum", sum(col("n_toks")).over(w))
+      // running token total via the two-pass bucketed prefix sum: a
+      // plain per-source window here is one task sorting a whole
+      // source — Prefix.cumSum keeps the identical answer with the
+      // sort split across order-range buckets (see Prefix.scala)
+      graft.operators.Prefix
+        .cumSum(
+          Tables
+            .documents(s, dir)
+            .select(col("doc_id"), col("source"), TextFunctions.tokenCountWs(col("text")).cast("long").as("n_toks")),
+          Seq("source"),
+          "doc_id",
+          "n_toks"
+        )
         .select(
           col("doc_id"),
           col("source"),

@@ -178,7 +178,12 @@ class PlanSpec extends AnyFunSuite {
     "q68_funnel" -> 6,
     "q69_retention" -> 3,
     "q70_source_mixing" -> 1,
-    "q71_token_shards" -> 1,
+    // q71: the two-pass prefix sum trades the single per-source sort
+    // for 3 bounded exchanges — bucket totals (source×bucket rows),
+    // the tiny offset window, and the intra-bucket window whose sort
+    // is ~n/buckets rows per task (order bounds ride a checkpointed
+    // 1-row frame)
+    "q71_token_shards" -> 3,
     "q72_doc_chunks" -> 0,
     "q73_argmax_rep" -> 1,
     "q74_attribution" -> 1,

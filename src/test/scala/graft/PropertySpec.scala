@@ -301,6 +301,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed prefix sum equals the plain window on random tie-heavy inputs") {
+    import graft.operators.Prefix
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    for (seed <- 0 until 4) {
+      val rnd = new Random(900 + seed)
+      // shapes the bucketing must survive: groups smaller than the
+      // bucket count, heavy order-key ties (RANGE-frame semantics),
+      // null values, sparse and clustered key ranges, a singleton
+      val rows = Seq.tabulate(3) { g =>
+        val n = Seq(1, 7, 400 + rnd.nextInt(200))(g)
+        (1 to n).map { _ =>
+          val key = rnd.nextInt(40) match {
+            case t if t < 8 => 5L // hot tie
+            case _          => rnd.nextInt(1 << 16).toLong * (g + 1)
+          }
+          val v: Option[Long] = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(100).toLong)
+          (s"g$g", key, v)
+        }
+      }.flatten
+      val df = rows.toDF("grp", "k", "v").repartition(7) // hostile placement
+      for (buckets <- Seq(1, 5, Prefix.DefaultBuckets)) {
+        val got = Prefix
+          .cumSum(df, Seq("grp"), "k", "v", buckets = buckets)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+          .sortBy(t => (t._1, t._2, t._3.map(_.toString)))
+        val naive = df
+          .withColumn("cum", coalesce(sum(col("v")).over(Window.partitionBy(col("grp")).orderBy(col("k"))), lit(0L)))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+          .sortBy(t => (t._1, t._2, t._3.map(_.toString)))
+        assert(got.toSeq == naive.toSeq, s"seed=$seed buckets=$buckets")
+      }
+    }
+    // the loud contracts: non-integral order key, clashing output name
+    val df = Seq(("a", "x", 1L)).toDF("grp", "k", "v")
+    assertThrows[IllegalArgumentException](Prefix.cumSum(df, Seq("grp"), "k", "v"))
+    val df2 = Seq(("a", 1L, 1L, 0L)).toDF("grp", "k", "v", "cum")
+    assertThrows[IllegalArgumentException](Prefix.cumSum(df2, Seq("grp"), "k", "v"))
+  }
+
   test("pointInRing matches the exact half-plane classification on random convex integer polygons") {
     // generator: a jittered regular m-gon on a radius-10⁶ circle,
     // vertices rounded to integers (always CCW, edges well-separated).
