@@ -45,6 +45,9 @@ object TrainingQueries {
   // real threshold branch, not just the keep-all sentinel (the branch
   // a long/long-division type bug hid in until sf0.1).
   val SampleK = 5
+  // q111: concat-and-chunk sequence packing — context windows of
+  // PackSeqTokens tokens over the per-source concatenated stream.
+  val PackSeqTokens = 1024L
   // q92: PMI collocations — min pair count and global top-k size.
   val PmiMinCount = 5
   val PmiTopK = 50
@@ -686,6 +689,54 @@ object TrainingQueries {
       )
     },
 
+    // q111: concat-and-chunk sequence packing accounting — the way
+    // training runs actually consume a corpus: each source's docs are
+    // concatenated in doc_id order into one token stream and cut into
+    // fixed context windows. Per source: how many sequences the
+    // stream yields, how many docs land astride a window boundary
+    // (and so get split), and the tail padding wasted in the last
+    // window. Each doc's stream span comes from Prefix.cumSum — the
+    // bucketed prefix sum, NOT a per-source global-sort window — and
+    // the window ids are pure integer DIV on the span endpoints.
+    "q111_seq_pack" -> { (s, dir) =>
+      val L = PackSeqTokens
+      val spans = graft.operators.Prefix
+        .cumSum(
+          Tables
+            .documents(s, dir)
+            .select(col("doc_id"), col("source"), TextFunctions.tokenCountWs(col("text")).cast("long").as("n_toks")),
+          Seq("source"),
+          "doc_id",
+          "n_toks"
+        )
+        .select(
+          col("source"),
+          col("n_toks"),
+          expr(s"(cum - n_toks) DIV $L").as("first_seq"),
+          expr(s"(cum - 1) DIV $L").as("last_seq")
+        )
+      spans
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_toks"),
+          sum(when(col("n_toks") > 0 && col("first_seq") =!= col("last_seq"), 1L).otherwise(0L)).as("split_docs")
+        )
+        .select(
+          col("source"),
+          col("n_docs"),
+          col("total_toks"),
+          expr(s"(total_toks + $L - 1) DIV $L").as("n_seqs"),
+          col("split_docs"),
+          (expr(s"(total_toks + $L - 1) DIV $L") * L - col("total_toks")).as("tail_pad"),
+          round(
+            (expr(s"(total_toks + $L - 1) DIV $L") * L - col("total_toks")).cast("double") /
+              (expr(s"(total_toks + $L - 1) DIV $L") * L).cast("double"),
+            4
+          ).as("waste_ratio")
+        )
+    },
+
     // q106: per-source z-score normalization of document length — the
     // feature-engineering step before length-aware mixing/filtering
     // (a 500-char doc is "short" for web text, "long" for chat). ONE
@@ -1000,6 +1051,25 @@ object TrainingQueries {
         |             count(*) OVER (PARTITION BY source) n
         |      FROM documents)
         |GROUP BY source""".stripMargin,
+    "q111_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |                  CAST(len(string_split_regex(trim(text), '${TextFunctions.WsRun}')) AS BIGINT) AS n_toks
+         |           FROM documents),
+         |c AS (SELECT source, n_toks,
+         |             CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+         |      FROM t),
+         |g AS (SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_toks,
+         |             CAST(sum(CASE WHEN n_toks > 0
+         |                           AND (cum - n_toks) // $PackSeqTokens <> (cum - 1) // $PackSeqTokens
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
+         |      FROM c GROUP BY source)
+         |SELECT source, n_docs, total_toks,
+         |       (total_toks + $PackSeqTokens - 1) // $PackSeqTokens AS n_seqs,
+         |       split_docs,
+         |       ((total_toks + $PackSeqTokens - 1) // $PackSeqTokens) * $PackSeqTokens - total_toks AS tail_pad,
+         |       round(CAST(((total_toks + $PackSeqTokens - 1) // $PackSeqTokens) * $PackSeqTokens - total_toks AS DOUBLE)
+         |             / CAST(((total_toks + $PackSeqTokens - 1) // $PackSeqTokens) * $PackSeqTokens AS DOUBLE), 4) AS waste_ratio
+         |FROM g""".stripMargin,
     "q106_zscore_norm" ->
       s"""WITH st AS (SELECT source, count(*) AS n,
          |                   CAST(sum(n_chars) AS BIGINT) AS s1,

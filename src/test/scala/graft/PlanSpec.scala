@@ -269,6 +269,9 @@ class PlanSpec extends AnyFunSuite {
     // q110: the q45 banded-quantile shape on (source, n_chars) —
     // exact counts, band window, final agg (same 3 as q45)
     "q110_length_quantiles" -> 3,
+    // q111: Prefix.cumSum's 3 bounded exchanges (see q71) + the final
+    // per-source packing aggregate
+    "q111_seq_pack" -> 4,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts

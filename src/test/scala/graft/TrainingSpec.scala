@@ -123,6 +123,40 @@ class TrainingSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q111: packing accounting is internally consistent and matches the naive window") {
+    import org.apache.spark.sql.expressions.Window
+    val L = graft.queries.TrainingQueries.PackSeqTokens
+    val out = SparkEntry.queries("q111_seq_pack")(spark, sf).cache()
+    assert(out.count() > 0)
+    // invariants: the last window is never empty and never overfull,
+    // and a doc can only be split if the stream has >1 window
+    assert(out.filter(col("tail_pad") >= L || col("tail_pad") < 0).count() == 0)
+    assert(out.filter(col("n_seqs") * L < col("total_toks")).count() == 0)
+    assert(out.filter(col("split_docs") > col("n_docs")).count() == 0)
+    assert(out.filter(col("n_seqs") === 1 && col("split_docs") > 0).count() == 0)
+    // ≡ the naive per-source global-sort window (the plan q111 avoids)
+    val naive = graft.sources.Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), col("source"), TextFunctions.tokenCountWs(col("text")).cast("long").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_toks"),
+        sum(
+          when(col("n_toks") > 0 && expr(s"(cum - n_toks) DIV $L") =!= expr(s"(cum - 1) DIV $L"), 1L)
+            .otherwise(0L)
+        ).as("split_docs")
+      )
+    val joined = out.join(naive.withColumnRenamed("n_docs", "e_docs").withColumnRenamed("total_toks", "e_toks").withColumnRenamed("split_docs", "e_split"), "source")
+    assert(
+      joined
+        .filter(col("n_docs") =!= col("e_docs") || col("total_toks") =!= col("e_toks") || col("split_docs") =!= col("e_split"))
+        .count() == 0
+    )
+    out.unpersist()
+  }
+
   test("q72: chunks tile every document at the configured stride and width") {
     import graft.queries.TrainingQueries.{ChunkStride, ChunkTokens}
     val out = SparkEntry.queries("q72_doc_chunks")(spark, sf).cache()
