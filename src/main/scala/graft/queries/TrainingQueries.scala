@@ -48,6 +48,20 @@ object TrainingQueries {
   // q111: concat-and-chunk sequence packing — context windows of
   // PackSeqTokens tokens over the per-source concatenated stream.
   val PackSeqTokens = 1024L
+  // q112: the quality-filter linear model — weights in basis points
+  // over exact integer features (see etl/LinearModel.scala). The
+  // model is DATA: swap this list and the plan shape is unchanged.
+  val QualityWeightsBp: Seq[(String, Long)] = Seq(
+    "len_capped" -> 5L,
+    "n_tokens" -> 10L,
+    "stop_hits" -> 120L,
+    "punct_hits" -> -80L,
+    "digit_hits" -> -40L
+  )
+  val QualityBiasBp = -2000L
+  // threshold sits near the score median of the synthetic corpus so
+  // both classes are populated at every SF (asserted in TrainingSpec)
+  val QualityKeepBp = 500L
   // q92: PMI collocations — min pair count and global top-k size.
   val PmiMinCount = 5
   val PmiTopK = 50
@@ -737,6 +751,27 @@ object TrainingQueries {
         )
     },
 
+    // q112: quality-filter linear model — the fastText-style keep/drop
+    // gate as config + arithmetic: integer features from the scan, the
+    // basis-point weight list folded into ONE exact BIGINT expression
+    // (etl/LinearModel.scala), an integer threshold for the flag. No
+    // FP anywhere, no shuffle anywhere: the whole query is scan-side
+    // whole-stage-codegen'd projection.
+    "q112_quality_logit" -> { (s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          least(col("n_chars").cast("long"), lit(400L)).as("len_capped"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.stopwordHits(col("text")).cast("long").as("stop_hits"),
+          TextFunctions.punctHits(col("text")).cast("long").as("punct_hits"),
+          regexp_count(col("text"), lit("[0-9]")).cast("long").as("digit_hits")
+        )
+        .withColumn("score_bp", graft.etl.LinearModel.scoreBp(QualityBiasBp, QualityWeightsBp))
+        .withColumn("keep", col("score_bp") >= QualityKeepBp)
+    },
+
     // q106: per-source z-score normalization of document length — the
     // feature-engineering step before length-aware mixing/filtering
     // (a 500-char doc is "short" for web text, "long" for chat). ONE
@@ -1070,6 +1105,18 @@ object TrainingQueries {
          |       round(CAST(((total_toks + $PackSeqTokens - 1) // $PackSeqTokens) * $PackSeqTokens - total_toks AS DOUBLE)
          |             / CAST(((total_toks + $PackSeqTokens - 1) // $PackSeqTokens) * $PackSeqTokens AS DOUBLE), 4) AS waste_ratio
          |FROM g""".stripMargin,
+    "q112_quality_logit" ->
+      s"""WITH f AS (SELECT doc_id,
+         |                  CAST(least(n_chars, 400) AS BIGINT) AS len_capped,
+         |                  CAST(len(string_split_regex(trim(text), '${TextFunctions.WsRun}')) AS BIGINT) AS n_tokens,
+         |                  CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is)\\b')) AS BIGINT) AS stop_hits,
+         |                  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_hits,
+         |                  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_hits
+         |           FROM documents)
+         |SELECT doc_id, len_capped, n_tokens, stop_hits, punct_hits, digit_hits,
+         |       CAST(${graft.etl.LinearModel.scoreBpSql(QualityBiasBp, QualityWeightsBp)} AS BIGINT) AS score_bp,
+         |       CAST(${graft.etl.LinearModel.scoreBpSql(QualityBiasBp, QualityWeightsBp)} AS BIGINT) >= $QualityKeepBp AS keep
+         |FROM f""".stripMargin,
     "q106_zscore_norm" ->
       s"""WITH st AS (SELECT source, count(*) AS n,
          |                   CAST(sum(n_chars) AS BIGINT) AS s1,

@@ -272,6 +272,9 @@ class PlanSpec extends AnyFunSuite {
     // q111: Prefix.cumSum's 3 bounded exchanges (see q71) + the final
     // per-source packing aggregate
     "q111_seq_pack" -> 4,
+    // q112: the linear quality model is pure scan-side projection —
+    // features, score fold and threshold all inside one codegen stage
+    "q112_quality_logit" -> 0,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts

@@ -157,6 +157,23 @@ class TrainingSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q112: linear model scores are the exact weight fold and both classes appear") {
+    import graft.queries.TrainingQueries.{QualityBiasBp, QualityKeepBp, QualityWeightsBp}
+    val out = SparkEntry.queries("q112_quality_logit")(spark, sf).cache()
+    assert(out.filter(col("keep")).count() > 0)
+    assert(out.filter(!col("keep")).count() > 0)
+    // recompute the fold driver-side from the emitted features — the
+    // score column must be exactly bias + Σ w·f, keep exactly ≥ thr
+    val feats = QualityWeightsBp.map(_._1)
+    out.collect().foreach { r =>
+      val expected = QualityBiasBp + QualityWeightsBp.map { case (f, w) => w * r.getLong(r.fieldIndex(f)) }.sum
+      assert(r.getLong(r.fieldIndex("score_bp")) == expected, s"doc ${r.getLong(0)}")
+      assert(r.getBoolean(r.fieldIndex("keep")) == (expected >= QualityKeepBp), s"doc ${r.getLong(0)}")
+    }
+    assert(feats.forall(out.columns.contains))
+    out.unpersist()
+  }
+
   test("q72: chunks tile every document at the configured stride and width") {
     import graft.queries.TrainingQueries.{ChunkStride, ChunkTokens}
     val out = SparkEntry.queries("q72_doc_chunks")(spark, sf).cache()
