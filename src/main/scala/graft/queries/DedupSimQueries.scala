@@ -225,6 +225,31 @@ object DedupSimQueries {
       Dedup.dupClusters(Dedup.ngramJaccardPairs(shingles3(s, dir), JaccardThreshold))
     },
 
+    // q113: canonical-representative selection per near-dup cluster —
+    // the step that turns q55's cluster labels into an actual dedup
+    // DECISION: within each cluster keep the highest-quality member
+    // (q112's fixed-point model score, ties to the smallest doc_id),
+    // discard the rest. "Keep the best copy, not the first copy" is
+    // how production pipelines break near-dup ties. One max_by
+    // aggregate over the cluster join; scores are a pure projection
+    // on the documents scan, so the join's corpus side stays
+    // scan-shaped and the aggregate carries one struct per cluster.
+    "q113_cluster_winner" -> { (s, dir) =>
+      val clusters = Dedup.dupClusters(Dedup.ngramJaccardPairs(shingles3(s, dir), JaccardThreshold))
+      val scored = graft.queries.TrainingQueries
+        .qualityModelScores(Tables.documents(s, dir))
+        .select(col("doc_id"), col("score_bp"))
+      clusters
+        .join(scored, "doc_id")
+        .groupBy(col("cluster"))
+        .agg(
+          max_by(col("doc_id"), struct(col("score_bp"), (-col("doc_id")).as("neg_id"))).as("winner_doc"),
+          max(col("score_bp")).as("winner_score_bp"),
+          count(lit(1)).as("n_members")
+        )
+        .withColumn("n_discarded", col("n_members") - 1)
+    },
+
     // q81: int8 embedding quantization — per-vector max-abs scale,
     // values mapped to round(127·x/scale). The memory-reduction step
     // before a 100 TB ANN index (4× smaller vectors); a pure scalar
@@ -805,6 +830,32 @@ object DedupSimQueries {
          |          UNION
          |          SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a""".stripMargin,
+    "q113_cluster_winner" ->
+      s"""WITH RECURSIVE p AS ($q31Sql),
+         |e AS (SELECT doc_a a, doc_b b FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach AS (SELECT a, b FROM e
+         |          UNION
+         |          SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |c AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+         |f AS (SELECT doc_id,
+         |             CAST(least(n_chars, 400) AS BIGINT) AS len_capped,
+         |             CAST(len(string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}')) AS BIGINT) AS n_tokens,
+         |             CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is)\\b')) AS BIGINT) AS stop_hits,
+         |             CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_hits,
+         |             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_hits
+         |      FROM documents),
+         |sc AS (SELECT doc_id,
+         |              CAST(${graft.etl.LinearModel.scoreBpSql(
+           graft.queries.TrainingQueries.QualityBiasBp,
+           graft.queries.TrainingQueries.QualityWeightsBp
+         )} AS BIGINT) AS score_bp
+         |       FROM f)
+         |SELECT cluster,
+         |       arg_max(c.doc_id, CAST(score_bp AS HUGEINT) * 18446744073709551616 - c.doc_id) AS winner_doc,
+         |       max(score_bp) AS winner_score_bp,
+         |       count(*) AS n_members,
+         |       count(*) - 1 AS n_discarded
+         |FROM c JOIN sc USING (doc_id) GROUP BY cluster""".stripMargin,
     "q34_dedup_embedding" -> {
       // mirror of Dedup.embeddingNearDupsLsh: same sign-bucket tables
       // (shared embKbSql), same normalize-then-dot order →

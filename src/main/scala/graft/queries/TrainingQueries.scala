@@ -87,6 +87,23 @@ object TrainingQueries {
       ).as("raw")
     )
 
+  /** The q112 feature block + fixed-point model score over any
+    * (doc_id, text, n_chars) frame — public so q113's cluster-winner
+    * selection ranks on the SAME score the quality gate uses (a
+    * private copy there would silently drift).
+    */
+  def qualityModelScores(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        least(col("n_chars").cast("long"), lit(400L)).as("len_capped"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.stopwordHits(col("text")).cast("long").as("stop_hits"),
+        TextFunctions.punctHits(col("text")).cast("long").as("punct_hits"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("digit_hits")
+      )
+      .withColumn("score_bp", graft.etl.LinearModel.scoreBp(QualityBiasBp, QualityWeightsBp))
+
   /** q93's whole plan over any (doc_id, text) frame — factored so
     * TrainingSpec can drive it over a synthetic hot-bigram corpus
     * (the Zipf-skew case the scoring join must survive at scale).
@@ -758,17 +775,7 @@ object TrainingQueries {
     // FP anywhere, no shuffle anywhere: the whole query is scan-side
     // whole-stage-codegen'd projection.
     "q112_quality_logit" -> { (s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(
-          col("doc_id"),
-          least(col("n_chars").cast("long"), lit(400L)).as("len_capped"),
-          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"),
-          TextFunctions.stopwordHits(col("text")).cast("long").as("stop_hits"),
-          TextFunctions.punctHits(col("text")).cast("long").as("punct_hits"),
-          regexp_count(col("text"), lit("[0-9]")).cast("long").as("digit_hits")
-        )
-        .withColumn("score_bp", graft.etl.LinearModel.scoreBp(QualityBiasBp, QualityWeightsBp))
+      qualityModelScores(Tables.documents(s, dir))
         .withColumn("keep", col("score_bp") >= QualityKeepBp)
     },
 

@@ -71,6 +71,29 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"blocked recall $recall < 0.8 (${lsh.size}/${exact.size})")
   }
 
+  test("q113: cluster winners equal the naive best-score-first-id window over q55's clusters") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val out = SparkEntry.queries("q113_cluster_winner")(spark, sf).cache()
+    val clusters = SparkEntry.queries("q55_dup_clusters")(spark, sf)
+    val scored = graft.queries.TrainingQueries
+      .qualityModelScores(graft.sources.Tables.documents(spark, sf))
+      .select(col("doc_id"), col("score_bp"))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("score_bp").desc, col("doc_id").asc)
+    val naive = clusters
+      .join(scored, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("e_winner"), col("score_bp").as("e_score"))
+    val joined = out.join(naive, Seq("cluster"), "full_outer")
+    assert(joined.filter(col("winner_doc").isNull || col("e_winner").isNull).count() == 0)
+    assert(joined.filter(col("winner_doc") =!= col("e_winner") || col("winner_score_bp") =!= col("e_score")).count() == 0)
+    // every cluster discards all but one member
+    assert(out.filter(col("n_discarded") =!= col("n_members") - 1).count() == 0)
+    assert(out.filter(col("n_members") < 2).count() == 0, "q55 clusters have >= 2 members by construction")
+    out.unpersist()
+  }
+
   test("exact-dedup groups partition the corpus") {
     val df = SparkEntry.queries("q30_dedup_text_exact")(spark, sf)
     val total = df.agg(org.apache.spark.sql.functions.sum("n_copies")).head.getLong(0)

@@ -275,6 +275,9 @@ class PlanSpec extends AnyFunSuite {
     // q112: the linear quality model is pure scan-side projection —
     // features, score fold and threshold all inside one codegen stage
     "q112_quality_logit" -> 0,
+    // q113: q55's cluster frame broadcasts onto the scored documents
+    // scan; the only data exchange is the per-cluster winner aggregate
+    "q113_cluster_winner" -> 1,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts
