@@ -644,6 +644,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming shard packing matches batch q71 assignments (the packing maintenance path)") {
+    // the ingest job that keeps training shards current: each arriving
+    // doc gets its shard the moment it lands, carrying ONE long of
+    // state per source (the running token total). Assignments must
+    // equal a batch re-pack of the whole corpus exactly — the
+    // append ≡ rebuild invariant, applied to packing. Ingest contract:
+    // ascending doc_id per source across batches (intra-batch order is
+    // free — the packer sorts its group iterator).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{PackDoc, Packing}
+    val docs = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), col("source"), graft.text.TextFunctions.tokenCountWs(col("text")).cast("long").as("n_toks"))
+      .as[(Long, String, Long)]
+      .collect()
+      .toSeq
+      .sortBy(_._1)
+      .map { case (d, s, n) => PackDoc(d, s, n) }
+    val stream = MemoryStream[PackDoc]
+    val assigned = Packing.shardAssignments(stream.toDS(), graft.queries.TrainingQueries.ShardTokenBudget.toLong)
+    val query = assigned.writeStream
+      .format("memory")
+      .queryName("pack_stream")
+      .outputMode("update")
+      .start()
+    try {
+      // shuffle WITHIN each batch (the packer must not depend on
+      // intra-batch arrival order), keep doc_id ascending ACROSS them
+      docs.grouped(math.max(docs.size / 3, 1)).foreach { b =>
+        stream.addData(new scala.util.Random(17).shuffle(b))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = spark
+      .table("pack_stream")
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val batch = SparkEntry
+      .queries("q71_token_shards")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(streamed.keySet == batch.keySet, "doc sets differ")
+    batch.foreach { case (d, v) => assert(streamed(d) == v, s"assignment differs for doc $d") }
+  }
+
   test("streaming edge-table ingest feeds the q104 incremental rank (the graph maintenance path)") {
     // the ingest job that keeps q104's bucketed edge table current:
     // edge observations arrive as a stream, each micro-batch APPENDS
