@@ -62,6 +62,10 @@ object TrainingQueries {
   // threshold sits near the score median of the synthetic corpus so
   // both classes are populated at every SF (asserted in TrainingSpec)
   val QualityKeepBp = 500L
+  // q115: diversity-capped selection — best DiverseTopK docs per
+  // source, then the global DiverseTopN of those survivors.
+  val DiverseTopK = 10
+  val DiverseTopN = 50L
   // q92: PMI collocations — min pair count and global top-k size.
   val PmiMinCount = 5
   val PmiTopK = 50
@@ -92,15 +96,16 @@ object TrainingQueries {
     * selection ranks on the SAME score the quality gate uses (a
     * private copy there would silently drift).
     */
-  def qualityModelScores(docs: DataFrame): DataFrame =
+  def qualityModelScores(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
     docs
       .select(
-        col("doc_id"),
-        least(col("n_chars").cast("long"), lit(400L)).as("len_capped"),
-        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"),
-        TextFunctions.stopwordHits(col("text")).cast("long").as("stop_hits"),
-        TextFunctions.punctHits(col("text")).cast("long").as("punct_hits"),
-        regexp_count(col("text"), lit("[0-9]")).cast("long").as("digit_hits")
+        (col("doc_id") +: passthrough.map(col)) ++ Seq(
+          least(col("n_chars").cast("long"), lit(400L)).as("len_capped"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.stopwordHits(col("text")).cast("long").as("stop_hits"),
+          TextFunctions.punctHits(col("text")).cast("long").as("punct_hits"),
+          regexp_count(col("text"), lit("[0-9]")).cast("long").as("digit_hits")
+        ): _*
       )
       .withColumn("score_bp", graft.etl.LinearModel.scoreBp(QualityBiasBp, QualityWeightsBp))
 
@@ -779,6 +784,71 @@ object TrainingQueries {
         .withColumn("keep", col("score_bp") >= QualityKeepBp)
     },
 
+    // q114: cross-source n-gram overlap matrix — the source-redundancy
+    // report behind mixing decisions ("does buying source B add
+    // anything source A doesn't already have?"). Generalizes q63's
+    // train/eval split to ALL ordered source pairs: distinct 5-gram
+    // hashes per source (ONE aggregate — grams hash as 8-byte longs,
+    // text never travels), then a shingle equi-join whose per-key
+    // fan-out is inherently bounded by the SOURCE CARDINALITY (≤ S
+    // rows per gram per side — the capped-block property q31 needs a
+    // df-cap for comes free here), and per-pair shared counts against
+    // each side's distinct total. Asymmetric on purpose: shared/|A| ≠
+    // shared/|B| is exactly the containment direction.
+    "q114_source_overlap" -> { (s, dir) =>
+      val grams = graft.dedup.Dedup
+        .shingles(Tables.documents(s, dir), "source", "text", ContamN)
+        .withColumnRenamed("doc_id", "source")
+        .localCheckpoint() // feeds per-source totals + both join sides
+      val totals = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      grams
+        .select(col("shingle"), col("source").as("source_a"))
+        .join(grams.select(col("shingle"), col("source").as("source_b")), "shingle")
+        .filter(col("source_a") =!= col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .join(broadcast(totals.select(col("source").as("source_a"), col("n_grams").as("n_a_grams"))), "source_a")
+        .join(broadcast(totals.select(col("source").as("source_b"), col("n_grams").as("n_b_grams"))), "source_b")
+        .select(
+          col("source_a"),
+          col("source_b"),
+          col("n_shared_grams"),
+          col("n_a_grams"),
+          col("n_b_grams"),
+          round(col("n_shared_grams").cast("double") / col("n_a_grams").cast("double"), 4).as("share_of_a")
+        )
+    },
+
+    // q115: diversity-capped top-k selection — "the best 50 docs, but
+    // no more than 10 from any one source" (per-source caps are how
+    // curation keeps one giant crawl from crowding out every other
+    // source). The per-source top-k is ONE bounded-heap native
+    // aggregate (graft_topk — q99's no-window machinery) over an
+    // integer surrogate that encodes (score DESC, doc_id ASC) as a
+    // single total order; survivors (S·k rows) broadcast back onto
+    // the scored scan to pick up their scores, and the global cut is
+    // a TakeOrdered, never a full sort.
+    "q115_diverse_topk" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val scored = qualityModelScores(Tables.documents(s, dir), Seq("source"))
+        .select(col("doc_id"), col("source"), col("score_bp"))
+      // key = -(score·2^40 - doc_id): graft_topk keeps the SMALLEST
+      // keys, so this ranks score DESC, ties to the smallest doc_id;
+      // |score| ≤ ~2^13 and doc_id < 2^40 keep the product exact in
+      // a double's 53-bit mantissa at any tested SF
+      val surrogate = -(col("score_bp") * lit(1L << 40) - col("doc_id")).cast("double")
+      val picked = scored
+        .groupBy(col("source"))
+        .agg(graft.functions.GraftFunctions.topk(surrogate, col("doc_id"), DiverseTopK).as("ids"))
+        .select(col("source").as("__s"), posexplode(col("ids")).as(Seq("__pos", "doc_id")))
+        .select(col("doc_id"), (col("__pos") + 1).cast("long").as("src_rank"))
+      scored
+        .join(broadcast(picked), "doc_id")
+        .orderBy((col("score_bp") * lit(1L << 40) - col("doc_id")).desc)
+        .limit(DiverseTopN.toInt)
+        .select(col("doc_id"), col("source"), col("score_bp"), col("src_rank"))
+    },
+
     // q106: per-source z-score normalization of document length — the
     // feature-engineering step before length-aware mixing/filtering
     // (a 500-char doc is "short" for web text, "long" for chat). ONE
@@ -1112,6 +1182,35 @@ object TrainingQueries {
          |       round(CAST(((total_toks + $PackSeqTokens - 1) // $PackSeqTokens) * $PackSeqTokens - total_toks AS DOUBLE)
          |             / CAST(((total_toks + $PackSeqTokens - 1) // $PackSeqTokens) * $PackSeqTokens AS DOUBLE), 4) AS waste_ratio
          |FROM g""".stripMargin,
+    "q114_source_overlap" ->
+      s"""WITH toks AS (SELECT source, string_split_regex(trim(text), '${TextFunctions.WsRun}') t FROM documents),
+         |g AS (SELECT DISTINCT source, unnest(list_transform(range(1, greatest(len(t) - ${ContamN - 1}, 1) + 1),
+         |             i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + ${ContamN - 1}), ' '))) s
+         |      FROM toks),
+         |c AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+         |p AS (SELECT a.source sa, b.source sb, count(*) ns
+         |      FROM g a JOIN g b USING (s) WHERE a.source <> b.source GROUP BY 1, 2)
+         |SELECT sa AS source_a, sb AS source_b, CAST(ns AS BIGINT) AS n_shared_grams,
+         |       CAST(ca.n AS BIGINT) AS n_a_grams, CAST(cb.n AS BIGINT) AS n_b_grams,
+         |       round(CAST(ns AS DOUBLE) / CAST(ca.n AS DOUBLE), 4) AS share_of_a
+         |FROM p JOIN c ca ON ca.source = p.sa JOIN c cb ON cb.source = p.sb""".stripMargin,
+    "q115_diverse_topk" ->
+      s"""WITH f AS (SELECT doc_id, source,
+         |                  CAST(least(n_chars, 400) AS BIGINT) AS len_capped,
+         |                  CAST(len(string_split_regex(trim(text), '${TextFunctions.WsRun}')) AS BIGINT) AS n_tokens,
+         |                  CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is)\\b')) AS BIGINT) AS stop_hits,
+         |                  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_hits,
+         |                  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_hits
+         |           FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |              CAST(${graft.etl.LinearModel.scoreBpSql(QualityBiasBp, QualityWeightsBp)} AS BIGINT) AS score_bp
+         |       FROM f),
+         |r AS (SELECT doc_id, source, score_bp,
+         |             row_number() OVER (PARTITION BY source ORDER BY score_bp DESC, doc_id ASC) AS src_rank
+         |      FROM sc)
+         |SELECT doc_id, source, score_bp, CAST(src_rank AS BIGINT) AS src_rank
+         |FROM r WHERE src_rank <= $DiverseTopK
+         |ORDER BY score_bp DESC, doc_id ASC LIMIT $DiverseTopN""".stripMargin,
     "q112_quality_logit" ->
       s"""WITH f AS (SELECT doc_id,
          |                  CAST(least(n_chars, 400) AS BIGINT) AS len_capped,

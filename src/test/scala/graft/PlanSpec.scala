@@ -278,6 +278,13 @@ class PlanSpec extends AnyFunSuite {
     // q113: q55's cluster frame broadcasts onto the scored documents
     // scan; the only data exchange is the per-cluster winner aggregate
     "q113_cluster_winner" -> 1,
+    // q114: the distinct (source, gram) aggregate feeding the
+    // checkpoint, the gram equi-join (fan-out ≤ source cardinality
+    // per key), and the per-pair count agg; totals ride broadcasts
+    "q114_source_overlap" -> 3,
+    // q115: ONE bounded-heap aggregate (no window); survivors
+    // broadcast back; the global cut is a TakeOrdered, not a sort
+    "q115_diverse_topk" -> 1,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts

@@ -174,6 +174,43 @@ class TrainingSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q114: overlap matrix is count-symmetric and bounded by each side's gram total") {
+    val out = SparkEntry.queries("q114_source_overlap")(spark, sf).cache()
+    assert(out.count() > 0)
+    // shared counts are symmetric (the RATIO is not — that's the point)
+    val flipped = out.select(
+      col("source_a").as("source_b"),
+      col("source_b").as("source_a"),
+      col("n_shared_grams").as("flip_shared")
+    )
+    val j = out.join(flipped, Seq("source_a", "source_b"), "full_outer")
+    assert(j.filter(col("n_shared_grams").isNull || col("flip_shared").isNull).count() == 0)
+    assert(j.filter(col("n_shared_grams") =!= col("flip_shared")).count() == 0)
+    assert(out.filter(col("n_shared_grams") > least(col("n_a_grams"), col("n_b_grams"))).count() == 0)
+    assert(out.filter(col("share_of_a") < 0 || col("share_of_a") > 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("q115: heap-selected diverse top-k equals the naive per-source window + global sort") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.queries.TrainingQueries.{DiverseTopK, DiverseTopN}
+    val out = SparkEntry.queries("q115_diverse_topk")(spark, sf)
+    val scored = graft.queries.TrainingQueries
+      .qualityModelScores(graft.sources.Tables.documents(spark, sf), Seq("source"))
+      .select(col("doc_id"), col("source"), col("score_bp"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score_bp").desc, col("doc_id").asc)
+    val naive = scored
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .filter(col("src_rank") <= DiverseTopK)
+      .orderBy(col("score_bp").desc, col("doc_id").asc)
+      .limit(DiverseTopN.toInt)
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val exp = naive.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == exp, s"diff: ${(got -- exp) ++ (exp -- got)}")
+    // the per-source cap actually binds
+    assert(out.groupBy("source").count().filter(col("count") > DiverseTopK).count() == 0)
+  }
+
   test("q72: chunks tile every document at the configured stride and width") {
     import graft.queries.TrainingQueries.{ChunkStride, ChunkTokens}
     val out = SparkEntry.queries("q72_doc_chunks")(spark, sf).cache()
