@@ -66,6 +66,8 @@ object TrainingQueries {
   // source, then the global DiverseTopN of those survivors.
   val DiverseTopK = 10
   val DiverseTopN = 50L
+  // q116: BPE merge candidates — the top adjacent char pairs.
+  val BpePairTopK = 50L
   // q92: PMI collocations — min pair count and global top-k size.
   val PmiMinCount = 5
   val PmiTopK = 50
@@ -849,6 +851,31 @@ object TrainingQueries {
         .select(col("doc_id"), col("source"), col("score_bp"), col("src_rank"))
     },
 
+    // q116: one BPE training iteration — the merge-candidate table
+    // (adjacent character pairs weighted by token frequency) that
+    // tokenizer training recomputes every merge step. The ONLY
+    // corpus-sized operation is the token-frequency aggregate; pair
+    // explosion runs over the VOCABULARY (distinct tokens × their
+    // length), orders of magnitude smaller than the corpus, and the
+    // final cut is a TakeOrdered of the pair vocabulary — the shape
+    // that lets a 100 TB tokenizer run live inside one small-memory
+    // job per merge.
+    "q116_bpe_pair_counts" -> { (s, dir) =>
+      val tokFreq = Tables
+        .documents(s, dir)
+        .select(explode(split(trim(col("text")), TextFunctions.WsRun)).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"))
+      tokFreq
+        .filter(length(col("tok")) >= 2)
+        .select(col("tok"), col("freq"), explode(expr("sequence(1, length(tok) - 1)")).as("i"))
+        .select(expr("substring(tok, i, 2)").as("pair"), col("freq"))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(BpePairTopK.toInt)
+    },
+
     // q106: per-source z-score normalization of document length — the
     // feature-engineering step before length-aware mixing/filtering
     // (a 500-char doc is "short" for web text, "long" for chat). ONE
@@ -1182,6 +1209,16 @@ object TrainingQueries {
          |       round(CAST(((total_toks + $PackSeqTokens - 1) // $PackSeqTokens) * $PackSeqTokens - total_toks AS DOUBLE)
          |             / CAST(((total_toks + $PackSeqTokens - 1) // $PackSeqTokens) * $PackSeqTokens AS DOUBLE), 4) AS waste_ratio
          |FROM g""".stripMargin,
+    "q116_bpe_pair_counts" ->
+      s"""WITH tf AS (SELECT tok, count(*) AS freq
+         |            FROM (SELECT unnest(string_split_regex(trim(text), '${TextFunctions.WsRun}')) AS tok
+         |                  FROM documents)
+         |            GROUP BY tok),
+         |p AS (SELECT substring(tok, CAST(i AS INT), 2) AS pair, freq
+         |      FROM (SELECT tok, freq, unnest(range(1, len(tok))) AS i FROM tf WHERE len(tok) >= 2))
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+         |FROM p GROUP BY pair
+         |ORDER BY n DESC, pair ASC LIMIT $BpePairTopK""".stripMargin,
     "q114_source_overlap" ->
       s"""WITH toks AS (SELECT source, string_split_regex(trim(text), '${TextFunctions.WsRun}') t FROM documents),
          |g AS (SELECT DISTINCT source, unnest(list_transform(range(1, greatest(len(t) - ${ContamN - 1}, 1) + 1),

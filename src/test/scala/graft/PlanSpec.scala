@@ -285,6 +285,9 @@ class PlanSpec extends AnyFunSuite {
     // q115: ONE bounded-heap aggregate (no window); survivors
     // broadcast back; the global cut is a TakeOrdered, not a sort
     "q115_diverse_topk" -> 1,
+    // q116: the corpus-sized token-frequency agg + the vocab-sized
+    // pair agg; the top-k cut is a TakeOrdered
+    "q116_bpe_pair_counts" -> 2,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts

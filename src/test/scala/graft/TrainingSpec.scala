@@ -211,6 +211,19 @@ class TrainingSpec extends AnyFunSuite {
     assert(out.groupBy("source").count().filter(col("count") > DiverseTopK).count() == 0)
   }
 
+  test("q116: BPE pair counts equal the brute-force fold over the corpus") {
+    val out = SparkEntry.queries("q116_bpe_pair_counts")(spark, sf).collect().map(r => (r.getString(0), r.getLong(1)))
+    val texts = graft.sources.Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val brute = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach { t =>
+      t.trim.split("\\s+").foreach { tok =>
+        if (tok.length >= 2) (0 until tok.length - 1).foreach(i => brute(tok.substring(i, i + 2)) += 1L)
+      }
+    }
+    val expected = brute.toSeq.sortBy { case (p, n) => (-n, p) }.take(out.length)
+    assert(out.toSeq == expected, s"top pairs differ: ${out.take(5).toSeq} vs ${expected.take(5)}")
+  }
+
   test("q72: chunks tile every document at the configured stride and width") {
     import graft.queries.TrainingQueries.{ChunkStride, ChunkTokens}
     val out = SparkEntry.queries("q72_doc_chunks")(spark, sf).cache()
