@@ -68,6 +68,18 @@ object TrainingQueries {
   val DiverseTopN = 50L
   // q116: BPE merge candidates — the top adjacent char pairs.
   val BpePairTopK = 50L
+  // q117: persisted BM25 retrieval — the literal query set (a search
+  // request is driver-known by nature: that's what makes the term
+  // filter bucket-prunable) and the result depth. 'dup' is the
+  // selective term (df ≈ 5% of docs); the rest are mid-frequency.
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("customer", "join"),
+    2 -> Seq("vector", "merge", "slow"),
+    3 -> Seq("dup", "spark")
+  )
+  val Bm25TopK = 5
+  val Bm25IndexTable = "graft_bm25_index"
+  val Bm25IndexBuckets = 8
   // q92: PMI collocations — min pair count and global top-k size.
   val PmiMinCount = 5
   val PmiTopK = 50
@@ -876,6 +888,23 @@ object TrainingQueries {
         .limit(BpePairTopK.toInt)
     },
 
+    // q117: top-k BM25 retrieval off a PERSISTED bucketed postings
+    // index (search/Bm25Index.scala) — the q87/q107 persisted-state
+    // story for text search. The index build pays one token-bucketed
+    // shuffle at ingest; each search then reads ONLY the buckets its
+    // literal terms hash into (SelectedBucketsCount asserted in
+    // SearchSpec), derives df from that pruned read, takes corpus
+    // stats from an O(batches)-row side table, and ranks on an
+    // integer basis-point score (order-free sum — no fp-accumulation
+    // boundary in the ranking). Answers are asserted byte-equal to
+    // the no-index searchDirect path; the oracle computes the same
+    // retrieval straight off the documents table.
+    "q117_bm25_index" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.search.Bm25Index.writeIndex(docs, "doc_id", "text", Bm25IndexTable, Bm25IndexBuckets)
+      graft.search.Bm25Index.search(s, Bm25IndexTable, Bm25Queries, Bm25TopK)
+    },
+
     // q106: per-source z-score normalization of document length — the
     // feature-engineering step before length-aware mixing/filtering
     // (a 500-char doc is "short" for web text, "long" for chat). ONE
@@ -1219,6 +1248,30 @@ object TrainingQueries {
          |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
          |FROM p GROUP BY pair
          |ORDER BY n DESC, pair ASC LIMIT $BpePairTopK""".stripMargin,
+    "q117_bm25_index" -> {
+      val qvals = Bm25Queries
+        .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      s"""WITH q(query_id, token) AS (VALUES $qvals),
+         |dt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+         |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |s AS (SELECT q.query_id, tf.doc_id,
+         |             CAST(round(((st.n_docs - dfr.df + CAST(0.5 AS DOUBLE)) / (dfr.df + CAST(0.5 AS DOUBLE)))
+         |                  * (tf.tf * CAST(2.2 AS DOUBLE))
+         |                  / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |                     + CAST(0.75 AS DOUBLE) * (dl.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+         |                  * 10000) AS BIGINT) AS bp
+         |      FROM q JOIN tf USING (token) JOIN dfr USING (token)
+         |      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+         |g AS (SELECT query_id, doc_id, CAST(sum(bp) AS BIGINT) AS score_bp FROM s GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score_bp,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY score_bp DESC, doc_id ASC) AS rank
+         |      FROM g)
+         |SELECT query_id, rank, doc_id, score_bp FROM r WHERE rank <= $Bm25TopK""".stripMargin
+    },
     "q114_source_overlap" ->
       s"""WITH toks AS (SELECT source, string_split_regex(trim(text), '${TextFunctions.WsRun}') t FROM documents),
          |g AS (SELECT DISTINCT source, unnest(list_transform(range(1, greatest(len(t) - ${ContamN - 1}, 1) + 1),

@@ -1,0 +1,234 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Formats
+
+/** Persisted BM25 retrieval index — the q87/q107 "pay one shuffle at
+  * ingest, amortize it over every query" story applied to text search.
+  *
+  * The index is the classic inverted file: one postings row per
+  * (token, doc) with the term frequency AND the document length
+  * denormalized in, written as a managed table BUCKETED BY token.
+  * Because a search's term set is a driver-known literal (it IS the
+  * query), the postings read carries an `isin` filter on the bucket
+  * column and Spark prunes whole buckets — a query touches the file
+  * groups its terms hash into, not the corpus
+  * (SelectedBucketsCount asserted in SearchSpec). Every statistic BM25
+  * needs at query time is then derivable from what the pruned read
+  * returns plus O(batches) rows of side metadata:
+  *
+  *   - tf, dl: on the postings row itself;
+  *   - df(t): count of postings for t — complete because the read
+  *     returns ALL of a matched token's postings;
+  *   - n_docs, sum_dl: from the `<table>_stats` companion table, one
+  *     row per ingest batch, summed at query time (never a corpus
+  *     scan).
+  *
+  * Scoring uses q76's rational-idf BM25 (k1 = 1.2, b = 0.75; idf =
+  * (N - df + 0.5)/(df + 0.5), no libm) with one boundary hardening:
+  * each per-term score is converted to integer BASIS POINTS
+  * (round(s·10⁴) as BIGINT) BEFORE the per-(query, doc) sum, so the
+  * accumulated score is an order-free integer and the (score_bp DESC,
+  * doc_id ASC) ranking is bit-deterministic under any partitioning —
+  * the fp-sum-order caveat documented on tfidfCosinePairs cannot
+  * arise here.
+  *
+  * Incremental maintenance mirrors [[graft.dedup.Dedup]]'s signature
+  * index: [[appendIndex]] appends a daily batch's postings preserving
+  * the bucket layout (Spark refuses a mismatched spec) and appends one
+  * stats row; SearchSpec asserts append-then-search ≡
+  * rebuild-then-search. A format-version table property gates reads:
+  * changing the tokenizer or scoring constants bumps
+  * [[FormatVersion]] and a stale index fails loudly instead of
+  * returning silently wrong scores.
+  *
+  * Reference anchor: the reference has no search surface; this extends
+  * q76 (document top-terms) to the retrieval direction a training
+  * pipeline needs for eval-set decontamination lookups and
+  * "find the docs about X" curation audits.
+  */
+object Bm25Index {
+
+  /** Bump when the tokenizer regex or scoring constants change: an
+    * index built under another version must not serve queries.
+    */
+  val FormatVersion = 1
+
+  val VersionProp = "graft.bm25_format_version"
+
+  /** q76's tokenizer — the two must stay identical or q76-calibrated
+    * relevance judgments stop transferring to the index.
+    */
+  val TokenPattern = "[a-z0-9]+"
+
+  private def statsTable(table: String) = s"${table}_stats"
+
+  /** Postings rows (token, doc_id, tf, dl) for a document batch. dl is
+    * denormalized into every posting so query-time scoring never joins
+    * a doc-keyed side table (which would shuffle on doc_id — the key
+    * the bucketing deliberately does NOT use).
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(expr(s"regexp_extract_all(lower($textCol), '$TokenPattern', 0)")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, "doc_id").select(col("token"), col("doc_id"), col("tf"), col("dl"))
+  }
+
+  /** Build + persist the bucketed postings table and its one-row stats
+    * companion, stamped with [[FormatVersion]]. Clean-slate handling
+    * (catalog drop + orphan-directory delete through the catalog's
+    * default path) follows Dedup.writeSignatureIndex.
+    */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String, table: String, numBuckets: Int): Unit = {
+    val spark = docs.sparkSession
+    Seq(table, statsTable(table)).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+      val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val post = postings(docs, idCol, textCol)
+    Formats.writeBucketed(post, table, "token", numBuckets)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$VersionProp' = '$FormatVersion')")
+    batchStats(post).write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(statsTable(table))
+  }
+
+  /** Append a batch: version gate FIRST, postings appended under the
+    * stored bucket spec, one stats row appended. Doc ids must be
+    * disjoint from prior batches (the ingest contract everywhere in
+    * this codebase) — df/n_docs arithmetic double-counts otherwise.
+    */
+  def appendIndex(docs: DataFrame, idCol: String, textCol: String, table: String): Unit = {
+    val spark = docs.sparkSession
+    readIndex(spark, table) // loud format/version gate
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val numBuckets = meta.bucketSpec
+      .map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(s"bm25 index '$table' is not bucketed"))
+    val post = postings(docs, idCol, textCol)
+    post.write
+      .mode(SaveMode.Append)
+      .format("parquet")
+      .bucketBy(numBuckets, "token")
+      .sortBy("token")
+      .saveAsTable(table)
+    batchStats(post).write.mode(SaveMode.Append).format("parquet").saveAsTable(statsTable(table))
+  }
+
+  private def batchStats(post: DataFrame): DataFrame =
+    post
+      .groupBy(col("doc_id"))
+      .agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** Open a persisted index, refusing a format-version mismatch
+    * (metadata-only check).
+    */
+  def readIndex(spark: SparkSession, table: String): DataFrame = {
+    val props = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .properties
+    val v = props.get(VersionProp)
+    require(
+      v.contains(FormatVersion.toString),
+      s"bm25 index '$table' has format version ${v.getOrElse("<none>")}, expected $FormatVersion — rebuild it"
+    )
+    spark.table(table)
+  }
+
+  /** Top-k BM25 retrieval for a literal query set. `queries` is
+    * (query_id, terms) — driver-known by nature (it IS the search
+    * request), which is what lets the term filter be an `isin` of
+    * literals the bucketed scan can prune on. Candidate docs per query
+    * are bounded by Σ df(term): the pruned postings, never the corpus.
+    * The per-query ranking window sorts only those candidates (at the
+    * retrieval extreme — a stopword query over 100 TB — the window
+    * would be replaced by the graft_topk bounded heap, q99-style; for
+    * literal curation queries the candidate frame is small by
+    * construction).
+    */
+  def search(spark: SparkSession, table: String, queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(queries.nonEmpty, "queries must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val q = queries
+      .flatMap { case (qid, terms) => terms.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "token")
+    val idx = readIndex(spark, table).filter(col("token").isin(allTerms: _*))
+    // ONE pruned read feeds both df and the scoring join: bucket
+    // pruning happens at the scan, then the frame is tiny.
+    val matched = idx.localCheckpoint()
+    val dfreq = matched.groupBy(col("token")).agg(count(lit(1)).as("df")) // postings unique per (token, doc)
+    val stats = spark
+      .table(statsTable(table))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score_bp").desc, col("doc_id").asc)
+    matched
+      .join(broadcast(q), "token")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf", (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn(
+        "s",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+      )
+      // integer basis points BEFORE the sum: order-free accumulation,
+      // bit-deterministic ranking (see object doc)
+      .withColumn("bp", round(col("s") * lit(10000), 0).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("bp")).as("score_bp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_bp"))
+  }
+
+  /** The same retrieval computed directly from a document frame with
+    * no persisted state — the acceptance reference for the index path
+    * (SearchSpec asserts byte-equality) and the one-shot form for
+    * ad-hoc use.
+    */
+  def searchDirect(docs: DataFrame, idCol: String, textCol: String, queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries
+      .flatMap { case (qid, terms) => terms.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "token")
+    val post = postings(docs, idCol, textCol).localCheckpoint()
+    val dfreq = post.groupBy(col("token")).agg(count(lit(1)).as("df")) // postings unique per (token, doc)
+    val stats = post
+      .groupBy(col("doc_id"))
+      .agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score_bp").desc, col("doc_id").asc)
+    post
+      .join(broadcast(q), "token")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf", (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn(
+        "s",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+      )
+      .withColumn("bp", round(col("s") * lit(10000), 0).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("bp")).as("score_bp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_bp"))
+  }
+}

@@ -288,6 +288,11 @@ class PlanSpec extends AnyFunSuite {
     // q116: the corpus-sized token-frequency agg + the vocab-sized
     // pair agg; the top-k cut is a TakeOrdered
     "q116_bpe_pair_counts" -> 2,
+    // q117: everything downstream of the PRUNED postings read is
+    // candidate-sized — df agg, stats SinglePartition, the
+    // (query, doc) score agg, the per-query rank window; q/df/stats
+    // all ride in as broadcasts
+    "q117_bm25_index" -> 4,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts
