@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** One media record entering the decode stage: opaque bytes + typed
@@ -133,6 +133,59 @@ object Multimodal {
         octet_length(col("f.frame")).as("frame_bytes"),
         upper(hex(substring(col("f.frame"), 1, 2))).as("frame_head_hex")
       )
+  }
+
+  // --- q118: perceptual-hash near-dup over decoded payloads ---------
+
+  /** dHash strip length: 61 "luminance" bytes → 60 gradient bits, so
+    * the hash is exactly [[graft.functions.SimHashAgg.Bits]] wide and
+    * the pigeonhole Hamming join (Dedup.simhashNearPairs) applies
+    * unchanged.
+    */
+  val StripBytes = 61
+
+  /** Synthetic image-id space for the re-encode corpus: doc_id % this
+    * is the underlying image, doc_id / this the re-encode variant.
+    */
+  val ReencodeImages = 250
+
+  /** Deterministic decoded-luminance synthesis — the STAND-IN for a
+    * real decode→grayscale→downscale stage (no codecs in container):
+    * byte j of image `img` comes from md5(img ":" j/16) (16 bytes per
+    * md5 call, 4 calls per strip), and a re-encode variant (v > 0)
+    * perturbs the ~2 strip positions where (j + 11·v + 3·doc_id) ≡ 0
+    * (mod 31) by +16 — the "same picture, slightly different pixels"
+    * signature a lossy re-encode leaves. Every byte is an
+    * engine-portable integer expression, so the DuckDB oracle rebuilds
+    * the identical strip.
+    */
+  def lumaStrip(docId: Column): Seq[Column] = {
+    val img = docId % ReencodeImages
+    // Column `/` is DOUBLE division — floor back to the integral
+    // variant index (the oracle's `//`)
+    val v = floor(docId / ReencodeImages).cast("long")
+    (0 until StripBytes).map { j =>
+      val h = md5(concat(img.cast("string"), lit(":"), lit(j / 16)))
+      val raw = conv(substring(h, 2 * (j % 16) + 1, 1), 16, 10).cast("long") * 16 +
+        conv(substring(h, 2 * (j % 16) + 2, 1), 16, 10).cast("long")
+      when(v > 0 && (lit(j) + lit(11) * v + docId * 3) % 31 === 0, (raw + 16) % 256)
+        .otherwise(raw)
+    }
+  }
+
+  /** 60-bit dHash: bit i = strip[i] > strip[i+1] (the gradient-sign
+    * hash real image pipelines use on downscaled luminance rows),
+    * folded into one BIGINT as a flat codegen'd expression tree —
+    * distinct powers of two, so the sum IS the bit-OR. A re-encode's
+    * k perturbed bytes flip at most 2k bits (each byte sits in two
+    * adjacent comparisons), which is what makes Hamming ≤ 8 the right
+    * near-dup radius for the ≤2-byte perturbation above.
+    */
+  def dhash60(strip: Seq[Column]): Column = {
+    require(strip.length == StripBytes, s"need $StripBytes strip bytes, got ${strip.length}")
+    (0 until StripBytes - 1)
+      .map(i => when(strip(i) > strip(i + 1), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
   }
 
   /** Partition-batched decode. A real implementation would initialize

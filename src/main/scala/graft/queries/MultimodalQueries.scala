@@ -16,7 +16,32 @@ import graft.sources.Tables
   */
 object MultimodalQueries {
 
+  // q118: near-dup radius for the dHash pigeonhole join — a re-encode
+  // variant perturbs ≤2 strip bytes, each flipping ≤2 gradient bits,
+  // so a (variant, variant) pair sits at Hamming ≤ 8 while unrelated
+  // images sit near 30 of 60 (P[≤8] ≈ 2e-8: no false pairs at any
+  // plausible corpus size per block).
+  val PhashMaxDist = 8
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q118: perceptual-hash near-duplicate detection over DECODED
+    // media (the LAION-shape image dedup): a 60-bit gradient dHash per
+    // payload as a pure codegen'd Column tree (decode stands in as
+    // deterministic luminance synthesis — no codecs in container),
+    // then Hamming ≤ 8 pairs via the SAME pigeonhole chunk equi-join
+    // SimHash text dedup uses (Dedup.simhashNearPairs): hashes travel
+    // as single BIGINTs, candidates come from 9 chunk buckets, never
+    // an all-pairs scan. Oracle rebuilds the identical strip bytes and
+    // compares ALL pairs — the pigeonhole join must lose nothing.
+    "q118_phash_neardup" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val sigs = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), Multimodal.dhash60(Multimodal.lumaStrip(col("doc_id"))).as("simhash"))
+      graft.dedup.Dedup
+        .simhashNearPairs(sigs, PhashMaxDist)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+    },
     "q40_multimodal_meta" -> { (s, dir) =>
       Multimodal
         .extractMeta(Multimodal.synthesize(Tables.documents(s, dir)))
@@ -33,6 +58,30 @@ object MultimodalQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q118_phash_neardup" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % ${Multimodal.ReencodeImages} AS img,
+         |                  doc_id // ${Multimodal.ReencodeImages} AS v FROM documents),
+         |js AS (SELECT unnest(range(0, ${Multimodal.StripBytes})) AS j),
+         |b AS (SELECT d.doc_id, d.v, js.j,
+         |             (strpos('0123456789abcdef', substring(md5(d.img || ':' || (js.j // 16)),
+         |                     CAST(2 * (js.j % 16) + 1 AS INT), 1)) - 1) * 16
+         |           + (strpos('0123456789abcdef', substring(md5(d.img || ':' || (js.j // 16)),
+         |                     CAST(2 * (js.j % 16) + 2 AS INT), 1)) - 1) AS raw
+         |      FROM d CROSS JOIN js),
+         |p AS (SELECT doc_id, j,
+         |             CASE WHEN v > 0 AND (j + 11 * v + doc_id * 3) % 31 = 0
+         |                  THEN (raw + 16) % 256 ELSE raw END AS byte
+         |      FROM b),
+         |n AS (SELECT doc_id, j, byte,
+         |             lead(byte) OVER (PARTITION BY doc_id ORDER BY j) AS nb FROM p),
+         |h AS (SELECT doc_id,
+         |             CAST(sum(CASE WHEN byte > nb THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+         |                           ELSE 0 END) AS BIGINT) AS ph
+         |      FROM n WHERE j < ${Multimodal.StripBytes - 1} GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= $PhashMaxDist""".stripMargin,
     "q40_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id,

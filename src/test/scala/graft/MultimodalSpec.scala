@@ -62,6 +62,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("q118: pigeonhole dHash pairs equal brute-force all-pairs Hamming, and every planted re-encode pair is found") {
+    import graft.queries.MultimodalQueries.PhashMaxDist
+    val hashes = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), Multimodal.dhash60(Multimodal.lumaStrip(col("doc_id"))).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force ground truth over the collected 60-bit hashes
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= PhashMaxDist
+    } yield (a, b, d)).toSet
+    val got = SparkEntry
+      .queries("q118_phash_neardup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(got == brute, s"pigeonhole join diverges: missing=${brute -- got} extra=${got -- brute}")
+    // every image with a re-encode variant pairs with its original:
+    // a variant perturbs <=2 strip bytes -> <=4 flipped bits <= radius
+    val nDocs = hashes.length
+    val planted = (0L until (nDocs - Multimodal.ReencodeImages).toLong)
+      .map(i => (i, i + Multimodal.ReencodeImages))
+      .toSet
+    val gotPairs = got.map { case (a, b, _) => (a, b) }
+    assert(planted.subsetOf(gotPairs), s"missing planted pairs: ${planted -- gotPairs}")
+  }
+
   test("ingest manifest partitions the corpus and has stable hashes") {
     val man = Ingest.manifest(Tables.documents(spark, sf)).collect()
     assert(man.map(_.getLong(1)).sum == 500L)

@@ -293,6 +293,10 @@ class PlanSpec extends AnyFunSuite {
     // (query, doc) score agg, the per-query rank window; q/df/stats
     // all ride in as broadcasts
     "q117_bm25_index" -> 4,
+    // q118: hashes are scan-side Column trees (zero shuffle to build);
+    // the one exchange is the pair-dedup distinct behind the
+    // (broadcast) chunk join
+    "q118_phash_neardup" -> 1,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts
