@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration Lloyd k-means over integer-quantized embeddings —
+  * the engine's iterative-ML pattern next to PageRank's iterative-graph
+  * one (operators/PageRank.scala), built so every round is exactly
+  * reproducible by a SQL oracle:
+  *
+  *   - vectors are quantized ONCE with a single global max-abs scale
+  *     (geometry-preserving, unlike per-vector scales) to round(127·x/s)
+  *     and SHIFTED by +127 into [0, 254] — from there every distance,
+  *     sum and floor-divide is exact BIGINT arithmetic with no
+  *     negative-division semantics to disagree on;
+  *   - assignment is a broadcast of the K (centroid) rows against the
+  *     vector scan, L2² as an unrolled integer Column tree, argmin as
+  *     ONE min(struct(dist2, cid)) aggregate (map-side combinable —
+  *     the K-way fan-out collapses back to one row per vector before
+  *     the shuffle);
+  *   - update is ONE groupBy(cluster) aggregate of D coordinate sums
+  *     (+count), new coordinates by integral `div`; clusters that lose
+  *     every member keep their previous centroid (declared contract);
+  *   - each round's K-row centroid frame is localCheckpoint'd — the
+  *     per-iteration lineage cut PageRank uses, at centroid (not
+  *     corpus) size. On a cluster the corpus-facing scan is read once
+  *     per iteration from storage; nothing iteration-sized shuffles
+  *     except the two aggregates.
+  *
+  * Centroid ids are the first K vector ids (q50's deterministic-
+  * centroid convention, reference-free "training"). T iterations of
+  * (assign, update) then a final assign produce the labeling; the
+  * oracle unrolls the same T rounds as chained CTEs (the q97 pattern).
+  */
+object KMeans {
+
+  /** Shift applied after quantization: [-127, 127] → [0, 254]. */
+  val Shift = 127
+
+  /** Globally-scaled shifted quantization: (vec_id, qa array<bigint>).
+    * Degenerate vectors (empty / null elements) are excluded under the
+    * q81 guard; an all-zero corpus (scale 0) maps everything to the
+    * shift midpoint.
+    */
+  def quantizeShifted(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = emb
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(size(col("v")) > 0 && !exists(col("v"), x => x.isNull))
+    val gs = v.agg(max(array_max(transform(col("v"), x => abs(x)))).as("s"))
+    v.crossJoin(broadcast(gs))
+      .select(
+        col("vec_id"),
+        when(col("s") === 0, array_repeat(lit(Shift.toLong), size(col("v"))))
+          .otherwise(expr(s"transform(v, x -> CAST(round(127 * x / s, 0) AS BIGINT) + $Shift)"))
+          .as("qa")
+      )
+  }
+
+  /** Unrolled integer L2²: a flat codegen'd expression tree (the
+    * dotUnrolled rationale — no per-row array allocation in the hot
+    * K·N comparison loop).
+    */
+  def dist2(a: Column, b: Column, dims: Int): Column =
+    (1 to dims).map { i =>
+      val d = element_at(a, i) - element_at(b, i)
+      d * d
+    }.reduce(_ + _)
+
+  private def assign(q: DataFrame, cents: DataFrame, dims: Int): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2(col("qa"), col("ca"), dims))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("qa")).as("qa"))
+      .select(col("vec_id"), col("qa"), col("m.cid").as("cluster"), col("m.d2").as("d2"))
+
+  /** T rounds of (assign, update) + a final assignment. Returns
+    * (vec_id, cluster, dist2) — all BIGINT, bit-deterministic.
+    */
+  def refine(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    var cents = q
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qa").as("ca"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val a = assign(q, cents, dims)
+      val sums = a
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), (1 to dims).map(i => sum(element_at(col("qa"), i)).as(s"s$i")): _*)
+      val next = sums.select(
+        col("cluster").as("cid"),
+        array((1 to dims).map(i => expr(s"s$i div n")): _*).as("nca")
+      )
+      // empty clusters keep their previous centroid (left join +
+      // coalesce — the declared contract, mirrored in the oracle)
+      cents = cents
+        .join(next, Seq("cid"), "left_outer")
+        .select(col("cid"), coalesce(col("nca"), col("ca")).as("ca"))
+        .localCheckpoint()
+    }
+    assign(q, cents, dims).select(col("vec_id"), col("cluster"), col("d2").as("dist2"))
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.operators.KMeans
 import graft.sim.Similarity
 import graft.sources.Tables
 
@@ -215,6 +216,23 @@ object DedupSimQueries {
           round(inter / col("n_a").cast("double"), 4).as("cont_a_in_b"),
           round(inter / col("n_b").cast("double"), 4).as("cont_b_in_a")
         )
+    },
+
+    // q119: fixed-iteration Lloyd k-means over integer-quantized
+    // embeddings (operators/KMeans.scala) — the iterative-ML pattern
+    // next to q97's iterative-graph one, and the "training" step
+    // behind q50/q107's given centroids. Globally-scaled shifted
+    // quantization makes every round exact BIGINT arithmetic; per
+    // round: one broadcast-K assignment aggregate + one D-column
+    // update aggregate, K-row lineage cuts between rounds. Oracle
+    // unrolls the identical 3 rounds as chained CTEs (q97 pattern).
+    "q119_kmeans_refine" -> { (s, dir) =>
+      KMeans.refine(
+        KMeans.quantizeShifted(Tables.embeddings(s, dir), "vec_id", "embedding"),
+        KmeansK,
+        KmeansIters,
+        Dims
+      )
     },
 
     // q55: dup-pair clustering — connected components over the q31
@@ -447,6 +465,13 @@ object DedupSimQueries {
   val EditDistDenom = 4
 
   val KnnK = 3
+
+  // q119: k-means geometry — 8 clusters seeded from the first 8
+  // vector ids (q50's deterministic-centroid convention), 3 Lloyd
+  // rounds (a refinement pass, not convergence: fixed iterations keep
+  // the oracle an exact unrolled twin, q97-style).
+  val KmeansK = 8
+  val KmeansIters = 3
 
   // q100: TF-IDF pair similarity — term df cap (stopword contract +
   // postings fan-out bound) and the cosine floor, compared ROUNDED.
@@ -733,7 +758,51 @@ object DedupSimQueries {
        |       round(CAST(n_match AS DOUBLE) / $NumPerms, 4) AS est_jaccard
        |FROM m WHERE n_match * 2 >= $NumPerms""".stripMargin
 
+  /** q119 oracle: the identical 3 Lloyd rounds unrolled as chained
+    * CTEs (q97's loop-unroll pattern). All integer arithmetic:
+    * quantize+shift → per-round CROSS JOIN of the K centroids, argmin
+    * by (d2, cid) row_number, per-(cluster, dim) integer mean via
+    * `//` (operands non-negative, so DuckDB's `//` and Spark's `div`
+    * agree), empty clusters covered by the same LEFT JOIN + coalesce.
+    */
+  private lazy val q119Sql: String = {
+    def assignCte(n: Int, cSrc: String) =
+      s"""a$n AS (SELECT vec_id, qa, cid, d2,
+         |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+         |FROM (SELECT q.vec_id, q.qa, c.cid,
+         |             CAST(list_sum(list_transform(list_zip(q.qa, c.ca),
+         |                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2
+         |      FROM q CROSS JOIN $cSrc c))""".stripMargin
+    def updateCte(n: Int, prev: String) =
+      s"""s$n AS (SELECT cid, i,
+         |       CAST(CAST(sum(qa[CAST(i AS INT)]) AS BIGINT) // count(*) AS BIGINT) AS coord
+         |FROM (SELECT qa, cid FROM a$n WHERE rn = 1) t
+         |     CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i)
+         |GROUP BY cid, i),
+         |c$n AS (SELECT p.cid, coalesce(u.ca, p.ca) AS ca
+         |FROM $prev p LEFT JOIN (SELECT cid, list(coord ORDER BY i) AS ca
+         |                        FROM s$n GROUP BY cid) u USING (cid))""".stripMargin
+    val rounds = (1 to KmeansIters)
+      .map(n => assignCte(n, s"c${n - 1}") + ",\n" + updateCte(n, s"c${n - 1}"))
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE len(embedding) > 0
+       |             AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)),
+       |gs AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
+       |q AS (SELECT vec_id,
+       |             CASE WHEN s = 0 THEN list_transform(v, x -> CAST(${KMeans.Shift} AS BIGINT))
+       |                  ELSE list_transform(v, x -> CAST(round(127 * x / s) AS BIGINT) + ${KMeans.Shift})
+       |             END AS qa
+       |      FROM e CROSS JOIN gs),
+       |c0 AS (SELECT vec_id AS cid, qa AS ca FROM q WHERE vec_id < $KmeansK),
+       |$rounds,
+       |${assignCte(KmeansIters + 1, s"c$KmeansIters")}
+       |SELECT vec_id, cid AS cluster, d2 AS dist2
+       |FROM a${KmeansIters + 1} WHERE rn = 1""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q119_kmeans_refine" -> q119Sql,
     "q89_segment_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}') AS w FROM documents),
          |base AS (SELECT doc_id, CAST(ceil(len(w) / $SegWords.0) AS BIGINT) AS n_segs, w FROM w),

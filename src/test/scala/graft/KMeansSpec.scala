@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.KMeans
+import graft.queries.DedupSimQueries.{Dims, KmeansIters, KmeansK}
+import graft.sources.Tables
+
+/** q119: the distributed Lloyd refinement must equal a driver-side
+  * reference implementation run under the same integer contract
+  * (global-scale shifted quantization, argmin ties to smallest cid,
+  * integral-mean update, empty clusters keep their centroid).
+  */
+class KMeansSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q119: distributed refinement equals the driver-side Lloyd reference") {
+    val q = KMeans
+      .quantizeShifted(Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val vecs = q.toMap
+
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L)((acc, i) => { val d = a(i) - b(i); acc + d * d })
+    def argmin(v: Array[Long], cents: Map[Long, Array[Long]]): (Long, Long) =
+      cents.toSeq.map { case (cid, ca) => (d2(v, ca), cid) }.min match {
+        case (d, cid) => (cid, d)
+      }
+
+    var cents: Map[Long, Array[Long]] = (0L until KmeansK.toLong).map(c => c -> vecs(c)).toMap
+    for (_ <- 1 to KmeansIters) {
+      val assigned = q.map { case (id, v) => (id, v, argmin(v, cents)._1) }
+      cents = cents.map { case (cid, old) =>
+        val members = assigned.collect { case (_, v, c) if c == cid => v }
+        if (members.isEmpty) cid -> old
+        else {
+          val n = members.length
+          cid -> Array.tabulate(Dims)(i => members.map(_(i)).sum / n)
+        }
+      }
+    }
+    val expected = q.map { case (id, v) =>
+      val (cid, d) = argmin(v, cents)
+      (id, cid, d)
+    }.toSet
+
+    val got = SparkEntry
+      .queries("q119_kmeans_refine")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == expected, s"diverges: missing=${expected -- got} extra=${got -- expected}")
+    assert(got.map(_._2).forall(c => c >= 0 && c < KmeansK))
+  }
+}

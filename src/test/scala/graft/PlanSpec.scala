@@ -297,6 +297,10 @@ class PlanSpec extends AnyFunSuite {
     // the one exchange is the pair-dedup distinct behind the
     // (broadcast) chunk join
     "q118_phash_neardup" -> 1,
+    // q119: the RETURNED plan is the final assignment — the global-
+    // scale SinglePartition agg + the argmin agg on vec_id; centroids
+    // broadcast; per-round work ran behind the K-row lineage cuts
+    "q119_kmeans_refine" -> 2,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts
