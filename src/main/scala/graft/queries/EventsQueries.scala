@@ -20,11 +20,65 @@ import graft.streaming.Events
   */
 object EventsQueries {
 
+  // q120: spike flag fires when a bucket exceeds the median by more
+  // than this many MADs (robust one-sided outlier rule; integer
+  // compare — no fp boundary decides the flag).
+  val SpikeMadFactor = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q37: gap sessionization (2h), per-session rollup. lag + running
     // sum over ONE user_id shuffle; the groupBy reuses the partitioning.
     "q37_sessionize" -> { (s, dir) =>
       Events.sessionStats(Tables.events(s, dir))
+    },
+
+    // q120: ingest-rate spike detection — the monitor that notices a
+    // crawler gone rogue or an upstream replay: hourly event counts
+    // flagged by the robust median/MAD rule (outliers cannot drag a
+    // median the way they drag a mean/stddev). The ONLY corpus-sized
+    // operation is the per-bucket count; every statistic after it runs
+    // on a frame whose size is proportional to the monitored TIME
+    // RANGE (24·days buckets), not the data — which is why the global
+    // median windows below are fine at 100 TB (they sort hours, not
+    // events). Median/MAD by exact discrete index selection (the
+    // q45/q57 convention), spike compare all-integer.
+    "q120_rate_spike" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables
+        .events(s, dir)
+        .select((col("ts") - col("ts") % hourNs).as("window_start_ns"))
+        .groupBy(col("window_start_ns"))
+        .agg(count(lit(1)).as("n_events"))
+        .localCheckpoint() // bucket-sized; feeds median, MAD, and output
+      def discreteMedian(df: DataFrame, valueCol: String, tieCol: String): DataFrame = {
+        val w = Window.orderBy(col(valueCol), col(tieCol))
+        df.select(col(valueCol), row_number().over(w).as("rn"))
+          .crossJoin(broadcast(df.agg(count(lit(1)).as("cnt"))))
+          .filter(col("rn") === expr("(cnt - 1) div 2 + 1"))
+          .select(col(valueCol))
+      }
+      // the 1-row stats frames are checkpointed so the returned plan
+      // is just the bucket frame + two broadcast literals (their
+      // bucket-sorting windows ran once, behind the cut)
+      val med = discreteMedian(counts, "n_events", "window_start_ns")
+        .withColumnRenamed("n_events", "med")
+        .localCheckpoint()
+      val devs = counts
+        .crossJoin(broadcast(med))
+        .select(abs(col("n_events") - col("med")).as("ad"), col("window_start_ns"))
+      val mad = discreteMedian(devs, "ad", "window_start_ns")
+        .withColumnRenamed("ad", "mad")
+        .localCheckpoint()
+      counts
+        .crossJoin(broadcast(med))
+        .crossJoin(broadcast(mad))
+        .select(
+          col("window_start_ns"),
+          col("n_events"),
+          col("med"),
+          col("mad"),
+          ((col("n_events") - col("med")) > lit(SpikeMadFactor) * col("mad")).as("is_spike")
+        )
     },
 
     // q38: 1-hour tumbling windows per event_type — the batch twin of
@@ -202,6 +256,24 @@ object EventsQueries {
   private val hourNs = Events.NanosPerHour
 
   def oracle: Map[String, String] = Map(
+    "q120_rate_spike" ->
+      s"""WITH c AS (SELECT epoch_ns(ts) - epoch_ns(ts) % $hourNs AS window_start_ns,
+         |                  count(*) AS n_events
+         |           FROM events GROUP BY 1),
+         |m AS (SELECT n_events AS med FROM (
+         |        SELECT n_events,
+         |               row_number() OVER (ORDER BY n_events, window_start_ns) AS rn,
+         |               count(*) OVER () AS cnt
+         |        FROM c) WHERE rn = (cnt - 1) // 2 + 1),
+         |d AS (SELECT abs(c.n_events - m.med) AS ad, c.window_start_ns FROM c CROSS JOIN m),
+         |md AS (SELECT ad AS mad FROM (
+         |        SELECT ad,
+         |               row_number() OVER (ORDER BY ad, window_start_ns) AS rn,
+         |               count(*) OVER () AS cnt
+         |        FROM d) WHERE rn = (cnt - 1) // 2 + 1)
+         |SELECT c.window_start_ns, c.n_events, m.med, md.mad,
+         |       (c.n_events - m.med) > $SpikeMadFactor * md.mad AS is_spike
+         |FROM c CROSS JOIN m CROSS JOIN md""".stripMargin,
     "q37_sessionize" ->
       s"""SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
          |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,

@@ -130,4 +130,24 @@ class EventsSpec extends AnyFunSuite {
     assert(out.filter(col("n_users") > col("n_events")).count() == 0)
     out.unpersist()
   }
+
+  test("q120: median/MAD and spike flags equal a driver-side recomputation") {
+    import graft.queries.EventsQueries.SpikeMadFactor
+    val rows = SparkEntry
+      .queries("q120_rate_spike")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // discrete median by the same (value, bucket) index-selection rule
+    def med(xs: Seq[(Long, Long)]): Long = xs.sorted.apply(((xs.size - 1) / 2).toInt)._1
+    val counts = rows.map { case (b, n, _, _, _) => (n, b) }.toSeq
+    val m = med(counts)
+    val mad = med(rows.map { case (b, n, _, _, _) => (math.abs(n - m), b) }.toSeq)
+    rows.foreach { case (b, n, gotMed, gotMad, spike) =>
+      assert(gotMed == m && gotMad == mad, s"bucket $b stats ($gotMed, $gotMad) != ($m, $mad)")
+      assert(spike == (n - m > SpikeMadFactor * mad), s"bucket $b flag wrong: n=$n")
+    }
+    // every statistic is bucket-frame-sized: one corpus aggregate only
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
 }

@@ -301,6 +301,9 @@ class PlanSpec extends AnyFunSuite {
     // scale SinglePartition agg + the argmin agg on vec_id; centroids
     // broadcast; per-round work ran behind the K-row lineage cuts
     "q119_kmeans_refine" -> 2,
+    // q120: the one corpus-sized agg ran behind the bucket-frame
+    // checkpoint; med/mad are broadcast 1-row literals
+    "q120_rate_spike" -> 0,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts
