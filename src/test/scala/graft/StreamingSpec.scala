@@ -745,4 +745,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(maintained == direct, "stream-maintained rank diverged from the direct run")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("streaming document ingest feeds the q117 BM25 index (the search maintenance path)") {
+    // the ingest job that keeps q117's postings table current: new
+    // documents arrive as a stream, each micro-batch APPENDS through
+    // the same Bm25Index.appendIndex the batch path uses (foreachBatch
+    // — bucketed-table sinks again). Search off the accumulated index
+    // must equal the no-index searchDirect over the full corpus, and
+    // the bucket layout must survive every append.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.search.Bm25Index
+    import graft.queries.TrainingQueries.{Bm25IndexBuckets, Bm25Queries, Bm25TopK}
+    val tbl = "graft_bm25_stream_spec"
+    val docs = graft.sources.Tables
+      .documents(spark, sf)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSeq
+    val chunks = docs.grouped(math.max(docs.size / 3, 1)).toSeq
+    // bootstrap: day-0 index build
+    Bm25Index.writeIndex(chunks.head.toDF("doc_id", "text"), "doc_id", "text", tbl, Bm25IndexBuckets)
+    val stream = MemoryStream[(Long, String)]
+    val query = stream
+      .toDF()
+      .toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Bm25Index.appendIndex(batch, "doc_id", "text", tbl)
+      }
+      .start()
+    try {
+      chunks.tail.foreach { c =>
+        stream.addData(c)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val maintained = rows(Bm25Index.search(spark, tbl, Bm25Queries, Bm25TopK))
+    val direct = rows(
+      Bm25Index.searchDirect(docs.toDF("doc_id", "text"), "doc_id", "text", Bm25Queries, Bm25TopK)
+    )
+    assert(maintained == direct, "stream-maintained index diverged from the direct search")
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+    assert(meta.bucketSpec.exists(_.numBuckets == Bm25IndexBuckets), "append changed the bucket layout")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
+  }
 }
