@@ -188,6 +188,19 @@ object Multimodal {
       .reduce(_ + _)
   }
 
+  /** [[dhash60]] over a MATERIALIZED strip array column. Folding the
+    * synthesis exprs directly into the 60 comparisons lets Catalyst's
+    * CollapseProject + SimplifyExtractValueOps re-inline each md5+conv
+    * byte chain at every bit that references it (~120 copies — q118
+    * measured 11.9 s cold at 500 rows). Computing the strip ONCE into
+    * an array behind a lineage cut and hashing via element_at drops
+    * that to interpretation-trivial comparisons (0.7 s).
+    */
+  def dhash60FromArray(strip: Column): Column =
+    (0 until StripBytes - 1)
+      .map(i => when(element_at(strip, i + 1) > element_at(strip, i + 2), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
   /** Partition-batched decode. A real implementation would initialize
     * a codec once per partition and decode each payload; the decode
     * itself is STUBBED with deterministic byte statistics so the

@@ -34,10 +34,14 @@ object MultimodalQueries {
     // an all-pairs scan. Oracle rebuilds the identical strip bytes and
     // compares ALL pairs — the pigeonhole join must lose nothing.
     "q118_phash_neardup" -> { (s, dir) =>
-      import org.apache.spark.sql.functions.col
-      val sigs = Tables
+      import org.apache.spark.sql.functions.{array, col}
+      // strip materialized ONCE behind a lineage cut — see
+      // Multimodal.dhash60FromArray for why inlining is 17× slower
+      val strips = Tables
         .documents(s, dir)
-        .select(col("doc_id"), Multimodal.dhash60(Multimodal.lumaStrip(col("doc_id"))).as("simhash"))
+        .select(col("doc_id"), array(Multimodal.lumaStrip(col("doc_id")): _*).as("sa"))
+        .localCheckpoint()
+      val sigs = strips.select(col("doc_id"), Multimodal.dhash60FromArray(col("sa")).as("simhash"))
       graft.dedup.Dedup
         .simhashNearPairs(sigs, PhashMaxDist)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))

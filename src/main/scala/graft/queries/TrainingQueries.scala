@@ -80,6 +80,11 @@ object TrainingQueries {
   val Bm25TopK = 5
   val Bm25IndexTable = "graft_bm25_index"
   val Bm25IndexBuckets = 8
+  // q121: IPF mixture weights — length-class boundaries (chars) and
+  // the number of full (source-step, class-step) rounds.
+  val IpfShortMax = 350
+  val IpfMediumMax = 550
+  val IpfRounds = 2
   // q92: PMI collocations — min pair count and global top-k size.
   val PmiMinCount = 5
   val PmiTopK = 50
@@ -905,6 +910,29 @@ object TrainingQueries {
       graft.search.Bm25Index.search(s, Bm25IndexTable, Bm25Queries, Bm25TopK)
     },
 
+    // q121: two-constraint mixture reweighting via fixed-point IPF
+    // (operators/Ipf.scala) — find per-cell weights so BOTH the
+    // source marginals AND the length-class marginals hit uniform
+    // targets simultaneously (q70/q94 balance one dimension; real
+    // mixing briefs constrain several). ONE corpus-sized (source,
+    // class) count; every IPF round is cell-frame BIGINT arithmetic
+    // behind lineage cuts — the returned plan is the checkpointed
+    // cell frame alone. Oracle unrolls the identical 2 rounds.
+    "q121_ipf_mix" -> { (s, dir) =>
+      val cells = Tables
+        .documents(s, dir)
+        .select(
+          col("source"),
+          when(col("n_chars") < IpfShortMax, lit("short"))
+            .when(col("n_chars") < IpfMediumMax, lit("medium"))
+            .otherwise(lit("long"))
+            .as("lclass")
+        )
+        .groupBy(col("source"), col("lclass"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Ipf.fitUniform(cells, "source", "lclass", "n", IpfRounds)
+    },
+
     // q106: per-source z-score normalization of document length — the
     // feature-engineering step before length-aware mixing/filtering
     // (a 500-char doc is "short" for web text, "long" for chat). ONE
@@ -1248,6 +1276,39 @@ object TrainingQueries {
          |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
          |FROM p GROUP BY pair
          |ORDER BY n DESC, pair ASC LIMIT $BpePairTopK""".stripMargin,
+    "q121_ipf_mix" -> {
+      // unrolled fixed-point IPF rounds (q97/q119's loop-unroll
+      // pattern); all BIGINT — `//` on non-negatives matches `div`
+      val steps = (1 to IpfRounds)
+        .flatMap { r =>
+          val (ma, ca, mb, cb) = (s"m${2 * r - 1}", s"c${2 * r - 1}", s"m${2 * r}", s"c${2 * r}")
+          val pa = s"c${2 * r - 2}"
+          Seq(
+            s"""$ma AS (SELECT source, CAST(sum(n * w) AS BIGINT) AS marg FROM $pa GROUP BY source),
+               |$ca AS (SELECT $pa.source, $pa.lclass, $pa.n,
+               |        CAST(($pa.w * t.tgt_a) // $ma.marg AS BIGINT) AS w
+               |        FROM $pa JOIN $ma USING (source) CROSS JOIN t)""".stripMargin,
+            s"""$mb AS (SELECT lclass, CAST(sum(n * w) AS BIGINT) AS marg FROM $ca GROUP BY lclass),
+               |$cb AS (SELECT $ca.source, $ca.lclass, $ca.n,
+               |        CAST(($ca.w * t.tgt_b) // $mb.marg AS BIGINT) AS w
+               |        FROM $ca JOIN $mb USING (lclass) CROSS JOIN t)""".stripMargin
+          )
+        }
+        .mkString(",\n")
+      s"""WITH d AS (SELECT source,
+         |                  CASE WHEN n_chars < $IpfShortMax THEN 'short'
+         |                       WHEN n_chars < $IpfMediumMax THEN 'medium'
+         |                       ELSE 'long' END AS lclass
+         |           FROM documents),
+         |c0 AS (SELECT source, lclass, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(${graft.operators.Ipf.WeightScale} AS BIGINT) AS w
+         |       FROM d GROUP BY 1, 2),
+         |t AS (SELECT (CAST(sum(n) AS BIGINT) * ${graft.operators.Ipf.WeightScale}) // count(DISTINCT source) AS tgt_a,
+         |             (CAST(sum(n) AS BIGINT) * ${graft.operators.Ipf.WeightScale}) // count(DISTINCT lclass) AS tgt_b
+         |      FROM c0),
+         |$steps
+         |SELECT source, lclass, n, w AS w_bp FROM c${2 * IpfRounds}""".stripMargin
+    },
     "q117_bm25_index" -> {
       val qvals = Bm25Queries
         .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }

@@ -304,6 +304,10 @@ class PlanSpec extends AnyFunSuite {
     // q120: the one corpus-sized agg ran behind the bucket-frame
     // checkpoint; med/mad are broadcast 1-row literals
     "q120_rate_spike" -> 0,
+    // q121: the corpus-sized cell count and every IPF round ran
+    // behind cell-frame lineage cuts — the returned plan is the final
+    // checkpointed cell frame
+    "q121_ipf_mix" -> 0,
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts

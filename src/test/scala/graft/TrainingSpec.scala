@@ -211,6 +211,42 @@ class TrainingSpec extends AnyFunSuite {
     assert(out.groupBy("source").count().filter(col("count") > DiverseTopK).count() == 0)
   }
 
+  test("q121: fixed-point IPF weights equal a driver-side recomputation and close in on both marginals") {
+    import graft.operators.Ipf.WeightScale
+    import graft.queries.TrainingQueries.IpfRounds
+    val rows = SparkEntry
+      .queries("q121_ipf_mix")(spark, sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.nonEmpty && rows.values.forall(_._2 > 0))
+    // driver-side recomputation under the same integer contract
+    var w = rows.map { case (k, (n, _)) => k -> WeightScale }
+    val n = rows.map { case (k, (nv, _)) => k -> nv }
+    val total = n.values.sum
+    val sources = rows.keySet.map(_._1)
+    val classes = rows.keySet.map(_._2)
+    val (tgtA, tgtB) = (total * WeightScale / sources.size, total * WeightScale / classes.size)
+    for (_ <- 1 to IpfRounds) {
+      val margA = sources.toSeq.map(sr => sr -> rows.keys.toSeq.filter(_._1 == sr).map(k => n(k) * w(k)).sum).toMap
+      w = w.map { case (k, wv) => k -> wv * tgtA / margA(k._1) }
+      val margB = classes.toSeq.map(c => c -> rows.keys.toSeq.filter(_._2 == c).map(k => n(k) * w(k)).sum).toMap
+      w = w.map { case (k, wv) => k -> wv * tgtB / margB(k._2) }
+    }
+    rows.foreach { case (k, (_, got)) => assert(got == w(k), s"cell $k: $got != ${w(k)}") }
+    // the LAST-fitted dimension (the class step) is exact up to floor
+    // truncation: each cell under-counts by < n(k), so the marginal
+    // sits within Σ n of its target. (Source marginals are mid-cycle
+    // IPF state after a class step — no such bound holds for them
+    // until convergence, which 2 rounds does not promise.)
+    classes.foreach { c =>
+      val ks = rows.keys.toSeq.filter(_._2 == c)
+      val m = ks.map(k => n(k) * w(k)).sum
+      val bound = ks.map(n).sum
+      assert(tgtB - m <= bound && m <= tgtB, s"class $c marginal $m vs target $tgtB (bound $bound)")
+    }
+  }
+
   test("q116: BPE pair counts equal the brute-force fold over the corpus") {
     val out = SparkEntry.queries("q116_bpe_pair_counts")(spark, sf).collect().map(r => (r.getString(0), r.getLong(1)))
     val texts = graft.sources.Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
