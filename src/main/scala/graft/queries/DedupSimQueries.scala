@@ -235,6 +235,21 @@ object DedupSimQueries {
       )
     },
 
+    // q122: product-quantization encoding (Similarity.pqEncode) — the
+    // ANN memory-budget step after q81's scalar quantization: 64 dims
+    // → 8 codebook ids + integer reconstruction error. Codebooks =
+    // first-16 vectors' subvectors (q50 convention; q119 is the
+    // refinement counterpart); ONE vec_id-keyed aggregate elects all
+    // 8 subspace winners from a broadcast codebook join.
+    "q122_pq_encode" -> { (s, dir) =>
+      Similarity.pqEncode(
+        KMeans.quantizeShifted(Tables.embeddings(s, dir), "vec_id", "embedding"),
+        PqSubspaces,
+        PqSubDim,
+        PqCodewords
+      )
+    },
+
     // q55: dup-pair clustering — connected components over the q31
     // near-dup pairs; each doc labeled with its cluster's minimum
     // doc_id (the representative a dedup pipeline keeps). Oracle =
@@ -472,6 +487,12 @@ object DedupSimQueries {
   // the oracle an exact unrolled twin, q97-style).
   val KmeansK = 8
   val KmeansIters = 3
+
+  // q122: PQ geometry — 64 dims as 8 subspaces × 8 dims, 16 codewords
+  // per subspace (codes fit a nibble each; 64 floats → 8 small ints).
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodewords = 16
 
   // q100: TF-IDF pair similarity — term df cap (stopword contract +
   // postings fan-out bound) and the cosine floor, compared ROUNDED.
@@ -801,8 +822,45 @@ object DedupSimQueries {
        |FROM a${KmeansIters + 1} WHERE rn = 1""".stripMargin
   }
 
+  /** q122 oracle: the same quantize CTE as q119, subvector slicing via
+    * 1-based inclusive list ranges, per-(vec, subspace) argmin by
+    * row_number, winners pivoted back to code columns in one group.
+    */
+  private lazy val q122Sql: String = {
+    val codeCols = (0 until PqSubspaces)
+      .map(s => s"CAST(min(CASE WHEN s = $s THEN code_id END) AS BIGINT) AS code_$s")
+      .mkString(",\n|       ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE len(embedding) > 0
+       |             AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)),
+       |gs AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
+       |q AS (SELECT vec_id,
+       |             CASE WHEN s = 0 THEN list_transform(v, x -> CAST(${KMeans.Shift} AS BIGINT))
+       |                  ELSE list_transform(v, x -> CAST(round(127 * x / s) AS BIGINT) + ${KMeans.Shift})
+       |             END AS qa
+       |      FROM e CROSS JOIN gs),
+       |ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s),
+       |sub AS (SELECT vec_id, s, qa[CAST($PqSubDim * s + 1 AS INT) : CAST($PqSubDim * s + $PqSubDim AS INT)] AS sv
+       |        FROM q CROSS JOIN ss),
+       |cb AS (SELECT vec_id AS code_id, s,
+       |              qa[CAST($PqSubDim * s + 1 AS INT) : CAST($PqSubDim * s + $PqSubDim AS INT)] AS cv
+       |       FROM q CROSS JOIN ss WHERE vec_id < $PqCodewords),
+       |d AS (SELECT sub.vec_id, sub.s, cb.code_id,
+       |             CAST(list_sum(list_transform(list_zip(sub.sv, cb.cv),
+       |                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2
+       |      FROM sub JOIN cb USING (s)),
+       |w AS (SELECT vec_id, s, code_id, d2,
+       |             row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code_id ASC) AS rn
+       |      FROM d)
+       |SELECT vec_id,
+       |       $codeCols,
+       |       CAST(sum(d2) AS BIGINT) AS recon_d2
+       |FROM w WHERE rn = 1 GROUP BY vec_id""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q119_kmeans_refine" -> q119Sql,
+    "q122_pq_encode" -> q122Sql,
     "q89_segment_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}') AS w FROM documents),
          |base AS (SELECT doc_id, CAST(ceil(len(w) / $SegWords.0) AS BIGINT) AS n_segs, w FROM w),

@@ -320,4 +320,55 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Product-quantization encoding — the ANN memory-budget step after
+    * q81's scalar quantization: split each (integer-quantized) vector
+    * into `m` contiguous subvectors of `subDim` dims and replace each
+    * with the id of its nearest codeword, so a 64-dim vector stores as
+    * `m` small codes (8 bytes here vs 256 for floats — the compression
+    * that lets a 100 TB corpus's index fit in executor memory for ADC
+    * scanning). Codebooks are the first `k` vectors' subvectors (q50's
+    * deterministic-centroid convention; q119's Lloyd refinement is the
+    * codebook-training counterpart and composes by feeding refined
+    * centroids in as `codebooks`).
+    *
+    * Input `q` is KMeans.quantizeShifted output — non-negative BIGINT
+    * coords, so every subspace distance is exact integer arithmetic
+    * and argmin (d2, code_id) is bit-deterministic. Plan shape: the
+    * codebook frame (m·k rows) broadcasts against the scan-side
+    * subvector explode; ONE groupBy(vec_id) aggregate elects all m
+    * winners (min over per-subspace null-gated structs — map-side
+    * combinable); reconstruction error sums the winners in a
+    * projection. One shuffle total, keyed by vec_id.
+    */
+  def pqEncode(q: DataFrame, m: Int, subDim: Int, k: Int): DataFrame = {
+    require(m > 0 && subDim > 0 && k > 0, s"bad PQ geometry: m=$m subDim=$subDim k=$k")
+    val subIds = array((0 until m).map(lit): _*)
+    val subs = q
+      .select(col("vec_id"), col("qa"), explode(subIds).as("s"))
+      .select(col("vec_id"), col("s"), slice(col("qa"), col("s") * subDim + lit(1), lit(subDim)).as("sv"))
+    val codebooks = q
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").as("code_id"), col("qa"), explode(subIds).as("s"))
+      .select(col("code_id"), col("s"), slice(col("qa"), col("s") * subDim + lit(1), lit(subDim)).as("cv"))
+    val d2 = (1 to subDim)
+      .map { i =>
+        val d = element_at(col("sv"), i) - element_at(col("cv"), i)
+        d * d
+      }
+      .reduce(_ + _)
+    val winners = subs
+      .join(broadcast(codebooks), "s")
+      .select(col("vec_id"), col("s"), col("code_id"), d2.as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(
+        min(when(col("s") === 0, struct(col("d2"), col("code_id")))).as("m0"),
+        (1 until m).map(s => min(when(col("s") === s, struct(col("d2"), col("code_id")))).as(s"m$s")): _*
+      )
+    winners.select(
+      col("vec_id") +:
+        (0 until m).map(s => col(s"m$s.code_id").as(s"code_$s")) :+
+        (0 until m).map(s => col(s"m$s.d2")).reduce(_ + _).as("recon_d2"): _*
+    )
+  }
 }

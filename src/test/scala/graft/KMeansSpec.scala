@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.KMeans
-import graft.queries.DedupSimQueries.{Dims, KmeansIters, KmeansK}
+import graft.queries.DedupSimQueries.{Dims, KmeansIters, KmeansK, PqCodewords, PqSubDim, PqSubspaces}
 import graft.sources.Tables
 
 /** q119: the distributed Lloyd refinement must equal a driver-side
@@ -53,5 +53,44 @@ class KMeansSpec extends AnyFunSuite {
       .toSet
     assert(got == expected, s"diverges: missing=${expected -- got} extra=${got -- expected}")
     assert(got.map(_._2).forall(c => c >= 0 && c < KmeansK))
+  }
+
+  /** q122: the distributed PQ encoding must equal a driver-side
+    * reference run under the same integer contract (subvector slicing,
+    * exact integer d2, argmin ties to smallest code_id, recon_d2 =
+    * sum of the per-subspace winners' distances).
+    */
+  test("q122: distributed PQ encoding equals the driver-side reference") {
+    val q = KMeans
+      .quantizeShifted(Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L)((acc, i) => { val d = a(i) - b(i); acc + d * d })
+    def sub(v: Array[Long], s: Int): Array[Long] =
+      v.slice(s * PqSubDim, s * PqSubDim + PqSubDim)
+
+    val codebooks: Map[Int, Seq[(Long, Array[Long])]] =
+      (0 until PqSubspaces).map { s =>
+        s -> q.filter(_._1 < PqCodewords).map { case (cid, v) => (cid, sub(v, s)) }.toSeq
+      }.toMap
+    val expected = q.map { case (id, v) =>
+      val winners = (0 until PqSubspaces).map { s =>
+        codebooks(s).map { case (cid, cv) => (d2(sub(v, s), cv), cid) }.min
+      }
+      (id, winners.map(_._2).toVector, winners.map(_._1).sum)
+    }.toSet
+
+    val got = SparkEntry
+      .queries("q122_pq_encode")(spark, sf)
+      .collect()
+      .map { r =>
+        (r.getLong(0), (1 to PqSubspaces).map(i => r.getLong(i)).toVector, r.getLong(PqSubspaces + 1))
+      }
+      .toSet
+    assert(got == expected, s"diverges: missing=${expected -- got} extra=${got -- expected}")
+    assert(got.forall { case (_, codes, _) => codes.forall(c => c >= 0 && c < PqCodewords) })
   }
 }
