@@ -250,6 +250,17 @@ object DedupSimQueries {
       )
     },
 
+    // q123: ADC top-k over the q122 PQ codes (Similarity.pqAdcTopK) —
+    // the FAISS IndexPQ search shape: per-probe m·k distance table
+    // broadcast against the codes scan, adc as pure lookups, ONE
+    // bounded-heap aggregate per probe (no window), winners broadcast
+    // back for their output distances. Probes = vec_id < 5 (q35/q36
+    // convention), ties rank (adc_d2, vec_id) — all-integer exact.
+    "q123_pq_adc_topk" -> { (s, dir) =>
+      val q = KMeans.quantizeShifted(Tables.embeddings(s, dir), "vec_id", "embedding")
+      Similarity.pqAdcTopK(q, q.filter(col("vec_id") < 5), PqSubspaces, PqSubDim, PqCodewords, AnnK)
+    },
+
     // q55: dup-pair clustering — connected components over the q31
     // near-dup pairs; each doc labeled with its cluster's minimum
     // doc_id (the representative a dedup pipeline keeps). Oracle =
@@ -858,9 +869,50 @@ object DedupSimQueries {
        |FROM w WHERE rn = 1 GROUP BY vec_id""".stripMargin
   }
 
+  /** q123 oracle: q122's quantize/sub/cb/d CTEs verbatim; the probes'
+    * distance tables are `d` restricted to probe ids, codes are the
+    * per-(vec, subspace) argmin, adc re-joins codes to the probe
+    * tables on (s, code_id), rank = row_number over (adc_d2, vec_id).
+    */
+  private lazy val q123Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE len(embedding) > 0
+       |             AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)),
+       |gs AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
+       |q AS (SELECT vec_id,
+       |             CASE WHEN s = 0 THEN list_transform(v, x -> CAST(${KMeans.Shift} AS BIGINT))
+       |                  ELSE list_transform(v, x -> CAST(round(127 * x / s) AS BIGINT) + ${KMeans.Shift})
+       |             END AS qa
+       |      FROM e CROSS JOIN gs),
+       |ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s),
+       |sub AS (SELECT vec_id, s, qa[CAST($PqSubDim * s + 1 AS INT) : CAST($PqSubDim * s + $PqSubDim AS INT)] AS sv
+       |        FROM q CROSS JOIN ss),
+       |cb AS (SELECT vec_id AS code_id, s,
+       |              qa[CAST($PqSubDim * s + 1 AS INT) : CAST($PqSubDim * s + $PqSubDim AS INT)] AS cv
+       |       FROM q CROSS JOIN ss WHERE vec_id < $PqCodewords),
+       |d AS (SELECT sub.vec_id, sub.s, cb.code_id,
+       |             CAST(list_sum(list_transform(list_zip(sub.sv, cb.cv),
+       |                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2
+       |      FROM sub JOIN cb USING (s)),
+       |codes AS (SELECT vec_id, s, code_id FROM (
+       |            SELECT vec_id, s, code_id,
+       |                   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code_id ASC) AS rn
+       |            FROM d) WHERE rn = 1),
+       |adc AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |               CAST(sum(p.d2) AS BIGINT) AS adc_d2
+       |        FROM codes c JOIN d p ON p.s = c.s AND p.code_id = c.code_id
+       |        WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+       |        GROUP BY 1, 2),
+       |r AS (SELECT probe_id, neighbor_id, adc_d2,
+       |             row_number() OVER (PARTITION BY probe_id ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+       |      FROM adc)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_d2
+       |FROM r WHERE rank <= $AnnK""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q119_kmeans_refine" -> q119Sql,
     "q122_pq_encode" -> q122Sql,
+    "q123_pq_adc_topk" -> q123Sql,
     "q89_segment_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}') AS w FROM documents),
          |base AS (SELECT doc_id, CAST(ceil(len(w) / $SegWords.0) AS BIGINT) AS n_segs, w FROM w),

@@ -371,4 +371,67 @@ object Similarity {
         (0 until m).map(s => col(s"m$s.d2")).reduce(_ + _).as("recon_d2"): _*
     )
   }
+
+  /** ADC (asymmetric distance computation) top-k over the PQ codes —
+    * the scan [[pqEncode]]'s compression exists for: each probe
+    * precomputes a distance table d2(probe_subvector, codeword) for
+    * all m·k codewords, and a corpus vector's approximate distance is
+    * then m TABLE LOOKUPS summed (element_at over the probe's array)
+    * instead of a 64-dim arithmetic pass — the FAISS IndexPQ search
+    * shape. Plan: the distance tables (one array<bigint> of length m·k
+    * per probe) CROSS-JOIN-BROADCAST against the codes scan, adc_d2 is
+    * a pure projection, and per-probe top-k is ONE graft_topk bounded-
+    * heap aggregate (map-side partial, no window, no sort of the
+    * corpus — the q99/q115 machinery). The probes×topK winner set then
+    * broadcasts back onto the codes scan to recompute its adc_d2 for
+    * output (the q115 survivor-join-back pattern), so the big scored
+    * frame is never shuffled or materialized.
+    *
+    * All arithmetic is exact BIGINT over quantizeShifted coords
+    * (per-subspace d2 ≤ subDim·254², adc sums ≤ m·subDim·254² ≈ 2²²,
+    * so the heap's double key is integer-exact); ties rank by
+    * (adc_d2, vec_id) ascending — bit-deterministic. Self-matches
+    * (vec_id == probe_id) are excluded, q35-style. At 100 TB the codes
+    * frame is the PERSISTED artifact (q87/q107 story): corpus_n · m
+    * small ints, rebuilt only when the codebooks retrain.
+    */
+  def pqAdcTopK(q: DataFrame, probes: DataFrame, m: Int, subDim: Int, kw: Int, topK: Int): DataFrame = {
+    require(m > 0 && subDim > 0 && kw > 0 && topK > 0, s"bad ADC geometry: m=$m subDim=$subDim kw=$kw topK=$topK")
+    GraftFunctions.ensureRegistered(q.sparkSession)
+    val subIds = array((0 until m).map(lit): _*)
+    def subVecs(df: DataFrame, idAs: String, vecAs: String): DataFrame = df
+      .select(col("vec_id").as(idAs), col("qa"), explode(subIds).as("s"))
+      .select(col(idAs), col("s"), slice(col("qa"), col("s") * subDim + lit(1), lit(subDim)).as(vecAs))
+    val codebooks = subVecs(q.filter(col("vec_id") < kw), "code_id", "cv")
+    val probeSubs = subVecs(probes, "probe_id", "pv")
+    val d2 = (1 to subDim)
+      .map { i =>
+        val d = element_at(col("pv"), i) - element_at(col("cv"), i)
+        d * d
+      }
+      .reduce(_ + _)
+    // one m·k-long lookup array per probe, position = s·kw + code_id
+    val dt = probeSubs
+      .join(broadcast(codebooks), "s")
+      .select(col("probe_id"), (col("s") * kw + col("code_id")).as("pos"), d2.as("d2"))
+      .groupBy(col("probe_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("d2")))), e => e("d2")).as("dt"))
+    val codes = pqEncode(q, m, subDim, kw).drop("recon_d2")
+    val adc = (0 until m)
+      .map(s => element_at(col("dt"), (col(s"code_$s") + lit(s * kw) + lit(1)).cast("int")))
+      .reduce(_ + _)
+    val winners = codes
+      .crossJoin(broadcast(dt))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), adc.as("adc_d2"))
+      .groupBy(col("probe_id"))
+      .agg(GraftFunctions.topk(col("adc_d2").cast("double"), col("vec_id"), topK).as("ids"))
+      .select(col("probe_id"), posexplode(col("ids")).as(Seq("pos", "neighbor_id")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"), col("neighbor_id"))
+    codes
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(winners), "neighbor_id")
+      .join(broadcast(dt), "probe_id")
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), adc.as("adc_d2"))
+  }
 }

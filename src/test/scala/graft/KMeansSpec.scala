@@ -93,4 +93,58 @@ class KMeansSpec extends AnyFunSuite {
     assert(got == expected, s"diverges: missing=${expected -- got} extra=${got -- expected}")
     assert(got.forall { case (_, codes, _) => codes.forall(c => c >= 0 && c < PqCodewords) })
   }
+
+  /** q123: the distributed ADC scan must equal a driver-side reference
+    * that encodes every vector, builds each probe's distance table,
+    * and ranks by (adc_d2, vec_id) — including the table-lookup
+    * approximation error (adc uses the probe's EXACT subvectors
+    * against the neighbor's QUANTIZED codes, never neighbor coords).
+    */
+  test("q123: distributed ADC top-k equals the driver-side reference") {
+    val q = KMeans
+      .quantizeShifted(Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L)((acc, i) => { val d = a(i) - b(i); acc + d * d })
+    def sub(v: Array[Long], s: Int): Array[Long] =
+      v.slice(s * PqSubDim, s * PqSubDim + PqSubDim)
+
+    val codebooks: Map[Int, Seq[(Long, Array[Long])]] =
+      (0 until PqSubspaces).map { s =>
+        s -> q.filter(_._1 < PqCodewords).map { case (cid, v) => (cid, sub(v, s)) }.toSeq
+      }.toMap
+    val codes: Map[Long, Vector[Long]] = q.map { case (id, v) =>
+      id -> (0 until PqSubspaces).map { s =>
+        codebooks(s).map { case (cid, cv) => (d2(sub(v, s), cv), cid) }.min._2
+      }.toVector
+    }.toMap
+
+    val probes = q.filter(_._1 < 5)
+    val topK = graft.queries.DedupSimQueries.AnnK
+    val expected = probes.flatMap { case (pid, pv) =>
+      val dtable: Map[(Int, Long), Long] =
+        (0 until PqSubspaces).flatMap { s =>
+          codebooks(s).map { case (cid, cv) => (s, cid) -> d2(sub(pv, s), cv) }
+        }.toMap
+      q.filter(_._1 != pid)
+        .map { case (vid, _) =>
+          val adc = (0 until PqSubspaces).map(s => dtable((s, codes(vid)(s)))).sum
+          (adc, vid)
+        }
+        .sorted
+        .take(topK)
+        .zipWithIndex
+        .map { case ((adc, vid), i) => (pid, (i + 1).toLong, vid, adc) }
+    }.toSet
+
+    val got = SparkEntry
+      .queries("q123_pq_adc_topk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected, s"diverges: missing=${expected -- got} extra=${got -- expected}")
+  }
 }

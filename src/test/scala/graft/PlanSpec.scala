@@ -448,6 +448,26 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q123: the ADC scan ranks via the bounded heap — no window over the scored corpus") {
+    // the FAISS-shape contract: per-probe top-k comes from graft_topk
+    // (map-side partial heaps), NOT a row_number window sorting
+    // probes×corpus scored rows; rank derives from posexplode.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q123_pq_adc_topk")(spark, sf).queryExecution.executedPlan
+      assert(
+        p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        s"q123 must not window:\n$p"
+      )
+      val heapAggs = p.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+            if a.aggregateExpressions.exists(_.aggregateFunction.isInstanceOf[graft.functions.TopKAgg]) =>
+          a
+      }
+      assert(heapAggs.size == 2, s"expected partial+final graft_topk aggregates, got ${heapAggs.size}:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q102: the bloom probe prunes the fact side below the semi-join") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
