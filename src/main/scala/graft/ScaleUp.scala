@@ -49,7 +49,11 @@ object ScaleUp {
 
     def requireKeysFit(df: DataFrame, name: String, keyCols: Seq[String]): Unit =
       keyCols.foreach { c =>
-        val mx = df.agg(max(col(c))).head.getLong(0)
+        // cast + null check: Int-typed keys and empty tables get a
+        // clear diagnostic instead of a ClassCastException/NPE
+        val row = df.agg(max(col(c)).cast("long")).head
+        require(!row.isNullAt(0), s"$name is empty (or $name.$c all NULL) — nothing to scale")
+        val mx = row.getLong(0)
         require(
           mx < KeyStride,
           s"$name.$c max $mx >= KeyStride $KeyStride — replicas would cross-link " +

@@ -1,0 +1,131 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Polygon dissolve via boundary edge cancellation — the executable
+  * form of the reference's `shapely.unary_union` on geoid collision
+  * (gerrydb_etl/bootstrap/pl_geo.py:169-171, inside the :149-190
+  * merge loop), for the planar-partition case Census geographies are:
+  * when a group's parts tile a region without overlap, every INTERIOR
+  * edge is traversed by exactly two parts (in opposite directions)
+  * and every BOUNDARY edge by exactly one. The dissolved union then
+  * needs no geometry library at all:
+  *
+  *   - boundary  = the multiplicity-1 edges;
+  *   - area      = the sum of EVERY directed edge's shoelace cross
+  *     term xᵢ·yⱼ − xⱼ·yᵢ — the two opposite traversals of an
+  *     interior edge cancel to zero, leaving exactly the union
+  *     boundary's shoelace sum (doubled area, exact BIGINT).
+  *
+  * Scale shape: ring explode (fan-out = vertices per part, a small
+  * constant) → ONE map-side-combinable (id, edge) count/sum aggregate
+  * → ONE per-id aggregate. No joins, no windows, no pairwise geometry
+  * predicates — the 100 TB dissolve is two hash aggregates, the q89
+  * "explode + count" skeleton with the algebra doing the geometric
+  * union.
+  *
+  * Contract (enforced loudly, not assumed): parts of one id must form
+  * a planar partition under EXACT vertex agreement — a shared border
+  * is the same vertex pair on both sides. Violations raise instead of
+  * returning a silently-wrong union:
+  *   - an edge seen 3+ times (overlap stack / doubled border);
+  *   - an edge seen twice in the SAME direction (cross terms don't
+  *     cancel — duplicated or overlapping parts, q4-style dedup
+  *     belongs upstream).
+  * A T-junction (one part's edge equals two collinear edges of its
+  * neighbors) cannot be detected from edge counts and is the declared
+  * out-of-contract case — same vertex-agreement precondition the
+  * planar-partition literature states for this construction.
+  */
+object Dissolve {
+
+  /** A ring's edges prepared for cancellation counting: endpoints
+    * canonicalized to lexicographic order (so both traversal
+    * directions of a shared edge collide in one groupBy key) plus the
+    * DIRECTED shoelace cross term, computed before canonicalization.
+    * Degenerate rings (< 3 vertices) yield no edges — the same
+    * verdict [[GeoFunctions.shoelace2]] reaches with its 0 area.
+    */
+  def ringEdges(ring: Column): Column = {
+    val n = size(ring)
+    val edges = transform(
+      sequence(lit(0), n - 1),
+      i => {
+        val a = element_at(ring, i + 1)
+        val b = element_at(ring, ((i + 1) % n) + 1)
+        val ax = a.getField("x")
+        val ay = a.getField("y")
+        val bx = b.getField("x")
+        val by = b.getField("y")
+        val fwd = (ax < bx) || (ax === bx && ay <= by)
+        struct(
+          when(fwd, ax).otherwise(bx).as("ex"),
+          when(fwd, ay).otherwise(by).as("ey"),
+          when(fwd, bx).otherwise(ax).as("fx"),
+          when(fwd, by).otherwise(ay).as("fy"),
+          (ax * by - bx * ay).as("cross")
+        )
+      }
+    )
+    // typed empty literal, NOT an expression over `edges`: the taken
+    // when-branch is the only one evaluated (ANSI element_at on a
+    // short ring must never run — the shoelace2 degenerate-guard
+    // rationale)
+    val none = expr(
+      "CAST(array() AS array<struct<ex: bigint, ey: bigint, fx: bigint, fy: bigint, cross: bigint>>)"
+    )
+    when(n < 3, none).otherwise(edges)
+  }
+
+  /** Dissolve each `idCol` group's parts into their union:
+    * (id, area2, n_boundary_edges, n_interior_edges, perimeter,
+    * bb_x_lo, bb_y_lo, bb_x_hi, bb_y_hi). `area2` is the doubled
+    * signed union area (CCW-positive rings → positive); `perimeter`
+    * sums L1 edge lengths over the union boundary — exact length for
+    * rectilinear partitions (axis-parallel edges), an upper bound
+    * otherwise; the bbox is the union boundary's (equivalently the
+    * union's) envelope — q88's mergeEnvelopes hull, derived here from
+    * the true geometry.
+    */
+  def dissolve(parts: DataFrame, idCol: String, ringCol: String): DataFrame = {
+    val e = parts
+      .select(col(idCol), explode(ringEdges(col(ringCol))).as("e"))
+      .select(col(idCol), col("e.ex"), col("e.ey"), col("e.fx"), col("e.fy"), col("e.cross"))
+    val perEdge = e
+      .groupBy(col(idCol), col("ex"), col("ey"), col("fx"), col("fy"))
+      .agg(count(lit(1)).as("mult"), sum(col("cross")).as("crs"))
+    // the loud planar-partition contract (see scaladoc): interior
+    // edges must be opposite-direction pairs (cancelled cross), and
+    // nothing may stack deeper than two parts
+    val guarded = perEdge.withColumn(
+      "mult",
+      when(
+        col("mult") > 2 || (col("mult") === 2 && col("crs") =!= 0),
+        raise_error(
+          concat(
+            lit("Dissolve: edge ("),
+            col("ex").cast("string"), lit(","), col("ey").cast("string"), lit(")-("),
+            col("fx").cast("string"), lit(","), col("fy").cast("string"),
+            lit(") seen "), col("mult").cast("string"),
+            lit(" times with residual cross "), col("crs").cast("string"),
+            lit(" — parts are not a planar partition (overlapping or duplicated parts)")
+          )
+        ).cast("long")
+      ).otherwise(col("mult"))
+    )
+    val isB = col("mult") === 1
+    guarded
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("crs")).as("area2"),
+        sum(when(isB, 1L).otherwise(0L)).as("n_boundary_edges"),
+        sum(when(col("mult") === 2, 1L).otherwise(0L)).as("n_interior_edges"),
+        sum(when(isB, abs(col("fx") - col("ex")) + abs(col("fy") - col("ey"))).otherwise(0L)).as("perimeter"),
+        min(when(isB, least(col("ex"), col("fx")))).as("bb_x_lo"),
+        min(when(isB, least(col("ey"), col("fy")))).as("bb_y_lo"),
+        max(when(isB, greatest(col("ex"), col("fx")))).as("bb_x_hi"),
+        max(when(isB, greatest(col("ey"), col("fy")))).as("bb_y_hi")
+      )
+  }
+}

@@ -54,6 +54,17 @@ object Ipf {
       .select(col(dimA), col(dimB), col(nCol).cast("long").as("n"))
       .withColumn("w_bp", lit(WeightScale))
       .localCheckpoint()
+    // the updated weight is clamped to ≥ 1 bp: floor division would
+    // otherwise drive w_bp to 0 for cells more than ~WeightScale× (10⁴)
+    // over-represented vs their dim target, and once EVERY cell of a
+    // dim value hits 0 that marginal is 0 and the next `div` yields
+    // NULL (non-ANSI), silently poisoning all downstream weights. The
+    // clamp keeps every marginal positive (n ≥ 1 per cell by
+    // construction), costs one `greatest` in the projection, and is
+    // mirrored in the oracle — so the fixed-point contract stays
+    // bit-deterministic. Note this bounds per-round down-correction at
+    // 10⁴×; imbalances beyond it converge over extra rounds (next to
+    // the 2^63 overflow note: |w_bp·tgt| ≤ 10⁴·total·10⁴ stays exact).
     def step(dim: String, tgt: String): DataFrame = {
       val marg = c.groupBy(col(dim)).agg(sum(col("n") * col("w_bp")).as("marg"))
       c.join(broadcast(marg), dim)
@@ -62,7 +73,7 @@ object Ipf {
           col(dimA),
           col(dimB),
           col("n"),
-          expr(s"(w_bp * $tgt) div marg").as("w_bp")
+          greatest(lit(1L), expr(s"(w_bp * $tgt) div marg")).as("w_bp")
         )
     }
     for (_ <- 1 to rounds) {

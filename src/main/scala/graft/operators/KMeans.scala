@@ -41,12 +41,19 @@ object KMeans {
     * Degenerate vectors (empty / null elements) are excluded under the
     * q81 guard; an all-zero corpus (scale 0) maps everything to the
     * shift midpoint.
+    *
+    * The global scale is a 1-row aggregate localCheckpoint'd behind a
+    * lineage cut: every consumer that references the quantized frame
+    * more than once (k-means rounds, PQ's subvector/codebook branches,
+    * ADC's probe/corpus/code branches) would otherwise re-run the
+    * corpus-wide max-abs SinglePartition agg per reference. Max is
+    * order-free, so the cut cannot change values.
     */
   def quantizeShifted(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = emb
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .filter(size(col("v")) > 0 && !exists(col("v"), x => x.isNull))
-    val gs = v.agg(max(array_max(transform(col("v"), x => abs(x)))).as("s"))
+    val gs = v.agg(max(array_max(transform(col("v"), x => abs(x)))).as("s")).localCheckpoint()
     v.crossJoin(broadcast(gs))
       .select(
         col("vec_id"),
@@ -76,12 +83,33 @@ object KMeans {
   /** T rounds of (assign, update) + a final assignment. Returns
     * (vec_id, cluster, dist2) — all BIGINT, bit-deterministic.
     */
-  def refine(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
+  def refine(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame =
+    assign(q, refineCentroids(q, k, iters, dims), dims)
+      .select(col("vec_id"), col("cluster"), col("d2").as("dist2"))
+
+  /** The refined centroid frame (cid, ca) after T Lloyd rounds — the
+    * piece PQ composes with: refined centroids feed
+    * [[graft.sim.Similarity.pqEncodeWith]] as trained codebooks
+    * (cid → code_id, ca → codeword), closing the "q119 is the
+    * codebook-training counterpart" loop. K rows, localCheckpoint'd.
+    */
+  def refineCentroids(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     var cents = q
       .filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qa").as("ca"))
       .localCheckpoint()
+    // seeding contract (q50's deterministic-centroid convention):
+    // vec_ids 0..k-1 must survive quantization. A sparse id space or
+    // degenerate first-k vectors would otherwise under-seed and the
+    // query would SILENTLY return an under-clustered frame — the
+    // checkpointed frame makes the count free, so fail loudly instead
+    val nSeeds = cents.count()
+    require(
+      nSeeds == k,
+      s"k-means seeding expects vec_ids 0..${k - 1} present after quantizeShifted's " +
+        s"degenerate-vector filter; found $nSeeds of $k — re-id the corpus or lower k"
+    )
     for (_ <- 1 to iters) {
       val a = assign(q, cents, dims)
       val sums = a
@@ -98,6 +126,6 @@ object KMeans {
         .select(col("cid"), coalesce(col("nca"), col("ca")).as("ca"))
         .localCheckpoint()
     }
-    assign(q, cents, dims).select(col("vec_id"), col("cluster"), col("d2").as("dist2"))
+    cents
   }
 }

@@ -15,10 +15,18 @@ import org.apache.spark.sql.types
   * exists to avoid. This operator computes the IDENTICAL running
   * total with the classic two-pass scheme, all buckets in parallel:
   *
-  *   1. BOUNDS: one min/max aggregate over the order column (answered
-  *      largely from parquet footer stats) broadcast as a 1-row frame.
+  *   1. BOUNDS: one min/max/null-count aggregate over the order
+  *      column (answered largely from parquet footer stats), read
+  *      driver-side — the bounds become plan literals, and the read
+  *      enforces the non-null order-key contract loudly.
   *   2. BUCKET: rows map to `buckets` equal-width ranges of the order
   *      column — a pure scan-side integer expression, no shuffle.
+  *      The bucket is `(key - lo) DIV width` with a driver-computed
+  *      `width = span/buckets + 1 ≥ 1`, which cannot overflow for any
+  *      key span that itself fits in a Long (the span is checked as a
+  *      BigInt — a nanosecond-timestamp span over centuries stays
+  *      exact where the algebraically-equal `(key-lo)*buckets DIV
+  *      (span+1)` form would overflow the multiply at ~2^57).
   *   3. INTRA: the running sum WITHIN each (group, bucket) — a window
   *      whose partition key carries the bucket, so its sort handles
   *      ~n/buckets rows per task instead of a whole group.
@@ -57,7 +65,7 @@ object Prefix {
       buckets: Int = DefaultBuckets
   ): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val reserved = Seq("__graft_p_b", "__graft_p_c", "__graft_p_t", "__graft_p_off", "__graft_p_lo", "__graft_p_hi")
+    val reserved = Seq("__graft_p_b", "__graft_p_c", "__graft_p_t", "__graft_p_off")
     require(
       !(df.columns ++ Seq(outCol)).exists(reserved.contains),
       s"columns ${reserved.mkString(", ")} are reserved by Prefix.cumSum"
@@ -70,24 +78,44 @@ object Prefix {
         "(rank or dictionary-encode other key types first)"
     )
 
-    // the 1-row bounds frame is referenced from BOTH scan passes —
-    // checkpoint it (q109's tiny-frame pattern) so it computes once
-    // and contributes zero exchanges to the downstream plan
-    val bounds = df
-      .agg(min(col(orderCol)).as("__graft_p_lo"), max(col(orderCol)).as("__graft_p_hi"))
-      .localCheckpoint()
-    // DIV, not `/`: exact integer bucketing (a double divide would put
-    // boundary rows in the wrong bucket and silently skew offsets)
+    // the 1-row bounds aggregate runs once and is read driver-side:
+    // lo/width become plan literals (no broadcast needed in either
+    // scan pass), and the null-key count makes the non-null contract
+    // an actual loud failure — a null order key would otherwise get a
+    // null bucket and be SILENTLY dropped by the offset equi-join
+    val boundsRow = df
+      .agg(
+        min(col(orderCol)).cast("long").as("lo"),
+        max(col(orderCol)).cast("long").as("hi"),
+        count(lit(1)).as("n"),
+        count(col(orderCol)).as("nn")
+      )
+      .head()
+    val nullKeys = boundsRow.getLong(2) - boundsRow.getLong(3)
+    require(
+      nullKeys == 0,
+      s"Prefix.cumSum: $nullKeys NULL '$orderCol' order keys — the non-null order-key " +
+        "contract (see scaladoc) would silently drop them; filter or impute first"
+    )
+    val emptyInput = boundsRow.getLong(2) == 0
+    val lo = if (emptyInput) 0L else boundsRow.getLong(0)
+    val span = if (emptyInput) BigInt(0) else BigInt(boundsRow.getLong(1)) - BigInt(lo)
+    require(
+      span <= BigInt(Long.MaxValue) - 1,
+      s"Prefix.cumSum: '$orderCol' spans $span > Long range — (key - lo) would overflow; " +
+        "rank or rebase the order key first"
+    )
+    // DIV with a driver-computed width ≥ 1: exact integer bucketing
+    // (a double divide would put boundary rows in the wrong bucket and
+    // silently skew offsets) that cannot overflow — see scaladoc
+    val width = (span / buckets + 1).toLong
     val bucketExpr =
       least(
-        lit(buckets - 1),
-        expr(s"(cast($orderCol as bigint) - __graft_p_lo) * $buckets DIV (__graft_p_hi - __graft_p_lo + 1)")
+        lit(buckets - 1L),
+        expr(s"(cast($orderCol as bigint) - ${lo}L) DIV ${width}L")
       ).cast("long")
 
-    val bucketed = df
-      .crossJoin(broadcast(bounds))
-      .withColumn("__graft_p_b", bucketExpr)
-      .drop("__graft_p_lo", "__graft_p_hi")
+    val bucketed = df.withColumn("__graft_p_b", bucketExpr)
 
     val groupRefs = groupCols.map(col)
     // bucket totals from a second pruned scan pass: deriving them from

@@ -261,6 +261,39 @@ object DedupSimQueries {
       Similarity.pqAdcTopK(q, q.filter(col("vec_id") < 5), PqSubspaces, PqSubDim, PqCodewords, AnnK)
     },
 
+    // q125: IVF+PQ end-to-end (Similarity.ivfPqTopKFromIndex — the
+    // FAISS IndexIVFPQ shape, by_residual=false): the q107 coarse
+    // partition bounds WHICH vectors a probe scores (PQ codes
+    // persisted one directory per cell, the probe's 2 cells
+    // DPP-pruned at the scan), q123's ADC bounds WHAT each costs
+    // (m table lookups), and an exact integer re-rank of the
+    // 20-candidate shortlist removes the quantization error from the
+    // final top-10 — the FAISS refine stage. Cell assignment is a
+    // scan-side literal-centroid argmin fold (zero joins/shuffles at
+    // build and probe); shortlist = ONE bounded-heap agg per probe;
+    // the index-free twin is byte-equal (DedupSimSpec). Oracle
+    // reproduces cells, codes, tables, shortlist, and re-rank in
+    // DuckDB — all-BIGINT exact.
+    "q125_ivfpq_topk" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val q = KMeans.quantizeShifted(Tables.embeddings(s, dir), "vec_id", "embedding")
+      Similarity.writeIvfPqIndex(q, IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, IvfPqIndexPath)
+      Similarity.ivfPqTopKFromIndex(
+        s,
+        IvfPqIndexPath,
+        q,
+        q.filter(col("vec_id") < 5),
+        IvfPqCells,
+        PqSubspaces,
+        PqSubDim,
+        PqCodewords,
+        IvfPqNprobe,
+        IvfPqRerank,
+        AnnK,
+        Dims
+      )
+    },
+
     // q55: dup-pair clustering — connected components over the q31
     // near-dup pairs; each doc labeled with its cluster's minimum
     // doc_id (the representative a dedup pipeline keeps). Oracle =
@@ -504,6 +537,14 @@ object DedupSimQueries {
   val PqSubspaces = 8
   val PqSubDim = 8
   val PqCodewords = 16
+
+  // q125: IVF+PQ composition — 8 coarse cells (the first-8
+  // deterministic-centroid convention), 2 probed cells per query,
+  // ADC shortlist of 20 exactly re-ranked down to AnnK.
+  val IvfPqCells = 8
+  val IvfPqNprobe = 2
+  val IvfPqRerank = 20
+  val IvfPqIndexPath = "target/graft_ivfpq_index"
 
   // q100: TF-IDF pair similarity — term df cap (stopword contract +
   // postings fan-out bound) and the cosine floor, compared ROUNDED.
@@ -909,10 +950,76 @@ object DedupSimQueries {
        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_d2
        |FROM r WHERE rank <= $AnnK""".stripMargin
 
+  /** q125 oracle: q123's quantize/sub/cb/d/codes CTEs, plus the coarse
+    * cell argmin for every vector (cells) and each probe's nprobe
+    * cells (pcells); ADC candidates are restricted to probed cells,
+    * the rerank-sized shortlist ranks by (adc_d2, neighbor_id), and
+    * the final rank is the exact integer d2 recomputed from the
+    * quantized vectors — the same refine stage as the engine.
+    */
+  private lazy val q125Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE len(embedding) > 0
+       |             AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)),
+       |gs AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
+       |q AS (SELECT vec_id,
+       |             CASE WHEN s = 0 THEN list_transform(v, x -> CAST(${KMeans.Shift} AS BIGINT))
+       |                  ELSE list_transform(v, x -> CAST(round(127 * x / s) AS BIGINT) + ${KMeans.Shift})
+       |             END AS qa
+       |      FROM e CROSS JOIN gs),
+       |ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s),
+       |sub AS (SELECT vec_id, s, qa[CAST($PqSubDim * s + 1 AS INT) : CAST($PqSubDim * s + $PqSubDim AS INT)] AS sv
+       |        FROM q CROSS JOIN ss),
+       |cb AS (SELECT vec_id AS code_id, s,
+       |              qa[CAST($PqSubDim * s + 1 AS INT) : CAST($PqSubDim * s + $PqSubDim AS INT)] AS cv
+       |       FROM q CROSS JOIN ss WHERE vec_id < $PqCodewords),
+       |d AS (SELECT sub.vec_id, sub.s, cb.code_id,
+       |             CAST(list_sum(list_transform(list_zip(sub.sv, cb.cv),
+       |                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2
+       |      FROM sub JOIN cb USING (s)),
+       |codes AS (SELECT vec_id, s, code_id FROM (
+       |            SELECT vec_id, s, code_id,
+       |                   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code_id ASC) AS rn
+       |            FROM d) WHERE rn = 1),
+       |celld AS (SELECT a.vec_id, c.vec_id AS cent_id,
+       |                 CAST(list_sum(list_transform(list_zip(a.qa, c.qa),
+       |                      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2
+       |          FROM q a CROSS JOIN q c WHERE c.vec_id < $IvfPqCells),
+       |cells AS (SELECT vec_id, cent_id AS cell FROM (
+       |            SELECT vec_id, cent_id,
+       |                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rn
+       |            FROM celld) WHERE rn = 1),
+       |pcells AS (SELECT vec_id AS probe_id, cent_id AS cell FROM (
+       |             SELECT vec_id, cent_id,
+       |                    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rn
+       |             FROM celld WHERE vec_id < 5) WHERE rn <= $IvfPqNprobe),
+       |adc AS (SELECT pc.probe_id, c.vec_id AS neighbor_id, CAST(sum(pd.d2) AS BIGINT) AS adc_d2
+       |        FROM codes c
+       |        JOIN cells ce ON ce.vec_id = c.vec_id
+       |        JOIN pcells pc ON pc.cell = ce.cell
+       |        JOIN d pd ON pd.vec_id = pc.probe_id AND pd.s = c.s AND pd.code_id = c.code_id
+       |        WHERE c.vec_id <> pc.probe_id
+       |        GROUP BY 1, 2),
+       |sl AS (SELECT probe_id, neighbor_id FROM (
+       |         SELECT probe_id, neighbor_id,
+       |                row_number() OVER (PARTITION BY probe_id ORDER BY adc_d2 ASC, neighbor_id ASC) AS rn
+       |         FROM adc) WHERE rn <= $IvfPqRerank),
+       |re AS (SELECT sl.probe_id, sl.neighbor_id,
+       |              CAST(list_sum(list_transform(list_zip(nq.qa, pq.qa),
+       |                   z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS exact_d2
+       |       FROM sl JOIN q nq ON nq.vec_id = sl.neighbor_id
+       |               JOIN q pq ON pq.vec_id = sl.probe_id),
+       |r AS (SELECT probe_id, neighbor_id, exact_d2,
+       |             row_number() OVER (PARTITION BY probe_id ORDER BY exact_d2 ASC, neighbor_id ASC) AS rank
+       |      FROM re)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, exact_d2
+       |FROM r WHERE rank <= $AnnK""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q119_kmeans_refine" -> q119Sql,
     "q122_pq_encode" -> q122Sql,
     "q123_pq_adc_topk" -> q123Sql,
+    "q125_ivfpq_topk" -> q125Sql,
     "q89_segment_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}') AS w FROM documents),
          |base AS (SELECT doc_id, CAST(ceil(len(w) / $SegWords.0) AS BIGINT) AS n_segs, w FROM w),

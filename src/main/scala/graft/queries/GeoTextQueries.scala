@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.etl.CollisionMerge
+import graft.geo.Dissolve
 import graft.geo.GeoFunctions._
 import graft.text.TextFunctions._
 import graft.sources.Tables
@@ -223,6 +224,53 @@ object GeoTextQueries {
           ),
         "geoid"
       )
+    },
+
+    // q124: polygon dissolve on collision — the TRUE-union half of
+    // pl_geo.py:169-171 (shapely.unary_union inside the collision
+    // merge) that q88 approximates at envelope level. Each customer
+    // key contributes one 10×10 grid cell (a CCW integer square ring)
+    // to its geoid; a geoid's cells dissolve into their exact union
+    // via boundary edge cancellation (geo/Dissolve.scala): interior
+    // edges pair up and their shoelace cross terms cancel, so union
+    // area2 and the union boundary both fall out of ONE (geoid, edge)
+    // count/sum aggregate + ONE per-geoid aggregate — no geometry
+    // predicates, no joins. n_parts needs no extra pass either: every
+    // square contributes 4 edge incidences, so 4·n_parts =
+    // n_boundary + 2·n_interior. All-BIGINT exact; the oracle
+    // reproduces the same edges and cancellation in DuckDB.
+    "q124_polygon_dissolve" -> { (s, dir) =>
+      val k = col("c_custkey")
+      val cells = Tables
+        .customer(s, dir)
+        .select((k % 97).as("geoid"), ((k * 7919) % 12).as("gx"), ((k * 104729) % 8).as("gy"))
+        // distinct cells: the planar-partition contract (two keys may
+        // land on the same cell; a duplicated part is an overlap)
+        .dropDuplicates("geoid", "gx", "gy")
+        .select(
+          col("geoid"),
+          array(
+            ringPoint(col("gx") * 10, col("gy") * 10),
+            ringPoint(col("gx") * 10 + 10, col("gy") * 10),
+            ringPoint(col("gx") * 10 + 10, col("gy") * 10 + 10),
+            ringPoint(col("gx") * 10, col("gy") * 10 + 10)
+          ).as("ring")
+        )
+      Dissolve
+        .dissolve(cells, "geoid", "ring")
+        .withColumn("n_parts", expr("(n_boundary_edges + 2 * n_interior_edges) DIV 4"))
+        .select(
+          col("geoid"),
+          col("n_parts"),
+          col("area2"),
+          col("n_boundary_edges"),
+          col("n_interior_edges"),
+          col("perimeter"),
+          col("bb_x_lo"),
+          col("bb_y_lo"),
+          col("bb_x_hi"),
+          col("bb_y_hi")
+        )
     }
   )
 
@@ -292,6 +340,47 @@ object GeoTextQueries {
 
   def oracle: Map[String, String] = Map(
     "q103_polygon_stats" -> q103Sql,
+    // the same edge cancellation as geo/Dissolve.scala: 4 directed
+    // edges per CCW square via a VALUES fan-out, endpoints
+    // canonicalized, cross terms summed before/after the per-edge
+    // group — all BIGINT (`cross` is a DuckDB keyword, hence cross_t)
+    "q124_polygon_dissolve" ->
+      """WITH cells AS (
+        |  SELECT DISTINCT c_custkey % 97 AS geoid,
+        |         (c_custkey * 7919) % 12 AS gx,
+        |         (c_custkey * 104729) % 8 AS gy
+        |  FROM customer),
+        |d AS (
+        |  SELECT geoid,
+        |         CASE i WHEN 0 THEN gx*10    WHEN 1 THEN gx*10+10 WHEN 2 THEN gx*10+10 ELSE gx*10    END AS ax,
+        |         CASE i WHEN 0 THEN gy*10    WHEN 1 THEN gy*10    WHEN 2 THEN gy*10+10 ELSE gy*10+10 END AS ay,
+        |         CASE i WHEN 0 THEN gx*10+10 WHEN 1 THEN gx*10+10 WHEN 2 THEN gx*10    ELSE gx*10    END AS bx,
+        |         CASE i WHEN 0 THEN gy*10    WHEN 1 THEN gy*10+10 WHEN 2 THEN gy*10+10 ELSE gy*10    END AS by_
+        |  FROM cells CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)),
+        |c AS (
+        |  SELECT geoid,
+        |         CASE WHEN ax < bx OR (ax = bx AND ay <= by_) THEN ax ELSE bx END AS ex,
+        |         CASE WHEN ax < bx OR (ax = bx AND ay <= by_) THEN ay ELSE by_ END AS ey,
+        |         CASE WHEN ax < bx OR (ax = bx AND ay <= by_) THEN bx ELSE ax END AS fx,
+        |         CASE WHEN ax < bx OR (ax = bx AND ay <= by_) THEN by_ ELSE ay END AS fy,
+        |         ax * by_ - bx * ay AS cross_t
+        |  FROM d),
+        |pe AS (
+        |  SELECT geoid, ex, ey, fx, fy,
+        |         count(*) AS mult, CAST(sum(cross_t) AS BIGINT) AS cross_t
+        |  FROM c GROUP BY 1, 2, 3, 4, 5)
+        |SELECT geoid,
+        |       CAST((sum(CASE WHEN mult = 1 THEN 1 ELSE 0 END)
+        |             + 2 * sum(CASE WHEN mult = 2 THEN 1 ELSE 0 END)) // 4 AS BIGINT) AS n_parts,
+        |       CAST(sum(cross_t) AS BIGINT) AS area2,
+        |       CAST(sum(CASE WHEN mult = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_edges,
+        |       CAST(sum(CASE WHEN mult = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_interior_edges,
+        |       CAST(sum(CASE WHEN mult = 1 THEN abs(fx - ex) + abs(fy - ey) ELSE 0 END) AS BIGINT) AS perimeter,
+        |       min(CASE WHEN mult = 1 THEN least(ex, fx) END) AS bb_x_lo,
+        |       min(CASE WHEN mult = 1 THEN least(ey, fy) END) AS bb_y_lo,
+        |       max(CASE WHEN mult = 1 THEN greatest(ex, fx) END) AS bb_x_hi,
+        |       max(CASE WHEN mult = 1 THEN greatest(ey, fy) END) AS bb_y_hi
+        |FROM pe GROUP BY geoid""".stripMargin,
     "q23_utm_zone" ->
       s"""SELECT c_nationkey, modal_zone, n FROM (
          |  SELECT c_nationkey, zone AS modal_zone, count(*) AS n,

@@ -853,9 +853,25 @@ object TrainingQueries {
         .select(col("doc_id"), col("source"), col("score_bp"))
       // key = -(score·2^40 - doc_id): graft_topk keeps the SMALLEST
       // keys, so this ranks score DESC, ties to the smallest doc_id;
-      // |score| ≤ ~2^13 and doc_id < 2^40 keep the product exact in
-      // a double's 53-bit mantissa at any tested SF
-      val surrogate = -(col("score_bp") * lit(1L << 40) - col("doc_id")).cast("double")
+      // |score| < 2^13 and doc_id < 2^40 keep the product exact in a
+      // double's 53-bit mantissa. score_bp is data-dependent
+      // (stop-hit/token counts on unbounded text), so the bound is
+      // ENFORCED row-wise: a violating row raises instead of silently
+      // dropping the doc_id tie-break out of the mantissa
+      val surrogate = when(
+        abs(col("score_bp")) < lit(1L << 13) && col("doc_id").between(0L, (1L << 40) - 1),
+        -(col("score_bp") * lit(1L << 40) - col("doc_id")).cast("double")
+      ).otherwise(
+        raise_error(
+          concat(
+            lit("q115 surrogate leaves the 53-bit-exact range: score_bp="),
+            col("score_bp").cast("string"),
+            lit(" doc_id="),
+            col("doc_id").cast("string"),
+            lit(" (need |score_bp| < 2^13, 0 <= doc_id < 2^40)")
+          )
+        ).cast("double")
+      )
       val picked = scored
         .groupBy(col("source"))
         .agg(graft.functions.GraftFunctions.topk(surrogate, col("doc_id"), DiverseTopK).as("ids"))
@@ -1286,11 +1302,11 @@ object TrainingQueries {
           Seq(
             s"""$ma AS (SELECT source, CAST(sum(n * w) AS BIGINT) AS marg FROM $pa GROUP BY source),
                |$ca AS (SELECT $pa.source, $pa.lclass, $pa.n,
-               |        CAST(($pa.w * t.tgt_a) // $ma.marg AS BIGINT) AS w
+               |        GREATEST(1, CAST(($pa.w * t.tgt_a) // $ma.marg AS BIGINT)) AS w
                |        FROM $pa JOIN $ma USING (source) CROSS JOIN t)""".stripMargin,
             s"""$mb AS (SELECT lclass, CAST(sum(n * w) AS BIGINT) AS marg FROM $ca GROUP BY lclass),
                |$cb AS (SELECT $ca.source, $ca.lclass, $ca.n,
-               |        CAST(($ca.w * t.tgt_b) // $mb.marg AS BIGINT) AS w
+               |        GREATEST(1, CAST(($ca.w * t.tgt_b) // $mb.marg AS BIGINT)) AS w
                |        FROM $ca JOIN $mb USING (lclass) CROSS JOIN t)""".stripMargin
           )
         }

@@ -342,35 +342,81 @@ object Similarity {
     * projection. One shuffle total, keyed by vec_id.
     */
   def pqEncode(q: DataFrame, m: Int, subDim: Int, k: Int): DataFrame = {
-    require(m > 0 && subDim > 0 && k > 0, s"bad PQ geometry: m=$m subDim=$subDim k=$k")
-    val subIds = array((0 until m).map(lit): _*)
-    val subs = q
-      .select(col("vec_id"), col("qa"), explode(subIds).as("s"))
-      .select(col("vec_id"), col("s"), slice(col("qa"), col("s") * subDim + lit(1), lit(subDim)).as("sv"))
-    val codebooks = q
-      .filter(col("vec_id") < k)
-      .select(col("vec_id").as("code_id"), col("qa"), explode(subIds).as("s"))
-      .select(col("code_id"), col("s"), slice(col("qa"), col("s") * subDim + lit(1), lit(subDim)).as("cv"))
-    val d2 = (1 to subDim)
-      .map { i =>
-        val d = element_at(col("sv"), i) - element_at(col("cv"), i)
-        d * d
-      }
-      .reduce(_ + _)
+    require(k > 0, s"bad PQ geometry: k=$k")
+    pqEncodeWith(q, q.filter(col("vec_id") < k), m, subDim)
+  }
+
+  /** [[pqEncode]] against an EXPLICIT codebook frame (vec_id, qa) —
+    * one row per codeword source vector, its vec_id the code id. This
+    * is the composition point q119 trains for: feed
+    * `KMeans.refineCentroids(...).select(cid AS vec_id, ca AS qa)` in
+    * as Lloyd-refined codebooks (KMeansSpec proves the composition
+    * equals a driver-side reference). Code ids must be the contiguous
+    * range 0..k-1 — ADC's positional distance tables index by
+    * s·k + code_id, and a gap fails loudly there (ANSI element_at).
+    *
+    * `carry` names input columns to thread through the winners
+    * aggregate unchanged (first() — constant per vec_id), e.g. the
+    * IVF cell id so index build needs no second join back to the
+    * corpus.
+    */
+  def pqEncodeWith(
+      q: DataFrame,
+      codebook: DataFrame,
+      m: Int,
+      subDim: Int,
+      carry: Seq[String] = Nil
+  ): DataFrame = {
+    require(m > 0 && subDim > 0, s"bad PQ geometry: m=$m subDim=$subDim")
+    val subs = subVectors(q, m, subDim, "vec_id", "sv", carry)
+    val codebooks = subVectors(codebook, m, subDim, "code_id", "cv")
     val winners = subs
       .join(broadcast(codebooks), "s")
-      .select(col("vec_id"), col("s"), col("code_id"), d2.as("d2"))
+      .select(
+        (Seq(col("vec_id")) ++ carry.map(col) ++
+          Seq(col("s"), col("code_id"), subD2("sv", "cv", subDim).as("d2"))): _*
+      )
       .groupBy(col("vec_id"))
       .agg(
         min(when(col("s") === 0, struct(col("d2"), col("code_id")))).as("m0"),
-        (1 until m).map(s => min(when(col("s") === s, struct(col("d2"), col("code_id")))).as(s"m$s")): _*
+        ((1 until m).map(s => min(when(col("s") === s, struct(col("d2"), col("code_id")))).as(s"m$s")) ++
+          carry.map(c => first(col(c)).as(c))): _*
       )
     winners.select(
-      col("vec_id") +:
-        (0 until m).map(s => col(s"m$s.code_id").as(s"code_$s")) :+
-        (0 until m).map(s => col(s"m$s.d2")).reduce(_ + _).as("recon_d2"): _*
+      (Seq(col("vec_id")) ++
+        (0 until m).map(s => col(s"m$s.code_id").as(s"code_$s")) ++
+        Seq((0 until m).map(s => col(s"m$s.d2")).reduce(_ + _).as("recon_d2")) ++
+        carry.map(col)): _*
     )
   }
+
+  /** (id, s, subvector) explode shared by the encode/probe/codebook
+    * sides — m rows per input vector.
+    */
+  private def subVectors(
+      df: DataFrame,
+      m: Int,
+      subDim: Int,
+      idAs: String,
+      vecAs: String,
+      carry: Seq[String] = Nil
+  ): DataFrame = {
+    val subIds = array((0 until m).map(lit): _*)
+    df.select((Seq(col("vec_id").as(idAs), col("qa")) ++ carry.map(col) ++ Seq(explode(subIds).as("s"))): _*)
+      .select(
+        (Seq(col(idAs), col("s")) ++ carry.map(col) ++
+          Seq(slice(col("qa"), col("s") * subDim + lit(1), lit(subDim)).as(vecAs))): _*
+      )
+  }
+
+  /** Exact integer L2² between two subvector columns, unrolled. */
+  private def subD2(a: String, b: String, subDim: Int): Column =
+    (1 to subDim)
+      .map { i =>
+        val d = element_at(col(a), i) - element_at(col(b), i)
+        d * d
+      }
+      .reduce(_ + _)
 
   /** ADC (asymmetric distance computation) top-k over the PQ codes —
     * the scan [[pqEncode]]'s compression exists for: each probe
@@ -398,28 +444,14 @@ object Similarity {
   def pqAdcTopK(q: DataFrame, probes: DataFrame, m: Int, subDim: Int, kw: Int, topK: Int): DataFrame = {
     require(m > 0 && subDim > 0 && kw > 0 && topK > 0, s"bad ADC geometry: m=$m subDim=$subDim kw=$kw topK=$topK")
     GraftFunctions.ensureRegistered(q.sparkSession)
-    val subIds = array((0 until m).map(lit): _*)
-    def subVecs(df: DataFrame, idAs: String, vecAs: String): DataFrame = df
-      .select(col("vec_id").as(idAs), col("qa"), explode(subIds).as("s"))
-      .select(col(idAs), col("s"), slice(col("qa"), col("s") * subDim + lit(1), lit(subDim)).as(vecAs))
-    val codebooks = subVecs(q.filter(col("vec_id") < kw), "code_id", "cv")
-    val probeSubs = subVecs(probes, "probe_id", "pv")
-    val d2 = (1 to subDim)
-      .map { i =>
-        val d = element_at(col("pv"), i) - element_at(col("cv"), i)
-        d * d
-      }
-      .reduce(_ + _)
-    // one m·k-long lookup array per probe, position = s·kw + code_id
-    val dt = probeSubs
-      .join(broadcast(codebooks), "s")
-      .select(col("probe_id"), (col("s") * kw + col("code_id")).as("pos"), d2.as("d2"))
-      .groupBy(col("probe_id"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("d2")))), e => e("d2")).as("dt"))
-    val codes = pqEncode(q, m, subDim, kw).drop("recon_d2")
-    val adc = (0 until m)
-      .map(s => element_at(col("dt"), (col(s"code_$s") + lit(s * kw) + lit(1)).cast("int")))
-      .reduce(_ + _)
+    val dt = pqDistTables(probes, q.filter(col("vec_id") < kw), m, subDim, kw)
+    // The codes frame IS the persisted index artifact (q87/q107 story:
+    // corpus_n · m small ints, rebuilt only on codebook retrain) — the
+    // lineage cut materializes it ONCE so the scoring pass and the
+    // winner join-back both scan the built index instead of re-running
+    // the whole encode (which would double-scan the corpus).
+    val codes = pqEncode(q, m, subDim, kw).drop("recon_d2").localCheckpoint()
+    val adc = adcExpr(m, kw)
     val winners = codes
       .crossJoin(broadcast(dt))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -433,5 +465,203 @@ object Similarity {
       .join(broadcast(winners), "neighbor_id")
       .join(broadcast(dt), "probe_id")
       .select(col("probe_id"), col("rank"), col("neighbor_id"), adc.as("adc_d2"))
+  }
+
+  /** Each probe's ADC lookup table: one m·kw-long array, position =
+    * s·kw + code_id (hence the contiguous-code-id contract), built
+    * from the broadcast codebook join and localCheckpoint'd
+    * (probe-count rows, broadcast by every consumer).
+    */
+  private def pqDistTables(probes: DataFrame, codebook: DataFrame, m: Int, subDim: Int, kw: Int): DataFrame =
+    subVectors(probes, m, subDim, "probe_id", "pv")
+      .join(broadcast(subVectors(codebook, m, subDim, "code_id", "cv")), "s")
+      .select(col("probe_id"), (col("s") * kw + col("code_id")).as("pos"), subD2("pv", "cv", subDim).as("d2"))
+      .groupBy(col("probe_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("d2")))), e => e("d2")).as("dt"))
+      .localCheckpoint()
+
+  /** The ADC distance: m table lookups summed — a pure projection
+    * over (code_0..code_{m-1}, dt).
+    */
+  private def adcExpr(m: Int, kw: Int): Column =
+    (0 until m)
+      .map(s => element_at(col("dt"), (col(s"code_$s") + lit(s * kw) + lit(1)).cast("int")))
+      .reduce(_ + _)
+
+  // --- IVF + PQ (round 9): the FAISS IndexIVFPQ composition
+  // (by_residual=false variant — codes quantize the vectors
+  // themselves, one shared codebook across cells, the standard
+  // speed-oriented FAISS option): a coarse Voronoi partition bounds
+  // WHICH vectors a probe scores (q107's DPP-pruned cell directories)
+  // and PQ codes bound HOW MUCH each scored vector costs (q123's
+  // table lookups). The probe reads nprobe/nCells of the codes — and
+  // the codes are m bytes-ish per vector, so the scan term shrinks on
+  // BOTH axes. An exact integer re-rank of the ADC shortlist
+  // (rerank ≫ topK candidates) then removes the quantization error
+  // from the final ranking — the FAISS refine stage.
+
+  /** The coarse centroids, collected driver-side: nCells·dims longs —
+    * dim-table-sized at any corpus scale. Deterministic (first-nCells
+    * convention shared with q50/q107), so build, append, and probe
+    * can never disagree on the partition.
+    */
+  def collectCentroids(q: DataFrame, nCells: Int): Seq[(Long, Seq[Long])] = {
+    val cents = q
+      .filter(col("vec_id") < nCells)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+      .toSeq
+    require(
+      cents.size == nCells,
+      s"IVF coarse seeding expects vec_ids 0..${nCells - 1} present post-quantization; got ${cents.size}"
+    )
+    cents
+  }
+
+  /** Exact integer L2² against a LITERAL centroid — a pure scan-side
+    * Column tree (the centroids are driver-collected, so cell
+    * assignment needs zero joins and zero shuffles at build AND probe
+    * time).
+    */
+  private def dist2Lit(qa: Column, ca: Seq[Long]): Column =
+    ca.zipWithIndex
+      .map { case (c, i) =>
+        val d = element_at(qa, i + 1) - c
+        d * d
+      }
+      .reduce(_ + _)
+
+  /** argmin cell id over the literal centroids: a least() fold over
+    * (d2, cid) structs — ties to the smallest cid, bit-deterministic.
+    */
+  def cellExpr(cents: Seq[(Long, Seq[Long])], qa: Column): Column =
+    least(cents.map { case (cid, ca) => struct(dist2Lit(qa, ca).as("d2"), lit(cid).as("cid")) }: _*)
+      .getField("cid")
+
+  /** Build the persisted IVF+PQ index: PQ codes partitioned into one
+    * directory per coarse cell — the cell id rides the encode's
+    * winners aggregate as a carried column, so the build is pqEncode's
+    * ONE shuffle plus the partitioned write; no join back to the
+    * corpus.
+    */
+  def writeIvfPqIndex(q: DataFrame, nCells: Int, m: Int, subDim: Int, kw: Int, path: String): Unit = {
+    val cents = collectCentroids(q, nCells)
+    val withCell = q.withColumn("cell", cellExpr(cents, col("qa")))
+    val codes = pqEncodeWith(withCell, q.filter(col("vec_id") < kw), m, subDim, carry = Seq("cell"))
+      .drop("recon_d2")
+    graft.sources.Formats.writePartitioned(codes, path, Seq("cell"))
+  }
+
+  /** The probe tail shared by the persisted and in-memory paths:
+    * probe cells from a scan-side sorted literal fold (no window, no
+    * shuffle), DPP-prunable broadcast join onto the codes, ADC as a
+    * projection, ONE bounded-heap shortlist aggregate per probe
+    * (rerank candidates), then the exact integer re-rank: the
+    * shortlist (probes·rerank rows) broadcasts back onto the corpus
+    * scan for true d2 and a candidate-sized rank window picks topK.
+    */
+  private def ivfPqRank(
+      codes: DataFrame,
+      q: DataFrame,
+      probes: DataFrame,
+      cents: Seq[(Long, Seq[Long])],
+      m: Int,
+      subDim: Int,
+      kw: Int,
+      nprobe: Int,
+      rerank: Int,
+      topK: Int,
+      dims: Int
+  ): DataFrame = {
+    require(nprobe > 0 && rerank >= topK && topK > 0, s"bad IVFPQ probe: nprobe=$nprobe rerank=$rerank topK=$topK")
+    GraftFunctions.ensureRegistered(q.sparkSession)
+    val cellCands = array(cents.map { case (cid, ca) =>
+      struct(dist2Lit(col("qa"), ca).as("d2"), lit(cid).as("cid"))
+    }: _*)
+    // probes·nprobe rows — the DPP build side. NOT checkpointed: the
+    // DynamicPartitionPruning rule only prunes when the build side
+    // carries a selective predicate, and a lineage cut would replace
+    // the probes filter with a bare ExistingRDD scan (no Filter node,
+    // no pruning — the codes read would scan every cell directory)
+    val probeCells = probes
+      .select(col("vec_id").as("probe_id"), explode(slice(array_sort(cellCands), 1, nprobe)).as("pc"))
+      .select(col("probe_id"), col("pc.cid").as("cell"))
+    val dt = pqDistTables(probes, q.filter(col("vec_id") < kw), m, subDim, kw)
+    val shortlist = codes
+      .join(broadcast(probeCells), "cell")
+      .join(broadcast(dt), "probe_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), adcExpr(m, kw).as("adc_d2"))
+      .groupBy(col("probe_id"))
+      .agg(GraftFunctions.topk(col("adc_d2").cast("double"), col("vec_id"), rerank).as("ids"))
+      .select(col("probe_id"), explode(col("ids")).as("neighbor_id"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("exact_d2").asc, col("neighbor_id").asc)
+    q.select(col("vec_id").as("neighbor_id"), col("qa").as("nqa"))
+      .join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"), col("qa").as("pqa"))), "probe_id")
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        graft.operators.KMeans.dist2(col("nqa"), col("pqa"), dims).as("exact_d2")
+      )
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("exact_d2"))
+  }
+
+  /** IVF+PQ over the persisted index. */
+  def ivfPqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      q: DataFrame,
+      probes: DataFrame,
+      nCells: Int,
+      m: Int,
+      subDim: Int,
+      kw: Int,
+      nprobe: Int,
+      rerank: Int,
+      topK: Int,
+      dims: Int
+  ): DataFrame =
+    ivfPqRank(
+      spark.read.parquet(path),
+      q,
+      probes,
+      collectCentroids(q, nCells),
+      m,
+      subDim,
+      kw,
+      nprobe,
+      rerank,
+      topK,
+      dims
+    )
+
+  /** The index-free twin — same logical query, codes built in-memory.
+    * DedupSimSpec asserts the persisted path is byte-equal to this.
+    */
+  def ivfPqTopK(
+      q: DataFrame,
+      probes: DataFrame,
+      nCells: Int,
+      m: Int,
+      subDim: Int,
+      kw: Int,
+      nprobe: Int,
+      rerank: Int,
+      topK: Int,
+      dims: Int
+  ): DataFrame = {
+    val cents = collectCentroids(q, nCells)
+    val codes = pqEncodeWith(
+      q.withColumn("cell", cellExpr(cents, col("qa"))),
+      q.filter(col("vec_id") < kw),
+      m,
+      subDim,
+      carry = Seq("cell")
+    ).drop("recon_d2").localCheckpoint()
+    ivfPqRank(codes, q, probes, cents, m, subDim, kw, nprobe, rerank, topK, dims)
   }
 }

@@ -351,6 +351,40 @@ class DedupSimSpec extends AnyFunSuite {
     assert(appended == viaIndex, "append-then-probe diverged from the one-shot index")
   }
 
+  test("q125: persisted IVF+PQ equals the index-free twin, prunes cells dynamically, ranks via the heap") {
+    import graft.operators.KMeans
+    import graft.queries.DedupSimQueries.{AnnK, Dims, IvfPqCells, IvfPqIndexPath, IvfPqNprobe, IvfPqRerank, PqCodewords, PqSubDim, PqSubspaces}
+    import graft.sim.Similarity
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the persisted cell layout must be answer-invisible (this run
+    // also builds the index the probes below read)
+    val viaIndex = rows(SparkEntry.queries("q125_ivfpq_topk")(spark, sf))
+    val q = KMeans.quantizeShifted(graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val probes = q.filter(col("vec_id") < 5)
+    val direct = rows(
+      Similarity.ivfPqTopK(q, probes, IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, IvfPqNprobe, IvfPqRerank, AnnK, Dims)
+    )
+    assert(viaIndex == direct, "index path diverged from the in-memory IVF+PQ")
+    // plan shape: the codes read is DPP-pruned to the probed cells,
+    // and the shortlist is the bounded-heap aggregate (no window over
+    // the scored corpus — the only WindowExec input is candidate-sized)
+    val probed = Similarity.ivfPqTopKFromIndex(
+      spark, IvfPqIndexPath, q, probes, IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, IvfPqNprobe, IvfPqRerank, AnnK, Dims)
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no dynamic partition pruning on the codes scan:\n$plan")
+    assert(plan.contains("graft_topk"), s"ADC shortlist is not the bounded-heap aggregate:\n$plan")
+    // the exact re-rank really is exact: every returned distance
+    // matches a brute-force integer d2 on the quantized vectors
+    val qa = q.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    viaIndex.foreach { case (p, _, n, d) =>
+      val brute = qa(p).zip(qa(n)).map { case (a, b) => val x = a - b; x * x }.sum
+      assert(d == brute, s"probe $p neighbor $n: exact_d2 $d != brute $brute")
+    }
+  }
+
   test("q108: containment estimates are direction-aware for a planted truncation pair") {
     import graft.dedup.Dedup
     import graft.functions.GraftFunctions

@@ -159,4 +159,110 @@ class GeoTextSpec extends AnyFunSuite {
     assert(out.filter(col("total_area") <= 0).count() == 0)
     out.unpersist()
   }
+
+  test("q124: edge-cancellation dissolve equals a driver-side union reference") {
+    val cells = graft.sources.Tables
+      .customer(spark, sf)
+      .select(
+        (col("c_custkey") % 97).as("geoid"),
+        ((col("c_custkey") * 7919) % 12).as("gx"),
+        ((col("c_custkey") * 104729) % 8).as("gy")
+      )
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1)
+      .map { case (g, rs) => g -> rs.map(_._2).toSet }
+    val expected = cells.map { case (g, cs) =>
+      // each 10×10 cell contributes 4 canonical edges; interior edges
+      // are the ones two cells share
+      val edgeCount = scala.collection.mutable.Map.empty[(Long, Long, Long, Long), Int].withDefaultValue(0)
+      cs.foreach { case (gx, gy) =>
+        val (x0, y0) = (gx * 10, gy * 10)
+        Seq(
+          (x0, y0, x0 + 10, y0),
+          (x0 + 10, y0, x0 + 10, y0 + 10),
+          (x0, y0 + 10, x0 + 10, y0 + 10),
+          (x0, y0, x0, y0 + 10)
+        ).foreach(e => edgeCount(e) += 1)
+      }
+      val boundary = edgeCount.filter(_._2 == 1).keys.toSeq
+      val nB = boundary.size.toLong
+      val nI = edgeCount.values.count(_ == 2).toLong
+      val bbX = boundary.flatMap(e => Seq(e._1, e._3))
+      val bbY = boundary.flatMap(e => Seq(e._2, e._4))
+      g -> ((cs.size.toLong, 200L * cs.size, nB, nI, 10L * nB, bbX.min, bbY.min, bbX.max, bbY.max))
+    }
+    val got = SparkEntry
+      .queries("q124_polygon_dissolve")(spark, sf)
+      .collect()
+      .map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))
+      }
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (g, e) => assert(got(g) == e, s"geoid $g: ${got(g)} != $e") }
+  }
+
+  test("dissolve raises loudly when parts overlap (the planar-partition contract)") {
+    import graft.geo.Dissolve
+    def square(x0: Long, y0: Long) = Seq(
+      (x0, y0), (x0 + 10, y0), (x0 + 10, y0 + 10), (x0, y0 + 10)
+    )
+    def partsDf(parts: Seq[Seq[(Long, Long)]]) = {
+      val rows = parts.zipWithIndex.map { case (vs, i) => (1L, i.toLong, vs) }
+      rows
+        .toDF("geoid", "part", "vs")
+        .select(
+          col("geoid"),
+          expr("transform(vs, v -> struct(v._1 AS x, v._2 AS y))").as("ring")
+        )
+    }
+    // duplicated part: shared edges run the SAME direction, cross
+    // terms don't cancel — must raise, not report a doubled area
+    val dup = intercept[Exception] {
+      Dissolve.dissolve(partsDf(Seq(square(0, 0), square(0, 0))), "geoid", "ring").collect()
+    }
+    assert(dup.getMessage.contains("planar partition"), dup.getMessage)
+    // a valid 2-cell partition on the same frame builder passes and
+    // cancels exactly one shared edge
+    val ok = Dissolve
+      .dissolve(partsDf(Seq(square(0, 0), square(10, 0))), "geoid", "ring")
+      .collect()
+      .head
+    assert(ok.getLong(1) == 400L, "union area2")
+    assert(ok.getLong(2) == 6L && ok.getLong(3) == 1L, "6 boundary + 1 cancelled interior edge")
+  }
+
+  test("q124 dissolve agrees with q88's envelope merge on the same cells (the real-geometry upgrade)") {
+    val k = col("c_custkey")
+    val cellEnvs = graft.sources.Tables
+      .customer(spark, sf)
+      .select((k % 97).as("geoid"), ((k * 7919) % 12).as("gx"), ((k * 104729) % 8).as("gy"))
+      .dropDuplicates("geoid", "gx", "gy")
+      .select(
+        col("geoid"),
+        (col("gy") * 10).as("latLo"),
+        (col("gy") * 10 + 10).as("latHi"),
+        (col("gx") * 10).as("lonLo"),
+        (col("gx") * 10 + 10).as("lonHi"),
+        lit(100L).as("area"),
+        (col("gx") * 8 + col("gy")).as("partId")
+      )
+    val env = graft.etl.CollisionMerge
+      .mergeEnvelopes(cellEnvs, "geoid")
+      .select("geoid", "n_parts", "u_lat_lo", "u_lat_hi", "u_lon_lo", "u_lon_hi", "total_area")
+    val dis = SparkEntry.queries("q124_polygon_dissolve")(spark, sf)
+    // the dissolve's true-boundary bbox IS the envelope hull, its
+    // doubled union area is twice the summed part area (disjoint
+    // cells), and both see the same part count
+    val disagree = dis
+      .join(env, "geoid")
+      .filter(
+        col("bb_x_lo") =!= col("u_lon_lo") || col("bb_x_hi") =!= col("u_lon_hi") ||
+          col("bb_y_lo") =!= col("u_lat_lo") || col("bb_y_hi") =!= col("u_lat_hi") ||
+          col("area2") =!= col("total_area") * 2 || dis("n_parts") =!= env("n_parts")
+      )
+    assert(disagree.count() == 0, "dissolve and envelope merge disagree")
+  }
 }

@@ -94,6 +94,41 @@ class KMeansSpec extends AnyFunSuite {
     assert(got.forall { case (_, codes, _) => codes.forall(c => c >= 0 && c < PqCodewords) })
   }
 
+  /** The composability contract q119's scaladoc claims: Lloyd-refined
+    * centroids drop into PQ as trained codebooks. Verified against a
+    * driver-side argmin under the same integer contract — the
+    * refined-codebook encoding must be exactly what the collected
+    * centroids dictate, bit-for-bit.
+    */
+  test("q119 refined centroids feed pqEncodeWith as trained codebooks") {
+    import org.apache.spark.sql.functions.col
+    import graft.sim.Similarity
+    val qdf = KMeans.quantizeShifted(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val centsDf = KMeans.refineCentroids(qdf, KmeansK, KmeansIters, Dims)
+    val got = Similarity
+      .pqEncodeWith(qdf, centsDf.select(col("cid").as("vec_id"), col("ca").as("qa")), PqSubspaces, PqSubDim)
+      .collect()
+      .map { r =>
+        (r.getLong(0), (1 to PqSubspaces).map(i => r.getLong(i)).toVector, r.getLong(PqSubspaces + 1))
+      }
+      .toSet
+
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L)((acc, i) => { val d = a(i) - b(i); acc + d * d })
+    def sub(v: Array[Long], s: Int): Array[Long] =
+      v.slice(s * PqSubDim, s * PqSubDim + PqSubDim)
+    val q = qdf.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val cents = centsDf.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    assert(cents.length == KmeansK)
+    val expected = q.map { case (id, v) =>
+      val winners = (0 until PqSubspaces).map { s =>
+        cents.map { case (cid, cv) => (d2(sub(v, s), sub(cv, s)), cid) }.min
+      }
+      (id, winners.map(_._2).toVector, winners.map(_._1).sum)
+    }.toSet
+    assert(got == expected, s"diverges: missing=${expected -- got} extra=${got -- expected}")
+  }
+
   /** q123: the distributed ADC scan must equal a driver-side reference
     * that encodes every vector, builds each probe's distance table,
     * and ranks by (adc_d2, vec_id) — including the table-lookup

@@ -297,10 +297,10 @@ class PlanSpec extends AnyFunSuite {
     // the one exchange is the pair-dedup distinct behind the
     // (broadcast) chunk join
     "q118_phash_neardup" -> 1,
-    // q119: the RETURNED plan is the final assignment — the global-
-    // scale SinglePartition agg + the argmin agg on vec_id; centroids
-    // broadcast; per-round work ran behind the K-row lineage cuts
-    "q119_kmeans_refine" -> 2,
+    // q119: the RETURNED plan is the final assignment — the argmin
+    // agg on vec_id; the global-scale 1-row agg and per-round work
+    // ran behind lineage cuts; centroids broadcast
+    "q119_kmeans_refine" -> 1,
     // q120: the one corpus-sized agg ran behind the bucket-frame
     // checkpoint; med/mad are broadcast 1-row literals
     "q120_rate_spike" -> 0,
@@ -311,7 +311,26 @@ class PlanSpec extends AnyFunSuite {
     // q102: the final group agg + the bloom subquery's SinglePartition
     // exchange (counted once across its reference sites — it executes
     // once); the semi-join broadcasts
-    "q102_bloom_semi_join" -> 2
+    "q102_bloom_semi_join" -> 2,
+    // q122: ONE groupBy(vec_id) aggregate elects all m subspace
+    // winners; the codebook frame broadcasts against the subvector
+    // explode; the global quantization scale ran behind its 1-row
+    // lineage cut
+    "q122_pq_encode" -> 1,
+    // q123: ONE bounded-heap topk agg per probe over the ADC
+    // projection; the distance tables and the winner set broadcast;
+    // the codes frame (the persisted index artifact) and the global
+    // scale ran behind lineage cuts
+    "q123_pq_adc_topk" -> 1,
+    // q124: the distinct-cells dedup, the (geoid, edge) count/sum
+    // agg, and the per-geoid union agg — no joins, no windows, no
+    // broadcasts; n_parts is a projection over edge incidences
+    "q124_polygon_dissolve" -> 3,
+    // q125: ONE bounded-heap shortlist agg per probe over the
+    // DPP-pruned codes read + the candidate-sized re-rank window;
+    // cells/tables/shortlist all broadcast; the index build and the
+    // global scale ran off-plan (write + lineage cuts)
+    "q125_ivfpq_topk" -> 2
   )
 
   test("no operator exceeds its shuffle budget") {

@@ -228,10 +228,12 @@ class TrainingSpec extends AnyFunSuite {
     val classes = rows.keySet.map(_._2)
     val (tgtA, tgtB) = (total * WeightScale / sources.size, total * WeightScale / classes.size)
     for (_ <- 1 to IpfRounds) {
+      // max(1, ·) mirrors the engine's ≥1 bp clamp (Ipf.scala step —
+      // keeps marginals positive under extreme imbalance)
       val margA = sources.toSeq.map(sr => sr -> rows.keys.toSeq.filter(_._1 == sr).map(k => n(k) * w(k)).sum).toMap
-      w = w.map { case (k, wv) => k -> wv * tgtA / margA(k._1) }
+      w = w.map { case (k, wv) => k -> math.max(1L, wv * tgtA / margA(k._1)) }
       val margB = classes.toSeq.map(c => c -> rows.keys.toSeq.filter(_._2 == c).map(k => n(k) * w(k)).sum).toMap
-      w = w.map { case (k, wv) => k -> wv * tgtB / margB(k._2) }
+      w = w.map { case (k, wv) => k -> math.max(1L, wv * tgtB / margB(k._2)) }
     }
     rows.foreach { case (k, (_, got)) => assert(got == w(k), s"cell $k: $got != ${w(k)}") }
     // the LAST-fitted dimension (the class step) is exact up to floor
