@@ -100,7 +100,8 @@ object Bench {
       "q87_bucketed_index_dedup",
       "q104_pagerank_delta",
       "q107_ann_ivf_index",
-      "q117_bm25_index"
+      "q117_bm25_index",
+      "q125_ivfpq_topk"
     ).filter(timings.contains)
     val ib = indexBuilders.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
     // field order is deliberate: the driver stores only the LAST 2000

@@ -32,7 +32,33 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
+  /** Events with `ts` normalized to BIGINT nanoseconds since epoch —
+    * the single timestamp convention every event operator computes in.
+    * Generators have shipped the column as INT64 nanos, parquet
+    * TIMESTAMP(NANOS) (read as long via `nanosAsLong`) and parquet
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ); all three land here as
+    * the same exact integer. The NTZ→LTZ cast is wall-clock-exact
+    * because every graft session pins spark.sql.session.timeZone=UTC
+    * (GraftSession), matching the oracle's epoch_us/epoch_ns reading
+    * of naive timestamps.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _: org.apache.spark.sql.types.TimestampNTZType | _: org.apache.spark.sql.types.TimestampType =>
+        raw.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts").cast("timestamp")
+          ) * 1000L
+        )
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts must be INT64 nanos or a parquet timestamp; got $other"
+        )
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 }
