@@ -36,6 +36,11 @@ object DedupSimQueries {
   val IvfCells = 16
   val IvfNprobe = 2
 
+  // q126: duplicated-substring window length (tokens). 8 is small
+  // enough to catch real boilerplate at test scale; production exact
+  // dedup uses ~50-token windows — only this constant changes.
+  val SubstrGramLen = 8
+
   // Shingles with df > 50 are dropped before any self-join (scale
   // guard against hot-key quadratic joins; at the test scales max df
   // is 9, so results are unchanged — the oracle mirrors the cap).
@@ -497,6 +502,91 @@ object DedupSimQueries {
             element_at(col("cms"), (cmsIdx(d, col("hp")) + lit(d * CmsWidth) + 1).cast("int"))
           }: _*).as("est")
         )
+    },
+
+    // q129: SemDeDup — semantic dedup by cluster-then-prune (the
+    // embedding-space dedup of Abbas et al. 2023): q119's k-means
+    // bounds WHICH pairs are compared (within-cluster only — at scale
+    // k grows with N so clusters stay bounded; the declared SemDeDup
+    // contract), then a vector is dropped when an earlier same-cluster
+    // vector is τ-similar on the centered quantized cosine — exact
+    // BIGINT compare (25·dot² ≥ 4·|a|²·|b|², dot>0), deterministic
+    // keep-lowest-id rule, mirrored from first principles in the
+    // oracle.
+    "q129_semantic_dedup" -> { (s, dir) =>
+      val q = KMeans.quantizeShifted(Tables.embeddings(s, dir), "vec_id", "embedding")
+      val centered = (c: String, i: Int) => element_at(col(c), i) - KMeans.Shift
+      val asg = KMeans
+        .refine(q, KmeansK, KmeansIters, Dims)
+        .join(q, Seq("vec_id"))
+        .withColumn("n2", (1 to Dims).map(i => centered("qa", i) * centered("qa", i)).reduce(_ + _))
+      val a = asg.select(col("cluster"), col("vec_id").as("ia"), col("qa").as("va"), col("n2").as("na2"))
+      val b = asg.select(col("cluster"), col("vec_id").as("ib"), col("qa").as("vb"), col("n2").as("nb2"))
+      val dot = (1 to Dims).map(i => centered("va", i) * centered("vb", i)).reduce(_ + _)
+      val dropped = a
+        .join(b, Seq("cluster"))
+        .filter(col("ia") < col("ib"))
+        .withColumn("dt", dot)
+        .filter(
+          col("dt") > 0 &&
+            lit(SemDedupTauDen * SemDedupTauDen) * col("dt") * col("dt") >=
+              lit(SemDedupTauNum * SemDedupTauNum) * col("na2") * col("nb2")
+        )
+        .select(col("ib").as("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", lit(true))
+      asg
+        .select(col("vec_id"), col("cluster"))
+        .join(dropped, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("cluster"), coalesce(!col("is_dropped"), lit(true)).as("kept"))
+    },
+
+    // q128: ANN recall@k evaluation — the harness that certifies an
+    // approximate index before a pipeline trusts it (FAISS's
+    // recall-at-k eval shape). Ground truth = q35's exact brute-force
+    // top-k, candidate = q50's IVF top-k; recall = |approx ∩ exact|/k
+    // per probe. The intersection is an integer equi-join on
+    // (probe_id, neighbor_id) — k·probes rows a side, so the eval
+    // costs what the two searches cost, plus nothing. Both inputs are
+    // deterministic (no RNG), so the oracle reproduces both searches
+    // and the intersection exactly.
+    "q128_ann_recall" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = embDouble(s, dir)
+      val probes = e.filter(col("vec_id") < 5)
+      // both top-k results are k·probes rows — broadcast the compare
+      // side so the intersection and the final stitch add ZERO
+      // exchanges beyond the searches' own plans
+      val exact = Similarity.bruteForceTopK(e, probes, AnnK).localCheckpoint()
+      val approx = Similarity.ivfTopK(e, probes, AnnK, IvfCells, IvfNprobe)
+      val hits = exact
+        .select(col("probe_id"), col("neighbor_id"))
+        .join(broadcast(approx.select(col("probe_id"), col("neighbor_id"))), Seq("probe_id", "neighbor_id"))
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      exact
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_exact"))
+        .join(broadcast(hits), Seq("probe_id"), "left_outer")
+        .select(
+          col("probe_id"),
+          col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / AnnK, 4).as("recall")
+        )
+    },
+
+    // q126: exact duplicated-substring coverage (Dedup
+    // .substringDupStats — the Lee et al. 2022 span-level exact dedup
+    // next to q30's whole-doc and q89's segment-level granularity):
+    // any 8-token window occurring more than once corpus-wide marks
+    // its positions; overlapping windows merge into spans by an exact
+    // per-doc integer fold. Never pair-generating — the mark join
+    // yields at most one row per token position, so a billion-fold
+    // boilerplate window stays linear (no df-cap needed, unlike the
+    // shingle self-join family).
+    "q126_substring_dedup" -> { (s, dir) =>
+      Dedup.substringDupStats(Tables.documents(s, dir), "doc_id", "text", SubstrGramLen)
     }
   )
 
@@ -531,6 +621,12 @@ object DedupSimQueries {
   // the oracle an exact unrolled twin, q97-style).
   val KmeansK = 8
   val KmeansIters = 3
+
+  // q129: SemDeDup drop threshold τ = 2/5 on the centered quantized
+  // cosine — compared as den²·dot² ≥ num²·|a|²·|b|² with dot > 0, so
+  // the decision is exact BIGINT (no sqrt, no doubles).
+  val SemDedupTauNum = 2
+  val SemDedupTauDen = 5
 
   // q122: PQ geometry — 64 dims as 8 subspaces × 8 dims, 16 codewords
   // per subspace (codes fit a nibble each; 64 floats → 8 small ints).
@@ -874,6 +970,38 @@ object DedupSimQueries {
        |FROM a${KmeansIters + 1} WHERE rn = 1""".stripMargin
   }
 
+  /** q129 oracle: q119's final cluster assignment (nested verbatim as
+    * a derived table, re-joined to the quantize CTE for the vectors),
+    * then the SemDeDup drop rule from first principles: centered
+    * integer dot/norms per pair within a cluster, τ=2/5 compared as
+    * 25·dot² ≥ 4·|a|²·|b|² with dot > 0 — all-BIGINT exact.
+    */
+  private lazy val q129Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE len(embedding) > 0
+       |             AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)),
+       |gs AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
+       |q AS (SELECT vec_id,
+       |             CASE WHEN s = 0 THEN list_transform(v, x -> CAST(${KMeans.Shift} AS BIGINT))
+       |                  ELSE list_transform(v, x -> CAST(round(127 * x / s) AS BIGINT) + ${KMeans.Shift})
+       |             END AS qa
+       |      FROM e CROSS JOIN gs),
+       |asg AS (SELECT a.vec_id, a.cluster, q.qa,
+       |               CAST(list_sum(list_transform(q.qa, x -> (x - ${KMeans.Shift}) * (x - ${KMeans.Shift}))) AS BIGINT) AS n2
+       |        FROM ($q119Sql) a JOIN q USING (vec_id)),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |            FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |            WHERE CAST(list_sum(list_transform(list_zip(a.qa, b.qa),
+       |                    z -> (z[1] - ${KMeans.Shift}) * (z[2] - ${KMeans.Shift}))) AS BIGINT) > 0
+       |              AND ${SemDedupTauDen * SemDedupTauDen} *
+       |                  CAST(list_sum(list_transform(list_zip(a.qa, b.qa),
+       |                    z -> (z[1] - ${KMeans.Shift}) * (z[2] - ${KMeans.Shift}))) AS BIGINT) *
+       |                  CAST(list_sum(list_transform(list_zip(a.qa, b.qa),
+       |                    z -> (z[1] - ${KMeans.Shift}) * (z[2] - ${KMeans.Shift}))) AS BIGINT)
+       |                  >= ${SemDedupTauNum * SemDedupTauNum} * a.n2 * b.n2)
+       |SELECT asg.vec_id, asg.cluster, (d.vec_id IS NULL) AS kept
+       |FROM asg LEFT JOIN dropped d ON d.vec_id = asg.vec_id""".stripMargin
+
   /** q122 oracle: the same quantize CTE as q119, subvector slicing via
     * 1-based inclusive list ranges, per-(vec, subspace) argmin by
     * row_number, winners pivoted back to code columns in one group.
@@ -1165,19 +1293,21 @@ object DedupSimQueries {
     // changes the physical read, never the candidate set or ranking
     "q107_ann_ivf_index" -> q50Sql,
     "q50_ann_ivf" -> q50Sql,
-    "q35_ann_bruteforce" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) norm FROM e),
-         |p AS (SELECT vec_id probe_id, v pv, norm pnorm FROM n WHERE vec_id < 5),
-         |c AS (SELECT probe_id, vec_id,
-         |             ${dot("v", "pv")} / (norm * pnorm) cosine
-         |      FROM n CROSS JOIN p WHERE vec_id != probe_id),
-         |r AS (SELECT probe_id, vec_id, cosine,
-         |             row_number() OVER (PARTITION BY probe_id
-         |                                ORDER BY cosine DESC, vec_id ASC) rk
-         |      FROM c)
-         |SELECT probe_id, rk AS rank, vec_id AS neighbor_id, round(cosine, 4) AS cosine
-         |FROM r WHERE rk <= $AnnK""".stripMargin,
+    "q35_ann_bruteforce" -> q35Sql,
+    // q128 oracle: the q35 and q50 oracles verbatim as nested-WITH
+    // derived tables, intersected on (probe_id, neighbor_id) — the
+    // recall definition, computed from first principles on both sides.
+    "q128_ann_recall" ->
+      s"""WITH x AS ($q35Sql),
+         |a AS ($q50Sql),
+         |h AS (SELECT x.probe_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM x JOIN a ON a.probe_id = x.probe_id AND a.neighbor_id = x.neighbor_id
+         |      GROUP BY x.probe_id),
+         |nx AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact FROM x GROUP BY probe_id)
+         |SELECT nx.probe_id, nx.n_exact,
+         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $AnnK, 4) AS recall
+         |FROM nx LEFT JOIN h USING (probe_id)""".stripMargin,
     "q100_tfidf_pairs" ->
       s"""WITH toks AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
          |              FROM documents),
@@ -1197,8 +1327,49 @@ object DedupSimQueries {
          |JOIN nrm na ON na.id = dots.id_a
          |JOIN nrm nb ON nb.id = dots.id_b
          |WHERE round(dot / (na.nrm * nb.nrm), 4) >= $TfidfCosThreshold""".stripMargin,
-    "q101_cms_est" -> q101Sql
+    "q101_cms_est" -> q101Sql,
+    "q129_semantic_dedup" -> q129Sql,
+    // q126 oracle: windows + positions via correlated unnest, the same
+    // strhash2 twin as the MinHash family, and span coverage by
+    // exploding each marked window to its k covered indices and
+    // DISTINCT-counting — a different (quadratic-in-k but obviously
+    // correct) formulation of the same union size the Scala fold
+    // computes.
+    "q126_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}') AS tk
+         |           FROM documents),
+         |b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk FROM t),
+         |g0 AS (SELECT doc_id,
+         |              unnest(list_transform(range(1, CAST(n_tokens AS INT) - $SubstrGramLen + 2),
+         |                     i -> struct_pack(pos := i, s := array_to_string(tk[i:i+${SubstrGramLen - 1}], ' ')))) AS g
+         |       FROM b WHERE n_tokens >= $SubstrGramLen),
+         |g AS (SELECT doc_id, g.pos AS pos, ${strhash2Sql("(g.s)")} AS h FROM g0),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+         |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+         |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams FROM dp GROUP BY doc_id),
+         |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+         |        FROM (SELECT DISTINCT doc_id, pos + o AS idx
+         |              FROM dp CROSS JOIN (SELECT unnest(range(0, $SubstrGramLen)) AS o))
+         |        GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |       CAST(coalesce(ng.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+         |       CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens
+         |FROM b LEFT JOIN ng USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin
   )
+
+  private lazy val q35Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) norm FROM e),
+       |p AS (SELECT vec_id probe_id, v pv, norm pnorm FROM n WHERE vec_id < 5),
+       |c AS (SELECT probe_id, vec_id,
+       |             ${dot("v", "pv")} / (norm * pnorm) cosine
+       |      FROM n CROSS JOIN p WHERE vec_id != probe_id),
+       |r AS (SELECT probe_id, vec_id, cosine,
+       |             row_number() OVER (PARTITION BY probe_id
+       |                                ORDER BY cosine DESC, vec_id ASC) rk
+       |      FROM c)
+       |SELECT probe_id, rk AS rank, vec_id AS neighbor_id, round(cosine, 4) AS cosine
+       |FROM r WHERE rk <= $AnnK""".stripMargin
 
   private lazy val q50Sql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

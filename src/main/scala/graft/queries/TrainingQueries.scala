@@ -982,8 +982,25 @@ object TrainingQueries {
           when(col("n") > 1 && varNum > 0, round(z, 4)).as("z"),
           when(col("n") > 1 && varNum > 0, abs(round(z, 4)) > ZOutlier).as("len_outlier")
         )
+    },
+
+    // q127: TRAIN the quality filter q112 only scores — fixed-point
+    // hard-sigmoid logistic regression (operators/LogReg) over the
+    // same five integer features, labeled lang='en'. Per round the
+    // corpus contributes ONE map-side-combinable gradient aggregate
+    // (count + err·x sums → a single row); the weight state is a
+    // 1-row broadcast, checkpointed per round. The learned
+    // (feature, w_bp) rows feed LinearModel.scoreBp directly
+    // (composability proven in TrainingSpec).
+    "q127_quality_train" -> { (s, dir) =>
+      val f = qualityModelScores(Tables.documents(s, dir), Seq("lang"))
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+      graft.operators.LogReg.trainHardSigmoid(f, QualityWeightsBp.map(_._1), "y", QualityTrainRounds)
     }
   )
+
+  /** q127: gradient-descent rounds (unrolled identically in the oracle). */
+  val QualityTrainRounds = 3
 
   /** q105: number of equal doc_id-range buckets in the growth curve. */
   val VocabGrowthBuckets = 10
@@ -1406,6 +1423,47 @@ object TrainingQueries {
          |       CASE WHEN n > 1 AND var_num > 0
          |            THEN abs(round(CAST(n * n_chars - s1 AS DOUBLE) / (CAST(n AS DOUBLE) * sd), 4)) > $ZOutlier
          |       END AS len_outlier
-         |FROM j""".stripMargin
+         |FROM j""".stripMargin,
+    "q127_quality_train" -> q127Sql
   )
+
+  /** q127 oracle: the q112 feature CTE plus the lang='en' label, then
+    * QualityTrainRounds of (hard-sigmoid error, gradient aggregate,
+    * weight update) unrolled as chained 1-row CTEs — the q97/q119/q121
+    * loop-unroll pattern. All-BIGINT: DuckDB `//` and Spark `div` both
+    * truncate toward zero (verified for negative operands), so the
+    * gradient means and the learning-rate step agree bit-for-bit.
+    */
+  private lazy val q127Sql: String = {
+    val xs = QualityWeightsBp.map(_._1)
+    val zExpr = xs.zipWithIndex.map { case (c, i) => s"w_$i * $c" }.mkString("b + ", " + ", "")
+    def roundCtes(r: Int): String = {
+      val prev = s"r${r - 1}"
+      s"""e$r AS (SELECT y, ${xs.mkString(", ")},
+         |        greatest(0, least(${graft.operators.LogReg.ProbScale},
+         |                          ${graft.operators.LogReg.ProbScale / 2} + ($zExpr) // ${graft.operators.LogReg.ZDiv}))
+         |          - ${graft.operators.LogReg.ProbScale} * y AS err
+         |        FROM f CROSS JOIN $prev),
+         |g$r AS (SELECT count(*) AS n, CAST(sum(err) AS BIGINT) AS g_b,
+         |        ${xs.indices.map(i => s"CAST(sum(err * ${xs(i)}) AS BIGINT) AS g_$i").mkString(", ")}
+         |        FROM e$r),
+         |r$r AS (SELECT b - (g_b // n) // ${graft.operators.LogReg.LrDiv} AS b,
+         |        ${xs.indices.map(i => s"w_$i - (g_$i // n) // ${graft.operators.LogReg.LrDiv} AS w_$i").mkString(", ")}
+         |        FROM g$r CROSS JOIN $prev)""".stripMargin
+    }
+    val unpivot = (s"SELECT 'bias' AS feature, b AS w_bp FROM r$QualityTrainRounds" +:
+      xs.zipWithIndex.map { case (c, i) =>
+        s"SELECT '$c' AS feature, w_$i AS w_bp FROM r$QualityTrainRounds"
+      }).mkString("\n|UNION ALL ")
+    s"""WITH f AS (SELECT CAST(least(n_chars, 400) AS BIGINT) AS len_capped,
+       |                  CAST(len(string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}')) AS BIGINT) AS n_tokens,
+       |                  CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is)\\b')) AS BIGINT) AS stop_hits,
+       |                  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_hits,
+       |                  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_hits,
+       |                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |           FROM documents),
+       |r0 AS (SELECT ${("CAST(0 AS BIGINT) AS b" +: xs.indices.map(i => s"CAST(0 AS BIGINT) AS w_$i")).mkString(", ")}),
+       |${(1 to QualityTrainRounds).map(roundCtes).mkString(",\n")}
+       |$unpivot""".stripMargin
+  }
 }

@@ -445,4 +445,101 @@ class DedupSimSpec extends AnyFunSuite {
       assert(dist * EditDistDenom <= maxLen, s"distance contract violated for ($a, $b)")
     }
   }
+
+  test("q126: substring coverage is exact on a hand-built corpus, bounded on the real one") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val k = 4 // small window so the hand computation stays readable
+    // doc 1 and 2 share the 4-token run w1..w4 (one window each);
+    // docs 3 and 4 are identical 6-token docs (windows at 1,2,3 merge
+    // into one span covering all 6 tokens); doc 5 is clean; doc 6 is
+    // too short for any window
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 a1 a2"),
+      (2L, "b1 w1 w2 w3 w4 b2"),
+      (3L, "c1 c2 c3 c4 c5 c6"),
+      (4L, "c1 c2 c3 c4 c5 c6"),
+      (5L, "d1 d2 d3 d4 d5 d6"),
+      (6L, "e1 e2")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .substringDupStats(docs, "doc_id", "text", k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((6L, 1L, 4L)), "shared head window must cover exactly k tokens")
+    assert(out(2L) == ((6L, 1L, 4L)), "shared mid window must cover exactly k tokens")
+    assert(out(3L) == ((6L, 3L, 6L)), "overlapping windows must merge into one full-doc span")
+    assert(out(4L) == ((6L, 3L, 6L)), "the duplicate twin gets the same span")
+    assert(out(5L) == ((6L, 0L, 0L)), "clean doc must report zero")
+    assert(out(6L) == ((2L, 0L, 0L)), "short doc must report zero, not vanish")
+    // real corpus: coverage is bounded by doc length and below by the
+    // single-window floor whenever any window is marked
+    import graft.queries.DedupSimQueries.SubstrGramLen
+    val corpus = SparkEntry.queries("q126_substring_dedup")(spark, sf).collect()
+    assert(corpus.forall(r => r.getLong(3) <= r.getLong(1)), "coverage exceeds doc length")
+    assert(
+      corpus.forall(r => r.getLong(2) == 0L || r.getLong(3) >= SubstrGramLen),
+      "a marked doc must cover at least one full window"
+    )
+  }
+
+  test("q128: reported recall equals the driver-side intersection of q35 and q50") {
+    def topSets(name: String): Map[Long, Set[Long]] =
+      SparkEntry
+        .queries(name)(spark, sf)
+        .select("probe_id", "neighbor_id")
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1)
+        .map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val exact = topSets("q35_ann_bruteforce")
+    val approx = topSets("q50_ann_ivf")
+    val reported = SparkEntry
+      .queries("q128_ann_recall")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(reported.keySet == exact.keySet, "every probe must be scored")
+    reported.foreach { case (p, (nExact, nHits)) =>
+      assert(nExact == exact(p).size.toLong, s"probe $p n_exact mismatch")
+      assert(nHits == (exact(p) & approx.getOrElse(p, Set.empty)).size.toLong, s"probe $p n_hits mismatch")
+    }
+  }
+
+  test("q129: kept flags equal a driver-side SemDeDup recomputation from clusters + quantized vectors") {
+    import graft.operators.KMeans
+    import graft.queries.DedupSimQueries.{Dims, KmeansIters, KmeansK, SemDedupTauDen, SemDedupTauNum}
+    val clusters = SparkEntry
+      .queries("q119_kmeans_refine")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val qa = KMeans
+      .quantizeShifted(graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_ - KMeans.Shift).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long = (0 until Dims).map(i => a(i) * b(i)).sum
+    val ids = clusters.keys.toSeq.sorted
+    val expectedDropped = ids.filter { ib =>
+      ids.exists { ia =>
+        ia < ib && clusters(ia) == clusters(ib) && {
+          val d = dot(qa(ia), qa(ib))
+          d > 0 && SemDedupTauDen.toLong * SemDedupTauDen * d * d >=
+            SemDedupTauNum.toLong * SemDedupTauNum * dot(qa(ia), qa(ia)) * dot(qa(ib), qa(ib))
+        }
+      }
+    }.toSet
+    val out = SparkEntry
+      .queries("q129_semantic_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.map(_._1).toSet == clusters.keySet, "every vector must be labeled")
+    out.foreach { case (v, c, kept) =>
+      assert(c == clusters(v), s"vec $v cluster mismatch")
+      assert(kept == !expectedDropped(v), s"vec $v kept flag mismatch")
+    }
+    assert(expectedDropped.nonEmpty, "the near-dup corpus must drop at least one vector")
+  }
 }

@@ -330,7 +330,25 @@ class PlanSpec extends AnyFunSuite {
     // DPP-pruned codes read + the candidate-sized re-rank window;
     // cells/tables/shortlist all broadcast; the index build and the
     // global scale ran off-plan (write + lineage cuts)
-    "q125_ivfpq_topk" -> 2
+    "q125_ivfpq_topk" -> 2,
+    // q126: window-hash occurrence agg + the per-doc span agg; the
+    // mark semi-join and the final doc stitch ride those exchanges
+    // (AQE broadcasts the dup-hash set at test SF)
+    "q126_substring_dedup" -> 2,
+    // q127: returned plan is an explode over the checkpointed 1-row
+    // weight state — the per-round gradient aggregates live behind
+    // the round checkpoints (the Ipf/KMeans budget convention)
+    "q127_quality_train" -> 0,
+    // q128: q50's IVF search runs un-checkpointed inside (6, its own
+    // budget) + the hit-count and exact-count aggregates (2); the
+    // brute-force side is checkpointed and both stitch joins
+    // broadcast k·probes-row frames
+    "q128_ann_recall" -> 8,
+    // q129: k-means final assignment (2 post-checkpoint: argmin agg +
+    // vector re-join) + pair join on cluster + dropped-set distinct
+    // (2) + the kept stitch; within-cluster pair frame never leaves
+    // the cluster key
+    "q129_semantic_dedup" -> 6
   )
 
   test("no operator exceeds its shuffle budget") {

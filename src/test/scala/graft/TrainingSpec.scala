@@ -542,4 +542,58 @@ class TrainingSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("q127: learned weights equal a driver-side integer replay, and feed LinearModel.scoreBp") {
+    import graft.operators.LogReg
+    import graft.queries.TrainingQueries.{QualityTrainRounds, QualityWeightsBp}
+    val xs = QualityWeightsBp.map(_._1)
+    val feats = graft.queries.TrainingQueries
+      .qualityModelScores(graft.sources.Tables.documents(spark, sf), Seq("lang"))
+      .collect()
+      .map { r =>
+        val y = if (r.getAs[String]("lang") == "en") 1L else 0L
+        (xs.map(c => r.getAs[Long](c)).toArray, y)
+      }
+    // the same hard-sigmoid gradient descent, replayed in plain Scala
+    // longs — truncating integer division throughout, like `div`
+    var b = 0L
+    val w = Array.fill(xs.size)(0L)
+    for (_ <- 1 to QualityTrainRounds) {
+      var gB = 0L
+      val g = Array.fill(xs.size)(0L)
+      feats.foreach { case (x, y) =>
+        val z = b + xs.indices.map(i => w(i) * x(i)).sum
+        val p = math.max(0L, math.min(LogReg.ProbScale, LogReg.ProbScale / 2 + z / LogReg.ZDiv))
+        val err = p - LogReg.ProbScale * y
+        gB += err
+        xs.indices.foreach(i => g(i) += err * x(i))
+      }
+      val n = feats.length
+      b -= gB / n / LogReg.LrDiv
+      xs.indices.foreach(i => w(i) -= g(i) / n / LogReg.LrDiv)
+    }
+    val learned = SparkEntry
+      .queries("q127_quality_train")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(learned("bias") == b, s"bias mismatch: ${learned("bias")} vs $b")
+    xs.zipWithIndex.foreach { case (c, i) =>
+      assert(learned(c) == w(i), s"weight $c mismatch: ${learned(c)} vs ${w(i)}")
+    }
+    assert(learned.values.exists(_ != 0L), "training must move at least one weight off zero")
+    // composability: the learned rows ARE a LinearModel — scoring with
+    // them must reproduce the replay's final linear term per doc
+    val scored = graft.queries.TrainingQueries
+      .qualityModelScores(graft.sources.Tables.documents(spark, sf))
+      .select(
+        graft.etl.LinearModel
+          .scoreBp(learned("bias"), xs.map(c => c -> learned(c)))
+          .as("s")
+      )
+      .collect()
+      .map(_.getLong(0))
+    val expected = feats.map { case (x, _) => b + xs.indices.map(i => w(i) * x(i)).sum }
+    assert(scored.sorted.toSeq == expected.sorted.toSeq, "LinearModel scoring with learned weights diverged")
+  }
 }
