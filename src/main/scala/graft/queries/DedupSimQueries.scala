@@ -587,6 +587,15 @@ object DedupSimQueries {
     // shingle self-join family).
     "q126_substring_dedup" -> { (s, dir) =>
       Dedup.substringDupStats(Tables.documents(s, dir), "doc_id", "text", SubstrGramLen)
+    },
+
+    // q130: the surgery q126 accounts for — remove every duplicated
+    // span, emit the cleaned document (Lee et al. 2022's actual
+    // output). Token-level anti-join against the covered index set,
+    // order-preserving reassembly; fully-duplicated docs come back
+    // empty rather than vanishing.
+    "q130_substring_clean" -> { (s, dir) =>
+      Dedup.substringClean(Tables.documents(s, dir), "doc_id", "text", SubstrGramLen)
     }
   )
 
@@ -1354,7 +1363,37 @@ object DedupSimQueries {
          |SELECT b.doc_id, b.n_tokens,
          |       CAST(coalesce(ng.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
          |       CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens
-         |FROM b LEFT JOIN ng USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin
+         |FROM b LEFT JOIN ng USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
+    // q130 oracle: q126's marking CTEs, then token explode, anti-join
+    // on covered indices, and order-preserving list reassembly.
+    "q130_substring_clean" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}') AS tk
+         |           FROM documents),
+         |b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk FROM t),
+         |g0 AS (SELECT doc_id,
+         |              unnest(list_transform(range(1, CAST(n_tokens AS INT) - $SubstrGramLen + 2),
+         |                     i -> struct_pack(pos := i, s := array_to_string(tk[i:i+${SubstrGramLen - 1}], ' ')))) AS g
+         |       FROM b WHERE n_tokens >= $SubstrGramLen),
+         |g AS (SELECT doc_id, g.pos AS pos, ${strhash2Sql("(g.s)")} AS h FROM g0),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+         |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+         |cov AS (SELECT DISTINCT doc_id, pos + o AS idx
+         |        FROM dp CROSS JOIN (SELECT unnest(range(0, $SubstrGramLen)) AS o)),
+         |tok AS (SELECT doc_id, u.idx AS idx, u.tok AS tok
+         |        FROM (SELECT doc_id,
+         |                     unnest(list_transform(range(1, CAST(n_tokens AS INT) + 1),
+         |                            i -> struct_pack(idx := i, tok := tk[CAST(i AS INT)]))) AS u
+         |              FROM b)),
+         |kept AS (SELECT tok.doc_id, tok.idx, tok.tok
+         |         FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.idx = tok.idx
+         |         WHERE cov.idx IS NULL),
+         |cl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         |              array_to_string(list(tok ORDER BY idx), ' ') AS clean_text
+         |       FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |       CAST(coalesce(cl.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |       coalesce(cl.clean_text, '') AS clean_text
+         |FROM b LEFT JOIN cl USING (doc_id)""".stripMargin
   )
 
   private lazy val q35Sql: String =

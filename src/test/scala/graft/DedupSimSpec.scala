@@ -484,6 +484,45 @@ class DedupSimSpec extends AnyFunSuite {
     )
   }
 
+  test("q130: span removal is exact on the hand corpus and reconciles with q126's accounting") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val k = 4
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 a1 a2"),
+      (2L, "b1 w1 w2 w3 w4 b2"),
+      (3L, "c1 c2 c3 c4 c5 c6"),
+      (4L, "c1 c2 c3 c4 c5 c6"),
+      (5L, "d1 d2 d3 d4 d5 d6"),
+      (6L, "e1 e2")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .substringClean(docs, "doc_id", "text", k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((6L, 2L, "a1 a2")), "head span must be cut, tail preserved in order")
+    assert(out(2L) == ((6L, 2L, "b1 b2")), "mid span must be cut, flanks rejoined in order")
+    assert(out(3L) == ((6L, 0L, "")), "fully-duplicated doc must come back empty, not vanish")
+    assert(out(4L) == ((6L, 0L, "")), "the duplicate twin too")
+    assert(out(5L) == ((6L, 6L, "d1 d2 d3 d4 d5 d6")), "clean doc must pass through byte-identical")
+    assert(out(6L) == ((2L, 2L, "e1 e2")), "short doc must pass through")
+    // cross-operator reconciliation on the real corpus: what q126
+    // counts as duplicated is exactly what q130 removed
+    val stats = SparkEntry
+      .queries("q126_substring_dedup")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    val cleaned = SparkEntry.queries("q130_substring_clean")(spark, sf).collect()
+    cleaned.foreach { r =>
+      val (id, n, kept) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (n126, dup) = stats(id)
+      assert(n == n126, s"doc $id token-count mismatch between q126 and q130")
+      assert(kept == n - dup, s"doc $id: kept $kept != n_tokens $n - dup_tokens $dup")
+    }
+  }
+
   test("q128: reported recall equals the driver-side intersection of q35 and q50") {
     def topSets(name: String): Map[Long, Set[Long]] =
       SparkEntry

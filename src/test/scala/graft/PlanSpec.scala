@@ -348,7 +348,11 @@ class PlanSpec extends AnyFunSuite {
     // vector re-join) + pair join on cluster + dropped-set distinct
     // (2) + the kept stitch; within-cluster pair frame never leaves
     // the cluster key
-    "q129_semantic_dedup" -> 6
+    "q129_semantic_dedup" -> 6,
+    // q130: the gram-hash occurrence agg + the covered-index distinct
+    // + the per-doc reassembly agg; the anti-join and the final doc
+    // stitch ride those exchanges
+    "q130_substring_clean" -> 3
   )
 
   test("no operator exceeds its shuffle budget") {
