@@ -505,19 +505,29 @@ object DedupSimQueries {
     },
 
     // q129: SemDeDup — semantic dedup by cluster-then-prune (the
-    // embedding-space dedup of Abbas et al. 2023): q119's k-means
-    // bounds WHICH pairs are compared (within-cluster only — at scale
-    // k grows with N so clusters stay bounded; the declared SemDeDup
-    // contract), then a vector is dropped when an earlier same-cluster
-    // vector is τ-similar on the centered quantized cosine — exact
-    // BIGINT compare (25·dot² ≥ 4·|a|²·|b|², dot>0), deterministic
-    // keep-lowest-id rule, mirrored from first principles in the
-    // oracle.
+    // embedding-space dedup of Abbas et al. 2023): k-means bounds
+    // WHICH pairs are compared (within-cluster only), then a vector
+    // is dropped when an earlier same-cluster vector is τ-similar on
+    // the centered quantized cosine — exact BIGINT compare
+    // (25·dot² ≥ 4·|a|²·|b|², dot>0), deterministic keep-lowest-id
+    // rule, mirrored from first principles in the oracle.
+    //
+    // k GROWS WITH THE CORPUS: k = max(KmeansK, N/SemClusterTarget),
+    // so expected cluster size stays ~SemClusterTarget and the
+    // within-cluster pairwise term stays LINEAR in N (fixed k would
+    // be quadratic — measured 5.5× at a 10× scale-up before this).
+    // That is the SemDeDup contract made executable; the count that
+    // sizes k is one scan of the checkpointed quantized frame (the
+    // "train the clustering" step every SemDeDup run pays). At 1e9+
+    // vectors the broadcast-k assignment inside KMeans.refine is the
+    // next bottleneck — the two-level IVF assignment (q107) is the
+    // production path there; the prune stage is shape-identical.
     "q129_semantic_dedup" -> { (s, dir) =>
-      val q = KMeans.quantizeShifted(Tables.embeddings(s, dir), "vec_id", "embedding")
+      val q = KMeans.quantizeShifted(Tables.embeddings(s, dir), "vec_id", "embedding").localCheckpoint()
+      val k = math.max(KmeansK, (q.count() / SemClusterTarget).toInt)
       val centered = (c: String, i: Int) => element_at(col(c), i) - KMeans.Shift
       val asg = KMeans
-        .refine(q, KmeansK, KmeansIters, Dims)
+        .refine(q, k, KmeansIters, Dims)
         .join(q, Seq("vec_id"))
         .withColumn("n2", (1 to Dims).map(i => centered("qa", i) * centered("qa", i)).reduce(_ + _))
       val a = asg.select(col("cluster"), col("vec_id").as("ia"), col("qa").as("va"), col("n2").as("na2"))
@@ -636,6 +646,11 @@ object DedupSimQueries {
   // the decision is exact BIGINT (no sqrt, no doubles).
   val SemDedupTauNum = 2
   val SemDedupTauDen = 5
+
+  // q129: target cluster population — k = max(KmeansK, N/target), so
+  // clusters stay ~this size as the corpus grows and the
+  // within-cluster pairwise term stays linear in N.
+  val SemClusterTarget = 64
 
   // q122: PQ geometry — 64 dims as 8 subspaces × 8 dims, 16 codewords
   // per subspace (codes fit a nibble each; 64 floats → 8 small ints).
@@ -943,27 +958,34 @@ object DedupSimQueries {
     * `//` (operands non-negative, so DuckDB's `//` and Spark's `div`
     * agree), empty clusters covered by the same LEFT JOIN + coalesce.
     */
-  private lazy val q119Sql: String = {
-    def assignCte(n: Int, cSrc: String) =
-      s"""a$n AS (SELECT vec_id, qa, cid, d2,
-         |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
-         |FROM (SELECT q.vec_id, q.qa, c.cid,
-         |             CAST(list_sum(list_transform(list_zip(q.qa, c.ca),
-         |                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2
-         |      FROM q CROSS JOIN $cSrc c))""".stripMargin
-    def updateCte(n: Int, prev: String) =
-      s"""s$n AS (SELECT cid, i,
-         |       CAST(CAST(sum(qa[CAST(i AS INT)]) AS BIGINT) // count(*) AS BIGINT) AS coord
-         |FROM (SELECT qa, cid FROM a$n WHERE rn = 1) t
-         |     CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i)
-         |GROUP BY cid, i),
-         |c$n AS (SELECT p.cid, coalesce(u.ca, p.ca) AS ca
-         |FROM $prev p LEFT JOIN (SELECT cid, list(coord ORDER BY i) AS ca
-         |                        FROM s$n GROUP BY cid) u USING (cid))""".stripMargin
+  private def kmAssignCte(n: Int, cSrc: String): String =
+    s"""a$n AS (SELECT vec_id, qa, cid, d2,
+       |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+       |FROM (SELECT q.vec_id, q.qa, c.cid,
+       |             CAST(list_sum(list_transform(list_zip(q.qa, c.ca),
+       |                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2
+       |      FROM q CROSS JOIN $cSrc c))""".stripMargin
+
+  private def kmUpdateCte(n: Int, prev: String): String =
+    s"""s$n AS (SELECT cid, i,
+       |       CAST(CAST(sum(qa[CAST(i AS INT)]) AS BIGINT) // count(*) AS BIGINT) AS coord
+       |FROM (SELECT qa, cid FROM a$n WHERE rn = 1) t
+       |     CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i)
+       |GROUP BY cid, i),
+       |c$n AS (SELECT p.cid, coalesce(u.ca, p.ca) AS ca
+       |FROM $prev p LEFT JOIN (SELECT cid, list(coord ORDER BY i) AS ca
+       |                        FROM s$n GROUP BY cid) u USING (cid))""".stripMargin
+
+  /** The shared Lloyd-round CTE chain (quantize -> c0 seeded by
+    * `c0Filter` -> KmeansIters rounds -> final assignment CTE
+    * a{KmeansIters+1}) — ONE definition of the unrolled k-means both
+    * q119 and q129 nest, so the arithmetic cannot drift between them.
+    */
+  private def kmClusterCtes(c0Filter: String): String = {
     val rounds = (1 to KmeansIters)
-      .map(n => assignCte(n, s"c${n - 1}") + ",\n" + updateCte(n, s"c${n - 1}"))
+      .map(n => kmAssignCte(n, s"c${n - 1}") + ",\n" + kmUpdateCte(n, s"c${n - 1}"))
       .mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |           WHERE len(embedding) > 0
        |             AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)),
        |gs AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
@@ -972,32 +994,35 @@ object DedupSimQueries {
        |                  ELSE list_transform(v, x -> CAST(round(127 * x / s) AS BIGINT) + ${KMeans.Shift})
        |             END AS qa
        |      FROM e CROSS JOIN gs),
-       |c0 AS (SELECT vec_id AS cid, qa AS ca FROM q WHERE vec_id < $KmeansK),
+       |c0 AS (SELECT vec_id AS cid, qa AS ca FROM q WHERE $c0Filter),
        |$rounds,
-       |${assignCte(KmeansIters + 1, s"c$KmeansIters")}
-       |SELECT vec_id, cid AS cluster, d2 AS dist2
-       |FROM a${KmeansIters + 1} WHERE rn = 1""".stripMargin
+       |${kmAssignCte(KmeansIters + 1, s"c$KmeansIters")}""".stripMargin
   }
 
-  /** q129 oracle: q119's final cluster assignment (nested verbatim as
-    * a derived table, re-joined to the quantize CTE for the vectors),
-    * then the SemDeDup drop rule from first principles: centered
-    * integer dot/norms per pair within a cluster, τ=2/5 compared as
-    * 25·dot² ≥ 4·|a|²·|b|² with dot > 0 — all-BIGINT exact.
+  /** q119 oracle: the identical 3 Lloyd rounds unrolled as chained
+    * CTEs (q97's loop-unroll pattern). All integer arithmetic:
+    * quantize+shift -> per-round CROSS JOIN of the K centroids, argmin
+    * by (d2, cid) row_number, per-(cluster, dim) integer mean via
+    * `//` (operands non-negative, so DuckDB's `//` and Spark's `div`
+    * agree), empty clusters covered by the same LEFT JOIN + coalesce.
+    */
+  private lazy val q119Sql: String =
+    s"""WITH ${kmClusterCtes(s"vec_id < $KmeansK")}
+       |SELECT vec_id, cid AS cluster, d2 AS dist2
+       |FROM a${KmeansIters + 1} WHERE rn = 1""".stripMargin
+
+  /** q129 oracle: the shared Lloyd chain with the DYNAMIC seed count
+    * k = greatest(KmeansK, N // SemClusterTarget) (the Spark side
+    * computes the same k from the same count), then the SemDeDup drop
+    * rule from first principles: centered integer dot/norms per pair
+    * within a cluster, tau=2/5 compared as 25*dot^2 >= 4*|a|^2*|b|^2
+    * with dot > 0 — all-BIGINT exact.
     */
   private lazy val q129Sql: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |           WHERE len(embedding) > 0
-       |             AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)),
-       |gs AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
-       |q AS (SELECT vec_id,
-       |             CASE WHEN s = 0 THEN list_transform(v, x -> CAST(${KMeans.Shift} AS BIGINT))
-       |                  ELSE list_transform(v, x -> CAST(round(127 * x / s) AS BIGINT) + ${KMeans.Shift})
-       |             END AS qa
-       |      FROM e CROSS JOIN gs),
-       |asg AS (SELECT a.vec_id, a.cluster, q.qa,
+    s"""WITH ${kmClusterCtes(s"vec_id < (SELECT greatest($KmeansK, count(*) // $SemClusterTarget) FROM q)")},
+       |asg AS (SELECT a.vec_id, a.cid AS cluster, q.qa,
        |               CAST(list_sum(list_transform(q.qa, x -> (x - ${KMeans.Shift}) * (x - ${KMeans.Shift}))) AS BIGINT) AS n2
-       |        FROM ($q119Sql) a JOIN q USING (vec_id)),
+       |        FROM (SELECT vec_id, cid FROM a${KmeansIters + 1} WHERE rn = 1) a JOIN q USING (vec_id)),
        |dropped AS (SELECT DISTINCT b.vec_id
        |            FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
        |            WHERE CAST(list_sum(list_transform(list_zip(a.qa, b.qa),
