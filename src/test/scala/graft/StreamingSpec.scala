@@ -794,4 +794,61 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
   }
+
+  test("streaming gram-count ingest matches batch counts (the q126/q130 marking maintenance path)") {
+    // the ingest job that keeps the corpus-wide duplicate-window
+    // table current: arriving documents explode through the SAME
+    // stateless gram builder the batch path uses, counts accumulate
+    // in a streaming aggregate (pure sums — merge order cannot change
+    // them). The final counts — and therefore the dup-window set that
+    // marks spans — must equal batch exactly, or a streamed corpus
+    // would clean differently than a batch-rebuilt one.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    import graft.queries.DedupSimQueries.SubstrGramLen
+    val docs = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    val stream = MemoryStream[(Long, String)]
+    val counts = Dedup
+      .substringGramRows(stream.toDF().toDF("doc_id", "text"), "doc_id", "text", SubstrGramLen)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val query = counts.writeStream
+      .format("memory")
+      .queryName("gram_stream")
+      .outputMode("update")
+      .start()
+    try {
+      docs.grouped(math.max(docs.size / 3, 1)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    // update mode emits one row per key per batch it changed in —
+    // counts are monotone, so the max per key is the final state
+    val streamed = spark
+      .table("gram_stream")
+      .groupBy(col("h"))
+      .agg(max(col("cnt")).as("cnt"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val batch = Dedup
+      .substringGramRows(Tables.documents(spark, sf), "doc_id", "text", SubstrGramLen)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(streamed.keySet == batch.keySet, "gram hash sets differ")
+    batch.foreach { case (h, c) => assert(streamed(h) == c, s"count differs for gram $h") }
+    val dupStream = streamed.filter(_._2 > 1).keySet
+    val dupBatch = batch.filter(_._2 > 1).keySet
+    assert(dupStream == dupBatch, "the dup-window mark set diverged")
+    assert(dupBatch.nonEmpty, "corpus must contain duplicate windows for the twin to mean anything")
+  }
 }
