@@ -116,6 +116,20 @@ object PortableHash {
     ((x & Long.MaxValue) % (P - 1)) + 1
   }
 
+  /** The DuckDB rendering of [[hash]] over an SQL string expression —
+    * THE canonical oracle twin (list_reduce seeds with the first
+    * element, which equals the fold-from-zero first step since code
+    * points are < P). Lives here so every query file's oracle embeds
+    * the same arithmetic; any drift between this and [[hash]] breaks
+    * every hash-keyed oracle at once, loudly.
+    */
+  def strhash2Sql(s: String): String = {
+    def fold(base: Long) =
+      s"list_reduce(list_transform(range(1, length($s) + 1), i -> CAST(ord(substr($s, CAST(i AS INT), 1)) AS BIGINT)), " +
+        s"(acc, c) -> (acc * $base + c) % $P)"
+    s"(CASE WHEN length($s) = 0 THEN 0 ELSE ${fold(Base1)} * 2147483648 + ${fold(Base2)} END)"
+  }
+
   /** The fold, callable from generated code (static forwarder). */
   def hash(s: UTF8String): Long = {
     val str = s.toString

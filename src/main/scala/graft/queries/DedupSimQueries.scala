@@ -742,17 +742,11 @@ object DedupSimQueries {
 
   private val P = graft.functions.PortableHash.P
 
-  /** DuckDB twin of graft_strhash2 (PortableHash): two Horner folds
-    * over code points mod P, packed as h1 * 2^31 + h2. list_reduce
-    * seeds with the first element, which equals the fold-from-zero
-    * first step since codepoints are < P.
+  /** DuckDB twin of graft_strhash2 — the canonical rendering lives in
+    * [[graft.functions.PortableHash.strhash2Sql]] (one definition for
+    * every query file's oracles).
     */
-  private def strhash2Sql(s: String): String = {
-    def fold(base: Long) =
-      s"list_reduce(list_transform(range(1, length($s) + 1), i -> CAST(ord(substr($s, CAST(i AS INT), 1)) AS BIGINT)), " +
-        s"(acc, c) -> (acc * $base + c) % $P)"
-    s"(CASE WHEN length($s) = 0 THEN 0 ELSE ${fold(31)} * 2147483648 + ${fold(37)} END)"
-  }
+  private def strhash2Sql(s: String): String = graft.functions.PortableHash.strhash2Sql(s)
 
   /** Spark-side identical MinHash permutation (PortableHash.perm): two
     * independent 31-bit mulmods over the hash's halves — every

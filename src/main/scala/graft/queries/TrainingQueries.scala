@@ -996,11 +996,68 @@ object TrainingQueries {
       val f = qualityModelScores(Tables.documents(s, dir), Seq("lang"))
         .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
       graft.operators.LogReg.trainHardSigmoid(f, QualityWeightsBp.map(_._1), "y", QualityTrainRounds)
+    },
+
+    // q131: DSIR-style importance weights (Xie et al. 2023 — data
+    // selection via importance resampling): per doc, the mean log
+    // ratio of a TARGET hashed n-gram bag model (lang='en' docs) to
+    // the RAW corpus model, add-one smoothed over DsirBuckets hashed
+    // unigram+bigram features. The two bucket-count models are
+    // B-row frames built by ONE aggregate each and broadcast back
+    // onto the feature stream — corpus text shuffles only as (doc_id,
+    // bucket) longs. log inputs are identical exact integers on both
+    // engines (the q93 precedent: ln of identical doubles, mean
+    // rounded to 4dp). A resampling pipeline thresholds or
+    // Gumbel-samples on li_ratio; the weight computation is the
+    // whole DSIR data term.
+    "q131_dsir_weights" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(
+        col("doc_id"),
+        (col("lang") === "en").as("is_tgt"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("t")
+      )
+      val uni = toks.select(col("doc_id"), col("is_tgt"), explode(col("t")).as("g"))
+      val big = toks
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("is_tgt"), col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(
+          col("doc_id"),
+          col("is_tgt"),
+          concat_ws(" ", try_element_at(col("t"), col("i")), try_element_at(col("t"), col("i") + 1)).as("g")
+        )
+      val feats = uni
+        .unionByName(big)
+        .select(col("doc_id"), col("is_tgt"), (graft.functions.GraftFunctions.strhash2(col("g")) % DsirBuckets).as("b"))
+      val cs = feats.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+      val ct = feats.filter(col("is_tgt")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val totals = feats
+        .agg(count(lit(1)).as("tot_s"), sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tot_t"))
+        .localCheckpoint()
+      val model = cs
+        .join(ct, Seq("b"), "left_outer")
+        .select(col("b"), col("cs"), coalesce(col("ct"), lit(0L)).as("ct"))
+      val term =
+        log((col("ct") + 1).cast("double") / (col("tot_t") + DsirBuckets).cast("double")) -
+          log((col("cs") + 1).cast("double") / (col("tot_s") + DsirBuckets).cast("double"))
+      val perDoc = feats
+        .join(broadcast(model), Seq("b"))
+        .crossJoin(broadcast(totals))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), round(avg(term), 4).as("li_ratio"))
+      docs
+        .select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"), col("li_ratio"))
     }
   )
 
   /** q127: gradient-descent rounds (unrolled identically in the oracle). */
   val QualityTrainRounds = 3
+
+  /** q131: hashed feature buckets for the two n-gram bag models. */
+  val DsirBuckets = 256L
 
   /** q105: number of equal doc_id-range buckets in the growth curve. */
   val VocabGrowthBuckets = 10
@@ -1424,8 +1481,37 @@ object TrainingQueries {
          |            THEN abs(round(CAST(n * n_chars - s1 AS DOUBLE) / (CAST(n AS DOUBLE) * sd), 4)) > $ZOutlier
          |       END AS len_outlier
          |FROM j""".stripMargin,
-    "q127_quality_train" -> q127Sql
+    "q127_quality_train" -> q127Sql,
+    "q131_dsir_weights" -> q131Sql
   )
+
+  /** q131 oracle: the same hashed unigram+bigram features (strhash2
+    * twin mod DsirBuckets), both bag models from first principles,
+    * ln over identical exact-integer ratios, mean rounded to 4dp
+    * (the q93 precedent for FP log scores).
+    */
+  private lazy val q131Sql: String =
+    s"""WITH toks AS (SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_tgt,
+       |                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |              FROM documents),
+       |uni AS (SELECT doc_id, is_tgt, unnest(t) AS g FROM toks),
+       |big AS (SELECT doc_id, is_tgt, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS g
+       |        FROM (SELECT doc_id, is_tgt, t, unnest(range(1, len(t))) AS i
+       |              FROM toks WHERE len(t) >= 2)),
+       |feats AS (SELECT doc_id, is_tgt, ${graft.functions.PortableHash.strhash2Sql("g")} % $DsirBuckets AS b
+       |          FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+       |cs AS (SELECT b, CAST(count(*) AS BIGINT) AS cs FROM feats GROUP BY b),
+       |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM feats WHERE is_tgt GROUP BY b),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_s,
+       |               CAST(count(*) FILTER (is_tgt) AS BIGINT) AS tot_t
+       |        FROM feats),
+       |m AS (SELECT cs.b, cs.cs, coalesce(ct.ct, 0) AS ct FROM cs LEFT JOIN ct USING (b)),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |              round(avg(ln((ct + 1) / CAST(tot_t + $DsirBuckets AS DOUBLE))
+       |                        - ln((cs + 1) / CAST(tot_s + $DsirBuckets AS DOUBLE))), 4) AS li_ratio
+       |       FROM feats JOIN m USING (b) CROSS JOIN tot GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams, pd.li_ratio
+       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
 
   /** q127 oracle: the q112 feature CTE plus the lang='en' label, then
     * QualityTrainRounds of (hard-sigmoid error, gradient aggregate,

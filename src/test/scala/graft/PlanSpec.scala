@@ -352,7 +352,11 @@ class PlanSpec extends AnyFunSuite {
     // q130: the gram-hash occurrence agg + the covered-index distinct
     // + the per-doc reassembly agg; the anti-join and the final doc
     // stitch ride those exchanges
-    "q130_substring_clean" -> 3
+    "q130_substring_clean" -> 3,
+    // q131: the two bucket-model aggregates (corpus + target counts)
+    // + the per-doc mean agg; model join-back and totals are
+    // broadcasts, the final doc stitch rides AQE
+    "q131_dsir_weights" -> 3
   )
 
   test("no operator exceeds its shuffle budget") {

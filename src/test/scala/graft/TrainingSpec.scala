@@ -543,6 +543,38 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("q131: gram accounting is exact and the importance signal separates the target language") {
+    val out = SparkEntry
+      .queries("q131_dsir_weights")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    val docs = graft.sources.Tables
+      .documents(spark, sf)
+      .select(
+        col("doc_id"),
+        expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))").as("n"),
+        (col("lang") === "en").as("en")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), !r.isNullAt(2) && r.getBoolean(2)))
+    // unigrams + bigrams: n + max(n-1, 0)
+    docs.foreach { case (id, n, _) =>
+      val expected = n + math.max(n - 1, 0)
+      assert(out(id)._1 == expected.toLong, s"doc $id n_grams ${out(id)._1} != $expected")
+      assert(out(id)._2.isDefined == (n > 0), s"doc $id li_ratio nullability wrong")
+    }
+    // the whole point of DSIR: target-language docs must score higher
+    // under the target/raw ratio than the rest, on average
+    val (enScores, otherScores) = docs
+      .flatMap { case (id, _, en) => out(id)._2.map(en -> _) }
+      .partition(_._1)
+    assert(enScores.nonEmpty && otherScores.nonEmpty, "corpus must contain both classes")
+    val enMean = enScores.map(_._2).sum / enScores.size
+    val otherMean = otherScores.map(_._2).sum / otherScores.size
+    assert(enMean > otherMean, s"importance signal inverted: en $enMean <= other $otherMean")
+  }
+
   test("q127: learned weights equal a driver-side integer replay, and feed LinearModel.scoreBp") {
     import graft.operators.LogReg
     import graft.queries.TrainingQueries.{QualityTrainRounds, QualityWeightsBp}
