@@ -998,6 +998,47 @@ object TrainingQueries {
       graft.operators.LogReg.trainHardSigmoid(f, QualityWeightsBp.map(_._1), "y", QualityTrainRounds)
     },
 
+    // q132: apply the winning BPE merge — the training step AFTER
+    // q116's merge-candidate table: elect the top pair (count desc,
+    // pair asc — bit-deterministic tie-break), then rewrite every
+    // vocabulary word's symbol sequence by greedy left-to-right
+    // non-overlapping merging. Application is string replace over the
+    // space-joined single-char symbols ('a b' → 'ab') — Java and
+    // DuckDB replace share the same L2R non-overlap semantics, so
+    // 'aaa' under (a,a) becomes [aa, a] on both engines. The winning
+    // pair is a 1-ROW driver collect off the checkpointed vocabulary
+    // (the q125 centroid-collect class: dim-table-sized, documented);
+    // the returned plan is a projection over that checkpointed vocab
+    // — at 100 TB each BPE iteration stays one small vocab job, the
+    // corpus is never rescanned (q116's own contract).
+    "q132_bpe_apply" -> { (s, dir) =>
+      val tokFreq = Tables
+        .documents(s, dir)
+        .select(explode(split(trim(col("text")), TextFunctions.WsRun)).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
+      val top = tokFreq
+        .filter(length(col("tok")) >= 2)
+        .select(col("tok"), col("freq"), explode(expr("sequence(1, length(tok) - 1)")).as("i"))
+        .select(expr("substring(tok, i, 2)").as("pair"), col("freq"))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1)
+        .head
+        .getString(0)
+      val (a, b) = (top.substring(0, 1), top.substring(1, 2))
+      def q(s: String) = s.replace("'", "''")
+      tokFreq
+        .select(
+          col("tok"),
+          col("freq"),
+          expr(s"replace(array_join(split(tok, ''), ' '), '${q(a)} ${q(b)}', '${q(top)}')").as("syms")
+        )
+        .withColumn("n_syms", size(split(col("syms"), " ")).cast("long"))
+    },
+
     // q131: DSIR-style importance weights (Xie et al. 2023 — data
     // selection via importance resampling): per doc, the mean log
     // ratio of a TARGET hashed n-gram bag model (lang='en' docs) to
@@ -1482,7 +1523,26 @@ object TrainingQueries {
          |       END AS len_outlier
          |FROM j""".stripMargin,
     "q127_quality_train" -> q127Sql,
-    "q131_dsir_weights" -> q131Sql
+    "q131_dsir_weights" -> q131Sql,
+    // q132 oracle: q116's vocab + pair CTEs, argmax pair by the same
+    // (n DESC, pair ASC) order, then the identical literal replace
+    // over space-joined chars — DuckDB's replace shares Java's
+    // left-to-right non-overlap semantics.
+    "q132_bpe_apply" ->
+      s"""WITH tf AS (SELECT tok, count(*) AS freq
+         |            FROM (SELECT unnest(string_split_regex(trim(text), '${TextFunctions.WsRun}')) AS tok
+         |                  FROM documents)
+         |            GROUP BY tok),
+         |pc AS (SELECT substring(tok, CAST(i AS INT), 2) AS pair, CAST(sum(freq) AS BIGINT) AS n
+         |       FROM (SELECT tok, freq, unnest(range(1, len(tok))) AS i FROM tf WHERE len(tok) >= 2)
+         |       GROUP BY pair),
+         |top AS (SELECT pair FROM pc ORDER BY n DESC, pair ASC LIMIT 1),
+         |sp AS (SELECT tok, CAST(freq AS BIGINT) AS freq,
+         |              replace(array_to_string(list_transform(range(1, length(tok) + 1),
+         |                                      i -> substr(tok, CAST(i AS INT), 1)), ' '),
+         |                      substr(pair, 1, 1) || ' ' || substr(pair, 2, 1), pair) AS syms
+         |       FROM tf CROSS JOIN top)
+         |SELECT tok, freq, syms, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_syms FROM sp""".stripMargin
   )
 
   /** q131 oracle: the same hashed unigram+bigram features (strhash2

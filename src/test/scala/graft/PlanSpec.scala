@@ -356,7 +356,10 @@ class PlanSpec extends AnyFunSuite {
     // q131: the two bucket-model aggregates (corpus + target counts)
     // + the per-doc mean agg; model join-back and totals are
     // broadcasts, the final doc stitch rides AQE
-    "q131_dsir_weights" -> 3
+    "q131_dsir_weights" -> 3,
+    // q132: the returned plan is a projection over the checkpointed
+    // vocabulary; the pair election ran as a driver-side 1-row action
+    "q132_bpe_apply" -> 0
   )
 
   test("no operator exceeds its shuffle budget") {

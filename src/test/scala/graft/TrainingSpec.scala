@@ -543,6 +543,24 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("q132: merge application equals a driver-side replay with q116's winning pair") {
+    val pairs = SparkEntry.queries("q116_bpe_pair_counts")(spark, sf).collect()
+    val top = pairs.head.getString(0) // q116 orders (n DESC, pair ASC)
+    val (a, b) = (top.substring(0, 1), top.substring(1, 2))
+    val out = SparkEntry.queries("q132_bpe_apply")(spark, sf).collect()
+    assert(out.nonEmpty, "vocabulary must be non-empty")
+    var merged = 0
+    out.foreach { r =>
+      val (tok, syms, n) = (r.getString(0), r.getString(2), r.getLong(3))
+      val expected = tok.toCharArray.mkString(" ").replace(s"$a $b", top)
+      assert(syms == expected, s"token '$tok': syms '$syms' != replay '$expected'")
+      assert(n == syms.split(" ", -1).length.toLong, s"token '$tok': n_syms inconsistent")
+      assert(syms.replace(" ", "") == tok, s"token '$tok': merge must preserve content")
+      if (n < tok.length) merged += 1
+    }
+    assert(merged > 0, "the winning pair must actually merge somewhere in the vocabulary")
+  }
+
   test("q131: gram accounting is exact and the importance signal separates the target language") {
     val out = SparkEntry
       .queries("q131_dsir_weights")(spark, sf)
