@@ -504,6 +504,39 @@ object DedupSimQueries {
         )
     },
 
+    // q133: kNN label propagation — weak labeling by majority vote
+    // over each vector's q82 ANN neighbors (corpus-wide: the block
+    // key is a constant, so candidates come from the LSH sign
+    // buckets alone, unlike q82's within-label graph). Vote =
+    // max_by over the integer surrogate cnt·2³² − label (max count,
+    // then smallest label — deterministic, exact BIGINT); vectors
+    // whose buckets hold no neighbor keep a NULL prediction rather
+    // than vanishing. The confusion signal (correct flag) is what a
+    // label-quality audit thresholds on.
+    "q133_knn_classify" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val knn = Dedup.knnJoin(
+        emb.withColumn("__blk", lit(1)),
+        "vec_id", "embedding", "__blk",
+        KnnK, EmbLshTables, EmbLshPlanes, Dims
+      )
+      val lab = emb.select(col("vec_id"), col("label"))
+      val votes = knn
+        .join(
+          lab.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+          Seq("neighbor_id")
+        )
+        .groupBy(col("vec_id"), col("nl"))
+        .agg(count(lit(1)).as("cnt"))
+      val pred = votes
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("nl"), col("cnt") * lit(4294967296L) - col("nl")).as("pred"))
+      lab
+        .join(pred, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("label"), col("pred"), (col("pred") === col("label")).as("correct"))
+    },
+
     // q129: SemDeDup — semantic dedup by cluster-then-prune (the
     // embedding-space dedup of Abbas et al. 2023): k-means bounds
     // WHICH pairs are compared (within-cluster only), then a vector
@@ -1235,27 +1268,21 @@ object DedupSimQueries {
         |            ELSE CAST(list_max(list_transform(v, x -> CAST(round(127 * x / scale, 0) AS BIGINT))) AS BIGINT)
         |       END AS q_max
         |FROM s""".stripMargin,
-    "q82_knn_join" -> {
-      // same sign-bucket tables as the q34 oracle (shared embKbSql),
-      // but directed (!=) candidates and a per-vector rank window
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         |n AS (SELECT vec_id, label, v, list_transform(v, x -> x / norm) nv
-         |      FROM (SELECT vec_id, label, v, sqrt(${dot("v", "v")}) norm FROM e)),
-         |kb AS ($embKbSql),
-         |cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
-         |         FROM kb a JOIN kb b
-         |           ON a.label = b.label AND a.tbl = b.tbl AND a.bucket = b.bucket
-         |          AND a.vec_id != b.vec_id),
-         |r AS (SELECT vec_a, vec_b, ${dot("na.nv", "nb.nv")} cosine
-         |      FROM cand
-         |      JOIN n na ON na.vec_id = vec_a
-         |      JOIN n nb ON nb.vec_id = vec_b),
-         |rk AS (SELECT vec_a, vec_b, cosine,
-         |              row_number() OVER (PARTITION BY vec_a ORDER BY cosine DESC, vec_b ASC) rank
-         |       FROM r)
-         |SELECT vec_a AS vec_id, rank, vec_b AS neighbor_id, round(cosine, 4) AS cosine
-         |FROM rk WHERE rank <= $KnnK""".stripMargin
-    },
+    "q82_knn_join" -> q82Sql,
+    // q133 oracle: the q82 kNN oracle nested verbatim, labels joined
+    // onto the neighbor list, majority vote as arg_max over the
+    // integer surrogate cnt * 2^32 - label (max count, then smallest
+    // label — deterministic, exact BIGINT).
+    "q133_knn_classify" ->
+      s"""WITH knn AS (${knnSql("TRUE")}),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |votes AS (SELECT knn.vec_id, lab.label AS nl, CAST(count(*) AS BIGINT) AS cnt
+         |          FROM knn JOIN lab ON lab.vec_id = knn.neighbor_id
+         |          GROUP BY 1, 2),
+         |pred AS (SELECT vec_id, arg_max(nl, cnt * 4294967296 - nl) AS pred
+         |         FROM votes GROUP BY vec_id)
+         |SELECT l.vec_id, l.label, p.pred, (p.pred = l.label) AS correct
+         |FROM lab l LEFT JOIN pred p ON p.vec_id = l.vec_id""".stripMargin,
     "q66_minhash_est" -> q66Sql,
     "q108_containment_est" -> q108Sql,
     "q36_ann_lsh" -> q36Sql,
@@ -1414,6 +1441,31 @@ object DedupSimQueries {
          |       coalesce(cl.clean_text, '') AS clean_text
          |FROM b LEFT JOIN cl USING (doc_id)""".stripMargin
   )
+
+  // same sign-bucket tables as the q34 oracle (shared embKbSql),
+  // but directed (!=) candidates and a per-vector rank window; the
+  // block condition is a parameter so q82 (within-label) and q133
+  // (corpus-wide, blockCond TRUE) share one definition
+  private def knnSql(blockCond: String): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |n AS (SELECT vec_id, label, v, list_transform(v, x -> x / norm) nv
+       |      FROM (SELECT vec_id, label, v, sqrt(${dot("v", "v")}) norm FROM e)),
+       |kb AS ($embKbSql),
+       |cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
+       |         FROM kb a JOIN kb b
+       |           ON ($blockCond) AND a.tbl = b.tbl AND a.bucket = b.bucket
+       |          AND a.vec_id != b.vec_id),
+       |r AS (SELECT vec_a, vec_b, ${dot("na.nv", "nb.nv")} cosine
+       |      FROM cand
+       |      JOIN n na ON na.vec_id = vec_a
+       |      JOIN n nb ON nb.vec_id = vec_b),
+       |rk AS (SELECT vec_a, vec_b, cosine,
+       |              row_number() OVER (PARTITION BY vec_a ORDER BY cosine DESC, vec_b ASC) rank
+       |       FROM r)
+       |SELECT vec_a AS vec_id, rank, vec_b AS neighbor_id, round(cosine, 4) AS cosine
+       |FROM rk WHERE rank <= $KnnK""".stripMargin
+
+  private lazy val q82Sql: String = knnSql("a.label = b.label")
 
   private lazy val q35Sql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

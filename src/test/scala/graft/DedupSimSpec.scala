@@ -546,6 +546,35 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("q133: predictions equal a driver-side majority vote over the corpus-wide kNN graph") {
+    import graft.dedup.Dedup
+    import graft.queries.DedupSimQueries.{Dims, EmbLshPlanes, EmbLshTables, KnnK}
+    import org.apache.spark.sql.functions.{col, lit}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val labels = emb.select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val knn = Dedup
+      .knnJoin(emb.withColumn("__blk", lit(1)), "vec_id", "embedding", "__blk", KnnK, EmbLshTables, EmbLshPlanes, Dims)
+      .select("vec_id", "neighbor_id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1)
+    val expected = knn.map { case (v, ns) =>
+      val votes = ns.map(n => labels(n._2)).groupBy(identity).map { case (l, xs) => l -> xs.size }
+      // max count, then smallest label — the declared tie-break
+      v -> votes.toSeq.maxBy { case (l, c) => c.toLong * 4294967296L - l }._1
+    }
+    val out = SparkEntry
+      .queries("q133_knn_classify")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    assert(out.map(_._1).toSet == labels.keySet, "every vector must be reported")
+    out.foreach { case (v, l, p) =>
+      assert(l == labels(v), s"vec $v actual label mismatch")
+      assert(p == expected.get(v), s"vec $v prediction mismatch: $p vs ${expected.get(v)}")
+    }
+    assert(expected.nonEmpty, "the LSH buckets must produce neighbors")
+  }
+
   test("q129: kept flags equal a driver-side SemDeDup recomputation from clusters + quantized vectors") {
     import graft.operators.KMeans
     import graft.queries.DedupSimQueries.{Dims, KmeansIters, KmeansK, SemDedupTauDen, SemDedupTauNum}

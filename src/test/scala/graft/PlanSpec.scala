@@ -359,7 +359,10 @@ class PlanSpec extends AnyFunSuite {
     "q131_dsir_weights" -> 3,
     // q132: the returned plan is a projection over the checkpointed
     // vocabulary; the pair election ran as a driver-side 1-row action
-    "q132_bpe_apply" -> 0
+    "q132_bpe_apply" -> 0,
+    // q133: the kNN rank window + the per-(vec,label) vote agg + the
+    // winner agg; the label join-backs broadcast at gate SF
+    "q133_knn_classify" -> 3
   )
 
   test("no operator exceeds its shuffle budget") {
