@@ -504,6 +504,38 @@ object DedupSimQueries {
         )
     },
 
+    // q134: dedup-approximation certification — the q128 posture for
+    // the MinHash pipeline: precision/recall of q32's LSH+verify
+    // pairs against q31's exact Jaccard pairs, as ONE corpus-level
+    // report row. Verified LSH pairs are a subset of the exact set by
+    // construction (the verify stage re-checks exact Jaccard), so
+    // precision is 1 unless that invariant breaks — this query is
+    // the production monitor that would catch it, and recall is the
+    // band-geometry knob (b×r) a pipeline tunes against. Both sides
+    // share ONE checkpointed shingle frame; the intersection is an
+    // integer pair equi-join.
+    "q134_dedup_eval" -> { (s, dir) =>
+      val sh = shingles3(s, dir)
+      val exact = Dedup.ngramJaccardPairs(sh, JaccardThreshold).select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val sigs = Dedup.minhashSignatures(sh, NumPerms)
+      val approx = Dedup
+        .verifyJaccard(sh, Dedup.lshCandidates(sigs, NumPerms, RowsPerBand), JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val hit = exact.join(approx, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))
+      exact
+        .agg(count(lit(1)).as("n_exact"))
+        .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+        .crossJoin(hit)
+        .select(
+          col("n_exact"),
+          col("n_approx"),
+          col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_approx"), 4).as("precision"),
+          round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall")
+        )
+    },
+
     // q133: kNN label propagation — weak labeling by majority vote
     // over each vector's q82 ANN neighbors (corpus-wide: the block
     // key is a constant, so candidates come from the LSH sign
@@ -1269,6 +1301,19 @@ object DedupSimQueries {
         |       END AS q_max
         |FROM s""".stripMargin,
     "q82_knn_join" -> q82Sql,
+    // q134 oracle: the q31 and q32 oracles nested verbatim,
+    // intersected on the ordered pair.
+    "q134_dedup_eval" ->
+      s"""WITH x AS ($q31Sql),
+         |a AS ($q32Sql),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |      FROM x JOIN a ON a.doc_a = x.doc_a AND a.doc_b = x.doc_b),
+         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM x),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_approx FROM a)
+         |SELECT nx.n_exact, na.n_approx, h.n_hit,
+         |       round(CAST(h.n_hit AS DOUBLE) / na.n_approx, 4) AS precision,
+         |       round(CAST(h.n_hit AS DOUBLE) / nx.n_exact, 4) AS recall
+         |FROM nx CROSS JOIN na CROSS JOIN h""".stripMargin,
     // q133 oracle: the q82 kNN oracle nested verbatim, labels joined
     // onto the neighbor list, majority vote as arg_max over the
     // integer surrogate cnt * 2^32 - label (max count, then smallest

@@ -362,7 +362,11 @@ class PlanSpec extends AnyFunSuite {
     "q132_bpe_apply" -> 0,
     // q133: the kNN rank window + the per-(vec,label) vote agg + the
     // winner agg; the label join-backs broadcast at gate SF
-    "q133_knn_classify" -> 3
+    "q133_knn_classify" -> 3,
+    // q134: post-checkpoint plan over the two pair frames — the
+    // intersection join + three 1-row count aggregates (pair sets
+    // are unbounded at scale, so no broadcast hint)
+    "q134_dedup_eval" -> 5
   )
 
   test("no operator exceeds its shuffle budget") {
