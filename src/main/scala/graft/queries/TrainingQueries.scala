@@ -1029,12 +1029,13 @@ object TrainingQueries {
         .head
         .getString(0)
       val (a, b) = (top.substring(0, 1), top.substring(1, 2))
-      def q(s: String) = s.replace("'", "''")
+      // pure Column API: the winning pair is DATA — embedding it in an
+      // expr() string literal would break on a quote/backslash token
       tokFreq
         .select(
           col("tok"),
           col("freq"),
-          expr(s"replace(array_join(split(tok, ''), ' '), '${q(a)} ${q(b)}', '${q(top)}')").as("syms")
+          replace(array_join(split(col("tok"), ""), " "), lit(s"$a $b"), lit(top)).as("syms")
         )
         .withColumn("n_syms", size(split(col("syms"), " ")).cast("long"))
     },
