@@ -553,6 +553,28 @@ object Similarity {
     graft.sources.Formats.writePartitioned(codes, path, Seq("cell"))
   }
 
+  /** Append new vectors into an existing IVF+PQ layout — the daily
+    * ingest path (appendIvfIndex's twin for the composed index).
+    * `base` is the ORIGINAL quantized corpus: both the coarse
+    * centroids and the PQ codebooks derive from its first
+    * nCells/kw vectors (the deterministic-centroid convention), so
+    * appended codes are assigned and encoded under IDENTICAL geometry
+    * and append ≡ rebuild exactly (spec-asserted). At scale the two
+    * frames are dim-table-sized driver state (centroids) + one
+    * broadcast (codebooks); the append itself is one vec_id-keyed
+    * aggregate and a partitioned write into the same directories.
+    */
+  def appendIvfPqIndex(base: DataFrame, newVecs: DataFrame, nCells: Int, m: Int, subDim: Int, kw: Int, path: String): Unit = {
+    val cents = collectCentroids(base, nCells)
+    val withCell = newVecs.withColumn("cell", cellExpr(cents, col("qa")))
+    val codes = pqEncodeWith(withCell, base.filter(col("vec_id") < kw), m, subDim, carry = Seq("cell"))
+      .drop("recon_d2")
+    codes.write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(path)
+  }
+
   /** The probe tail shared by the persisted and in-memory paths:
     * probe cells from a scan-side sorted literal fold (no window, no
     * shuffle), DPP-prunable broadcast join onto the codes, ADC as a

@@ -795,6 +795,66 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
   }
 
+  test("streaming vector ingest feeds the q125 IVF+PQ index; append equals rebuild (the ANN maintenance path)") {
+    // the ingest job that keeps the composed ANN index current: new
+    // vectors arrive as a stream (already quantized under the frozen
+    // corpus scale — the index-build-time contract), each micro-batch
+    // APPENDS through appendIvfPqIndex under the same frozen
+    // centroids/codebooks. Search off the accumulated index must be
+    // byte-equal to a one-shot rebuild over the full corpus.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.KMeans
+    import graft.sim.Similarity
+    import graft.queries.DedupSimQueries.{AnnK, Dims, IvfPqCells, IvfPqNprobe, IvfPqRerank, PqCodewords, PqSubDim, PqSubspaces}
+    val qAll = KMeans
+      .quantizeShifted(graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .localCheckpoint()
+    val rows = qAll
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+      .toSeq
+    val boot = rows.takeWhile(_._1 < math.max(IvfPqCells, PqCodewords).toLong) ++
+      rows.dropWhile(_._1 < math.max(IvfPqCells, PqCodewords).toLong).take(100)
+    val rest = rows.drop(boot.size)
+    val streamPath = "target/graft_ivfpq_stream_spec"
+    val rebuildPath = "target/graft_ivfpq_rebuild_spec"
+    def cleanup(): Unit = Seq(streamPath, rebuildPath).foreach { p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    }
+    cleanup()
+    // bootstrap: day-0 build holds the convention vectors (ids 0..15)
+    Similarity.writeIvfPqIndex(
+      boot.toDF("vec_id", "qa"), IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, streamPath)
+    val stream = MemoryStream[(Long, Seq[Long])]
+    val query = stream
+      .toDF()
+      .toDF("vec_id", "qa")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendIvfPqIndex(qAll, batch, IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, streamPath)
+      }
+      .start()
+    try {
+      rest.grouped(math.max(rest.size / 3, 1)).foreach { c =>
+        stream.addData(c)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    Similarity.writeIvfPqIndex(qAll, IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, rebuildPath)
+    val probes = qAll.filter(col("vec_id") < 5)
+    def search(path: String) =
+      Similarity
+        .ivfPqTopKFromIndex(
+          spark, path, qAll, probes,
+          IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, IvfPqNprobe, IvfPqRerank, AnnK, Dims)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(search(streamPath) == search(rebuildPath), "stream-maintained IVF+PQ index diverged from rebuild")
+    cleanup()
+  }
+
   test("streaming gram-count ingest matches batch counts (the q126/q130 marking maintenance path)") {
     // the ingest job that keeps the corpus-wide duplicate-window
     // table current: arriving documents explode through the SAME
