@@ -537,22 +537,43 @@ object DedupSimQueries {
     },
 
     // q133: kNN label propagation — weak labeling by majority vote
-    // over each vector's q82 ANN neighbors (corpus-wide: the block
-    // key is a constant, so candidates come from the LSH sign
-    // buckets alone, unlike q82's within-label graph). Vote =
-    // max_by over the integer surrogate cnt·2³² − label (max count,
-    // then smallest label — deterministic, exact BIGINT); vectors
-    // whose buckets hold no neighbor keep a NULL prediction rather
-    // than vanishing. The confusion signal (correct flag) is what a
-    // label-quality audit thresholds on.
+    // over each vector's nearest neighbors WITHIN ITS IVF CELL
+    // (q129's corpus-scaled k-means partition: k = max(KmeansK,
+    // N/SemClusterTarget) keeps cells ~64 vectors, so the per-cell
+    // kNN is LINEAR in N — the first cut used constant-geometry LSH
+    // buckets whose occupancy grows with N and measured 16.9× at a
+    // 10× scale-up; cell-bounded candidates measure ~1×). Neighbor
+    // rank = exact integer L2² on the quantized vectors, ties by id;
+    // vote = max_by over the integer surrogate cnt·2³² − label (max
+    // count, then smallest label — deterministic, exact BIGINT);
+    // vectors alone in their cell keep a NULL prediction rather than
+    // vanishing. The correct flag is what a label-quality audit
+    // thresholds on.
     "q133_knn_classify" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
       val emb = Tables.embeddings(s, dir)
-      val knn = Dedup.knnJoin(
-        emb.withColumn("__blk", lit(1)),
-        "vec_id", "embedding", "__blk",
-        KnnK, EmbLshTables, EmbLshPlanes, Dims
-      )
+      val q = KMeans.quantizeShifted(emb, "vec_id", "embedding").localCheckpoint()
+      val k = math.max(KmeansK, (q.count() / SemClusterTarget).toInt)
+      val asg = KMeans
+        .refine(q, k, KmeansIters, Dims)
+        .join(q, Seq("vec_id"))
+        .select(col("vec_id"), col("cluster"), col("qa"))
+      val a = asg.select(col("cluster"), col("vec_id"), col("qa"))
+      val b = asg.select(col("cluster"), col("vec_id").as("neighbor_id"), col("qa").as("qb"))
+      val knn = a
+        .join(b, Seq("cluster"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("d2", KMeans.dist2(col("qa"), col("qb"), Dims))
+        .withColumn(
+          "rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("vec_id"))
+              .orderBy(col("d2").asc, col("neighbor_id").asc)
+          )
+        )
+        .filter(col("rank") <= KnnK)
+        .select(col("vec_id"), col("neighbor_id"))
       val lab = emb.select(col("vec_id"), col("label"))
       val votes = knn
         .join(
@@ -1314,12 +1335,23 @@ object DedupSimQueries {
          |       round(CAST(h.n_hit AS DOUBLE) / na.n_approx, 4) AS precision,
          |       round(CAST(h.n_hit AS DOUBLE) / nx.n_exact, 4) AS recall
          |FROM nx CROSS JOIN na CROSS JOIN h""".stripMargin,
-    // q133 oracle: the q82 kNN oracle nested verbatim, labels joined
-    // onto the neighbor list, majority vote as arg_max over the
-    // integer surrogate cnt * 2^32 - label (max count, then smallest
-    // label — deterministic, exact BIGINT).
+    // q133 oracle: the shared Lloyd chain with q129's dynamic seed
+    // count, within-cell pairs ranked by exact integer L2²
+    // (row_number over (d2, id)), labels joined onto the neighbor
+    // list, majority vote as arg_max over the integer surrogate
+    // cnt * 2^32 - label (max count, then smallest label).
     "q133_knn_classify" ->
-      s"""WITH knn AS (${knnSql("TRUE")}),
+      s"""WITH ${kmClusterCtes(s"vec_id < (SELECT greatest($KmeansK, count(*) // $SemClusterTarget) FROM q)")},
+         |asg AS (SELECT a.vec_id, a.cid AS cluster, q.qa
+         |        FROM (SELECT vec_id, cid FROM a${KmeansIters + 1} WHERE rn = 1) a JOIN q USING (vec_id)),
+         |knn AS (SELECT vec_id, neighbor_id FROM (
+         |          SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |                 row_number() OVER (PARTITION BY a.vec_id
+         |                                    ORDER BY CAST(list_sum(list_transform(list_zip(a.qa, b.qa),
+         |                                             z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) ASC,
+         |                                             b.vec_id ASC) AS rk
+         |          FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id != b.vec_id)
+         |        WHERE rk <= $KnnK),
          |lab AS (SELECT vec_id, label FROM embeddings),
          |votes AS (SELECT knn.vec_id, lab.label AS nl, CAST(count(*) AS BIGINT) AS cnt
          |          FROM knn JOIN lab ON lab.vec_id = knn.neighbor_id

@@ -546,22 +546,29 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
-  test("q133: predictions equal a driver-side majority vote over the corpus-wide kNN graph") {
-    import graft.dedup.Dedup
-    import graft.queries.DedupSimQueries.{Dims, EmbLshPlanes, EmbLshTables, KnnK}
-    import org.apache.spark.sql.functions.{col, lit}
+  test("q133: predictions equal a driver-side vote over within-cell exact-L2 neighbors") {
+    import graft.operators.KMeans
+    import graft.queries.DedupSimQueries.{Dims, KmeansIters, KmeansK, KnnK, SemClusterTarget}
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val labels = emb.select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val knn = Dedup
-      .knnJoin(emb.withColumn("__blk", lit(1)), "vec_id", "embedding", "__blk", KnnK, EmbLshTables, EmbLshPlanes, Dims)
-      .select("vec_id", "neighbor_id")
+    val q = KMeans.quantizeShifted(emb, "vec_id", "embedding").localCheckpoint()
+    val k = math.max(KmeansK, (q.count() / SemClusterTarget).toInt)
+    val qa = q.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val clusters = KMeans
+      .refine(q, k, KmeansIters, Dims)
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
-      .groupBy(_._1)
-    val expected = knn.map { case (v, ns) =>
-      val votes = ns.map(n => labels(n._2)).groupBy(identity).map { case (l, xs) => l -> xs.size }
-      // max count, then smallest label — the declared tie-break
-      v -> votes.toSeq.maxBy { case (l, c) => c.toLong * 4294967296L - l }._1
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long = (0 until Dims).map { i => val d = a(i) - b(i); d * d }.sum
+    val byCluster = clusters.keys.toSeq.groupBy(clusters)
+    val expected = clusters.flatMap { case (v, c) =>
+      val ns = byCluster(c).filter(_ != v).sortBy(n => (d2(qa(v), qa(n)), n)).take(KnnK)
+      if (ns.isEmpty) None
+      else {
+        val votes = ns.map(labels).groupBy(identity).map { case (l, xs) => l -> xs.size }
+        // max count, then smallest label — the declared tie-break
+        Some(v -> votes.toSeq.maxBy { case (l, c2) => c2.toLong * 4294967296L - l }._1)
+      }
     }
     val out = SparkEntry
       .queries("q133_knn_classify")(spark, sf)
@@ -572,7 +579,7 @@ class DedupSimSpec extends AnyFunSuite {
       assert(l == labels(v), s"vec $v actual label mismatch")
       assert(p == expected.get(v), s"vec $v prediction mismatch: $p vs ${expected.get(v)}")
     }
-    assert(expected.nonEmpty, "the LSH buckets must produce neighbors")
+    assert(expected.nonEmpty, "cells must produce neighbors")
   }
 
   test("q129: kept flags equal a driver-side SemDeDup recomputation from clusters + quantized vectors") {

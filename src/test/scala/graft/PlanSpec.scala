@@ -360,9 +360,12 @@ class PlanSpec extends AnyFunSuite {
     // q132: the returned plan is a projection over the checkpointed
     // vocabulary; the pair election ran as a driver-side 1-row action
     "q132_bpe_apply" -> 0,
-    // q133: the kNN rank window + the per-(vec,label) vote agg + the
-    // winner agg; the label join-backs broadcast at gate SF
-    "q133_knn_classify" -> 3,
+    // q133: post-checkpoint k-means assignment (argmin agg + vector
+    // re-join) + the within-cell pair join + the kNN rank window +
+    // the vote and winner aggs; cell-bounded candidates keep every
+    // exchange linear in N (the LSH-bucket first cut measured 16.9×
+    // at a 10× scale-up; this plan measures ~1×)
+    "q133_knn_classify" -> 6,
     // q134: post-checkpoint plan over the two pair frames — the
     // intersection join + three 1-row count aggregates (pair sets
     // are unbounded at scale, so no broadcast hint)
