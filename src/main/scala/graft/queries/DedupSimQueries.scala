@@ -672,6 +672,27 @@ object DedupSimQueries {
         )
     },
 
+    // q135: per-source duplication report — q126's accounting rolled
+    // up to the mixing decision's granularity ("which crawl is
+    // boilerplate-heavy?"): per source, docs touched by duplication
+    // and the corpus-level duplicated-token fraction in basis points
+    // (integer div — exact). ONE extra aggregate over q126's per-doc
+    // frame; the source column rides the existing doc stitch.
+    "q135_dup_by_source" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup
+        .substringDupStats(docs, "doc_id", "text", SubstrGramLen)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("dup_tokens") > 0, 1L).otherwise(0L)).as("dup_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("dup_tokens")).as("dup_tokens"),
+          expr("(sum(dup_tokens) * 10000) div sum(n_tokens)").as("dup_frac_bp")
+        )
+    },
+
     // q126: exact duplicated-substring coverage (Dedup
     // .substringDupStats — the Lee et al. 2022 span-level exact dedup
     // next to q30's whole-doc and q89's segment-level granularity):
@@ -1116,6 +1137,27 @@ object DedupSimQueries {
        |SELECT asg.vec_id, asg.cluster, (d.vec_id IS NULL) AS kept
        |FROM asg LEFT JOIN dropped d ON d.vec_id = asg.vec_id""".stripMargin
 
+  private lazy val q126Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}') AS tk
+         |           FROM documents),
+         |b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk FROM t),
+         |g0 AS (SELECT doc_id,
+         |              unnest(list_transform(range(1, CAST(n_tokens AS INT) - $SubstrGramLen + 2),
+         |                     i -> struct_pack(pos := i, s := array_to_string(tk[i:i+${SubstrGramLen - 1}], ' ')))) AS g
+         |       FROM b WHERE n_tokens >= $SubstrGramLen),
+         |g AS (SELECT doc_id, g.pos AS pos, ${strhash2Sql("(g.s)")} AS h FROM g0),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+         |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+         |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams FROM dp GROUP BY doc_id),
+         |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+         |        FROM (SELECT DISTINCT doc_id, pos + o AS idx
+         |              FROM dp CROSS JOIN (SELECT unnest(range(0, $SubstrGramLen)) AS o))
+         |        GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |       CAST(coalesce(ng.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+         |       CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens
+         |FROM b LEFT JOIN ng USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin
+
   /** q122 oracle: the same quantize CTE as q119, subvector slicing via
     * 1-based inclusive list ranges, per-(vec, subspace) argmin by
     * row_number, winners pivoted back to code columns in one group.
@@ -1467,26 +1509,21 @@ object DedupSimQueries {
     // DISTINCT-counting — a different (quadratic-in-k but obviously
     // correct) formulation of the same union size the Scala fold
     // computes.
-    "q126_substring_dedup" ->
-      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}') AS tk
-         |           FROM documents),
-         |b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk FROM t),
-         |g0 AS (SELECT doc_id,
-         |              unnest(list_transform(range(1, CAST(n_tokens AS INT) - $SubstrGramLen + 2),
-         |                     i -> struct_pack(pos := i, s := array_to_string(tk[i:i+${SubstrGramLen - 1}], ' ')))) AS g
-         |       FROM b WHERE n_tokens >= $SubstrGramLen),
-         |g AS (SELECT doc_id, g.pos AS pos, ${strhash2Sql("(g.s)")} AS h FROM g0),
-         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
-         |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
-         |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams FROM dp GROUP BY doc_id),
-         |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
-         |        FROM (SELECT DISTINCT doc_id, pos + o AS idx
-         |              FROM dp CROSS JOIN (SELECT unnest(range(0, $SubstrGramLen)) AS o))
-         |        GROUP BY doc_id)
-         |SELECT b.doc_id, b.n_tokens,
-         |       CAST(coalesce(ng.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
-         |       CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens
-         |FROM b LEFT JOIN ng USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
+    "q126_substring_dedup" -> q126Sql,
+
+    // q135 oracle: the q126 oracle nested verbatim, source joined on,
+    // one rollup with the bp fraction via `//` (non-negative operands
+    // — agrees with Spark's div).
+    "q135_dup_by_source" ->
+      s"""WITH perdoc AS ($q126Sql),
+         |j AS (SELECT p.*, d.source FROM perdoc p JOIN documents d USING (doc_id))
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(*) FILTER (dup_tokens > 0) AS BIGINT) AS dup_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens,
+         |       CAST((CAST(sum(dup_tokens) AS BIGINT) * 10000) // CAST(sum(n_tokens) AS BIGINT) AS BIGINT) AS dup_frac_bp
+         |FROM j GROUP BY source""".stripMargin,
     // q130 oracle: q126's marking CTEs, then token explode, anti-join
     // on covered indices, and order-preserving list reassembly.
     "q130_substring_clean" ->

@@ -369,7 +369,10 @@ class PlanSpec extends AnyFunSuite {
     // q134: post-checkpoint plan over the two pair frames — the
     // intersection join + three 1-row count aggregates (pair sets
     // are unbounded at scale, so no broadcast hint)
-    "q134_dedup_eval" -> 5
+    "q134_dedup_eval" -> 5,
+    // q135: q126's two exchanges + the per-source rollup agg; the
+    // source join rides the doc stitch
+    "q135_dup_by_source" -> 3
   )
 
   test("no operator exceeds its shuffle budget") {
