@@ -998,6 +998,34 @@ object TrainingQueries {
       graft.operators.LogReg.trainHardSigmoid(f, QualityWeightsBp.map(_._1), "y", QualityTrainRounds)
     },
 
+    // q136: train-set evaluation of q127's learned model — the
+    // train → score → audit loop closed: the learned (feature, w_bp)
+    // rows come back as a driver-sized collect (6 rows — a model IS
+    // dim-table state, the q132 election class), every doc is scored
+    // through LinearModel.scoreBp under the hard-sigmoid threshold
+    // (pred = z ≥ 0 ⟺ p ≥ ½), and ONE aggregate reports accuracy in
+    // exact BIGINT basis points. At 100 TB: one scan, one 1-row
+    // aggregate — the cheapest possible model audit.
+    "q136_train_eval" -> { (s, dir) =>
+      val xs = QualityWeightsBp.map(_._1)
+      val f = qualityModelScores(Tables.documents(s, dir), Seq("lang"))
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+      val w = graft.operators.LogReg
+        .trainHardSigmoid(f, xs, "y", QualityTrainRounds)
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      f.select(
+        col("y"),
+        (graft.etl.LinearModel.scoreBp(w("bias"), xs.map(c => c -> w(c))) >= 0L).cast("long").as("pred")
+      ).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("y")).as("n_target"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"),
+        expr("(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) * 10000) div count(*)").as("accuracy_bp")
+      )
+    },
+
     // q132: apply the winning BPE merge — the training step AFTER
     // q116's merge-candidate table: elect the top pair (count desc,
     // pair asc — bit-deterministic tie-break), then rewrite every
@@ -1524,6 +1552,7 @@ object TrainingQueries {
          |       END AS len_outlier
          |FROM j""".stripMargin,
     "q127_quality_train" -> q127Sql,
+    "q136_train_eval" -> q136Sql,
     "q131_dsir_weights" -> q131Sql,
     // q132 oracle: q116's vocab + pair CTEs, argmax pair by the same
     // (n DESC, pair ASC) order, then the identical literal replace
@@ -1581,7 +1610,11 @@ object TrainingQueries {
     * truncate toward zero (verified for negative operands), so the
     * gradient means and the learning-rate step agree bit-for-bit.
     */
-  private lazy val q127Sql: String = {
+  /** The shared q127 CTE chain (feature frame f with label, r0, the
+    * QualityTrainRounds unrolled (err, grad, update) rounds) — ONE
+    * definition both the q127 weight dump and the q136 eval nest.
+    */
+  private lazy val q127Ctes: String = {
     val xs = QualityWeightsBp.map(_._1)
     val zExpr = xs.zipWithIndex.map { case (c, i) => s"w_$i * $c" }.mkString("b + ", " + ", "")
     def roundCtes(r: Int): String = {
@@ -1598,11 +1631,7 @@ object TrainingQueries {
          |        ${xs.indices.map(i => s"w_$i - (g_$i // n) // ${graft.operators.LogReg.LrDiv} AS w_$i").mkString(", ")}
          |        FROM g$r CROSS JOIN $prev)""".stripMargin
     }
-    val unpivot = (s"SELECT 'bias' AS feature, b AS w_bp FROM r$QualityTrainRounds" +:
-      xs.zipWithIndex.map { case (c, i) =>
-        s"SELECT '$c' AS feature, w_$i AS w_bp FROM r$QualityTrainRounds"
-      }).mkString("\n|UNION ALL ")
-    s"""WITH f AS (SELECT CAST(least(n_chars, 400) AS BIGINT) AS len_capped,
+    s"""f AS (SELECT CAST(least(n_chars, 400) AS BIGINT) AS len_capped,
        |                  CAST(len(string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}')) AS BIGINT) AS n_tokens,
        |                  CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is)\\b')) AS BIGINT) AS stop_hits,
        |                  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_hits,
@@ -1610,7 +1639,33 @@ object TrainingQueries {
        |                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
        |           FROM documents),
        |r0 AS (SELECT ${("CAST(0 AS BIGINT) AS b" +: xs.indices.map(i => s"CAST(0 AS BIGINT) AS w_$i")).mkString(", ")}),
-       |${(1 to QualityTrainRounds).map(roundCtes).mkString(",\n")}
+       |${(1 to QualityTrainRounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val q127Sql: String = {
+    val xs = QualityWeightsBp.map(_._1)
+    val unpivot = (s"SELECT 'bias' AS feature, b AS w_bp FROM r$QualityTrainRounds" +:
+      xs.zipWithIndex.map { case (c, i) =>
+        s"SELECT '$c' AS feature, w_$i AS w_bp FROM r$QualityTrainRounds"
+      }).mkString("\n|UNION ALL ")
+    s"""WITH $q127Ctes
        |$unpivot""".stripMargin
+  }
+
+  /** q136 oracle: the shared q127 chain, every doc scored with the
+    * final weights (hard-sigmoid threshold: pred = z >= 0), one
+    * accuracy rollup in exact BIGINT basis points.
+    */
+  private lazy val q136Sql: String = {
+    val xs = QualityWeightsBp.map(_._1)
+    val zExpr = xs.zipWithIndex.map { case (c, i) => s"w_$i * $c" }.mkString("b + ", " + ", "")
+    s"""WITH $q127Ctes,
+       |scored AS (SELECT y, CASE WHEN ($zExpr) >= 0 THEN 1 ELSE 0 END AS pred
+       |           FROM f CROSS JOIN r$QualityTrainRounds)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(y) AS BIGINT) AS n_target,
+       |       CAST(count(*) FILTER (pred = y) AS BIGINT) AS n_correct,
+       |       CAST((CAST(count(*) FILTER (pred = y) AS BIGINT) * 10000) // count(*) AS BIGINT) AS accuracy_bp
+       |FROM scored""".stripMargin
   }
 }

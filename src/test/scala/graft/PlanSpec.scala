@@ -372,7 +372,10 @@ class PlanSpec extends AnyFunSuite {
     "q134_dedup_eval" -> 5,
     // q135: q126's two exchanges + the per-source rollup agg; the
     // source join rides the doc stitch
-    "q135_dup_by_source" -> 3
+    "q135_dup_by_source" -> 3,
+    // q136: one scan + the 1-row accuracy aggregate; training ran as
+    // driver-side actions behind checkpoints (the q127 convention)
+    "q136_train_eval" -> 1
   )
 
   test("no operator exceeds its shuffle budget") {
