@@ -672,6 +672,40 @@ object DedupSimQueries {
         )
     },
 
+    // q137: embedding-space drift monitor — the q96/q109 posture for
+    // the VECTOR side of the corpus: per label cohort, the integer
+    // centroid of the quantized embeddings (per-dim sum div count —
+    // non-negative, exact) and its L2² distance from the global
+    // centroid. A cohort whose centroid wanders is a re-embed or
+    // upstream-shift signal no feature-space profile sees. TWO
+    // map-side-combinable aggregates (cohort + global), centroid
+    // frames are label-count-sized, distance is the unrolled integer
+    // Column tree — all-BIGINT exact.
+    "q137_embedding_drift" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = KMeans
+        .quantizeShifted(emb, "vec_id", "embedding")
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      def centroid(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+        grouped.agg(
+          count(lit(1)).as("n"),
+          // element_at: 1-based on BOTH engines (Spark's qa[i] would
+          // be 0-based — the classic off-by-one trap)
+          array((1 to Dims).map(i => expr(s"CAST(sum(element_at(qa, $i)) AS BIGINT) div count(1)")): _*).as("ca")
+        )
+      val perLabel = centroid(q.groupBy(col("label")))
+      val global = centroid(q.groupBy())
+        .select(col("ca").as("ga"))
+        .localCheckpoint()
+      perLabel
+        .crossJoin(broadcast(global))
+        .select(
+          col("label"),
+          col("n").as("n_vecs"),
+          KMeans.dist2(col("ca"), col("ga"), Dims).as("drift_d2")
+        )
+    },
+
     // q135: per-source duplication report — q126's accounting rolled
     // up to the mixing decision's granularity ("which crawl is
     // boilerplate-heavy?"): per source, docs touched by duplication
@@ -1503,6 +1537,36 @@ object DedupSimQueries {
          |WHERE round(dot / (na.nrm * nb.nrm), 4) >= $TfidfCosThreshold""".stripMargin,
     "q101_cms_est" -> q101Sql,
     "q129_semantic_dedup" -> q129Sql,
+    // q137 oracle: the shared quantize CTE, per-(cohort, dim) integer
+    // means via the q119 updateCte pattern, global means the same
+    // way, L2² between the centroid lists.
+    "q137_embedding_drift" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |           WHERE len(embedding) > 0
+         |             AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)),
+         |gs AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
+         |q AS (SELECT vec_id,
+         |             CASE WHEN s = 0 THEN list_transform(v, x -> CAST(${KMeans.Shift} AS BIGINT))
+         |                  ELSE list_transform(v, x -> CAST(round(127 * x / s) AS BIGINT) + ${KMeans.Shift})
+         |             END AS qa
+         |      FROM e CROSS JOIN gs),
+         |j AS (SELECT q.vec_id, q.qa, emb.label
+         |      FROM q JOIN embeddings emb ON emb.vec_id = q.vec_id),
+         |lc AS (SELECT label, i,
+         |              CAST(CAST(sum(qa[CAST(i AS INT)]) AS BIGINT) // count(*) AS BIGINT) AS coord,
+         |              count(*) AS n
+         |       FROM j CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i)
+         |       GROUP BY label, i),
+         |lcent AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vecs, list(coord ORDER BY i) AS ca
+         |          FROM lc GROUP BY label),
+         |gc AS (SELECT i, CAST(CAST(sum(qa[CAST(i AS INT)]) AS BIGINT) // count(*) AS BIGINT) AS coord
+         |       FROM j CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i)
+         |       GROUP BY i),
+         |gcent AS (SELECT list(coord ORDER BY i) AS ga FROM gc)
+         |SELECT label, n_vecs,
+         |       CAST(list_sum(list_transform(list_zip(ca, ga),
+         |            z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS drift_d2
+         |FROM lcent CROSS JOIN gcent""".stripMargin,
     // q126 oracle: windows + positions via correlated unnest, the same
     // strhash2 twin as the MinHash family, and span coverage by
     // exploding each marked window to its k covered indices and

@@ -375,7 +375,10 @@ class PlanSpec extends AnyFunSuite {
     "q135_dup_by_source" -> 3,
     // q136: one scan + the 1-row accuracy aggregate; training ran as
     // driver-side actions behind checkpoints (the q127 convention)
-    "q136_train_eval" -> 1
+    "q136_train_eval" -> 1,
+    // q137: the per-label centroid aggregate; the global centroid is
+    // checkpointed and broadcast, the label join rides the scan
+    "q137_embedding_drift" -> 1
   )
 
   test("no operator exceeds its shuffle budget") {
