@@ -531,8 +531,12 @@ object DedupSimQueries {
           col("n_exact"),
           col("n_approx"),
           col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_approx"), 4).as("precision"),
-          round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall")
+          // explicit NULL on a zero denominator, mirrored by nullif in
+          // the oracle — Spark's non-ANSI Divide and DuckDB's IEEE
+          // division diverge (NULL vs inf/NaN) exactly in the
+          // degenerate no-duplicate corpus otherwise
+          when(col("n_approx") > 0, round(col("n_hit").cast("double") / col("n_approx"), 4)).as("precision"),
+          when(col("n_exact") > 0, round(col("n_hit").cast("double") / col("n_exact"), 4)).as("recall")
         )
     },
 
@@ -582,9 +586,13 @@ object DedupSimQueries {
         )
         .groupBy(col("vec_id"), col("nl"))
         .agg(count(lit(1)).as("cnt"))
+      // max count, then smallest label — a struct ordering (the q113
+      // pattern), valid for ANY label domain; the earlier arithmetic
+      // surrogate cnt·2³² − label silently mis-voted on negative or
+      // ≥2³² labels.
       val pred = votes
         .groupBy(col("vec_id"))
-        .agg(max_by(col("nl"), col("cnt") * lit(4294967296L) - col("nl")).as("pred"))
+        .agg(max_by(col("nl"), struct(col("cnt"), (-col("nl")).as("neg_label"))).as("pred"))
       lab
         .join(pred, Seq("vec_id"), "left_outer")
         .select(col("vec_id"), col("label"), col("pred"), (col("pred") === col("label")).as("correct"))
@@ -1408,14 +1416,15 @@ object DedupSimQueries {
          |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM x),
          |na AS (SELECT CAST(count(*) AS BIGINT) AS n_approx FROM a)
          |SELECT nx.n_exact, na.n_approx, h.n_hit,
-         |       round(CAST(h.n_hit AS DOUBLE) / na.n_approx, 4) AS precision,
-         |       round(CAST(h.n_hit AS DOUBLE) / nx.n_exact, 4) AS recall
+         |       round(CAST(h.n_hit AS DOUBLE) / nullif(na.n_approx, 0), 4) AS precision,
+         |       round(CAST(h.n_hit AS DOUBLE) / nullif(nx.n_exact, 0), 4) AS recall
          |FROM nx CROSS JOIN na CROSS JOIN h""".stripMargin,
     // q133 oracle: the shared Lloyd chain with q129's dynamic seed
     // count, within-cell pairs ranked by exact integer L2²
     // (row_number over (d2, id)), labels joined onto the neighbor
-    // list, majority vote as arg_max over the integer surrogate
-    // cnt * 2^32 - label (max count, then smallest label).
+    // list, majority vote as arg_max over (cnt, -label) — max count,
+    // then smallest label, the q113 struct-ordering pattern (HUGEINT
+    // negation is exact for any BIGINT label).
     "q133_knn_classify" ->
       s"""WITH ${kmClusterCtes(s"vec_id < (SELECT greatest($KmeansK, count(*) // $SemClusterTarget) FROM q)")},
          |asg AS (SELECT a.vec_id, a.cid AS cluster, q.qa
@@ -1432,7 +1441,7 @@ object DedupSimQueries {
          |votes AS (SELECT knn.vec_id, lab.label AS nl, CAST(count(*) AS BIGINT) AS cnt
          |          FROM knn JOIN lab ON lab.vec_id = knn.neighbor_id
          |          GROUP BY 1, 2),
-         |pred AS (SELECT vec_id, arg_max(nl, cnt * 4294967296 - nl) AS pred
+         |pred AS (SELECT vec_id, arg_max(nl, CAST(cnt AS HUGEINT) * 18446744073709551616 - nl) AS pred
          |         FROM votes GROUP BY vec_id)
          |SELECT l.vec_id, l.label, p.pred, (p.pred = l.label) AS correct
          |FROM lab l LEFT JOIN pred p ON p.vec_id = l.vec_id""".stripMargin,

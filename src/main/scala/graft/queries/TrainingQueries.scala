@@ -1046,7 +1046,7 @@ object TrainingQueries {
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("freq"))
         .localCheckpoint()
-      val top = tokFreq
+      val topOpt = tokFreq
         .filter(length(col("tok")) >= 2)
         .select(col("tok"), col("freq"), explode(expr("sequence(1, length(tok) - 1)")).as("i"))
         .select(expr("substring(tok, i, 2)").as("pair"), col("freq"))
@@ -1054,17 +1054,29 @@ object TrainingQueries {
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
         .limit(1)
-        .head
-        .getString(0)
-      val (a, b) = (top.substring(0, 1), top.substring(1, 2))
+        .collect()
+        .headOption
+        .map(_.getString(0))
+      val joined = array_join(split(col("tok"), ""), " ")
       // pure Column API: the winning pair is DATA — embedding it in an
-      // expr() string literal would break on a quote/backslash token
+      // expr() string literal would break on a quote/backslash token.
+      // The pair was elected by Spark's code-point substring, so the
+      // two symbols are extracted by CODE POINT here too — Java's
+      // UTF-16 String.substring would split a surrogate pair on a
+      // non-BMP winner (emoji/astral CJK) into a malformed merge
+      // literal. A corpus with no 2+-char token has no pair to merge:
+      // the vocabulary passes through unmerged (oracle mirrors via a
+      // NULL scalar-subquery pair).
+      val syms = topOpt match {
+        case Some(top) =>
+          val cps = top.codePoints().toArray
+          require(cps.length == 2, s"BPE winning pair must be 2 code points, got ${cps.length} in '$top'")
+          val (a, b) = (new String(cps, 0, 1), new String(cps, 1, 1))
+          replace(joined, lit(s"$a $b"), lit(top))
+        case None => joined
+      }
       tokFreq
-        .select(
-          col("tok"),
-          col("freq"),
-          replace(array_join(split(col("tok"), ""), " "), lit(s"$a $b"), lit(top)).as("syms")
-        )
+        .select(col("tok"), col("freq"), syms.as("syms"))
         .withColumn("n_syms", size(split(col("syms"), " ")).cast("long"))
     },
 
@@ -1566,12 +1578,15 @@ object TrainingQueries {
          |pc AS (SELECT substring(tok, CAST(i AS INT), 2) AS pair, CAST(sum(freq) AS BIGINT) AS n
          |       FROM (SELECT tok, freq, unnest(range(1, len(tok))) AS i FROM tf WHERE len(tok) >= 2)
          |       GROUP BY pair),
-         |top AS (SELECT pair FROM pc ORDER BY n DESC, pair ASC LIMIT 1),
+         |top AS (SELECT (SELECT pair FROM pc ORDER BY n DESC, pair ASC LIMIT 1) AS pair),
          |sp AS (SELECT tok, CAST(freq AS BIGINT) AS freq,
-         |              replace(array_to_string(list_transform(range(1, length(tok) + 1),
-         |                                      i -> substr(tok, CAST(i AS INT), 1)), ' '),
-         |                      substr(pair, 1, 1) || ' ' || substr(pair, 2, 1), pair) AS syms
-         |       FROM tf CROSS JOIN top)
+         |              CASE WHEN pair IS NULL THEN joined
+         |                   ELSE replace(joined, substr(pair, 1, 1) || ' ' || substr(pair, 2, 1), pair)
+         |              END AS syms
+         |       FROM (SELECT tok, freq,
+         |                    array_to_string(list_transform(range(1, length(tok) + 1),
+         |                                    i -> substr(tok, CAST(i AS INT), 1)), ' ') AS joined
+         |             FROM tf) CROSS JOIN top)
          |SELECT tok, freq, syms, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_syms FROM sp""".stripMargin
   )
 
