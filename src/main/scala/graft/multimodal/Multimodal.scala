@@ -137,27 +137,46 @@ object Multimodal {
 
   // --- q118: perceptual-hash near-dup over decoded payloads ---------
 
-  /** dHash strip length: 61 "luminance" bytes → 60 gradient bits, so
-    * the hash is exactly [[graft.functions.SimHashAgg.Bits]] wide and
-    * the pigeonhole Hamming join (Dedup.simhashNearPairs) applies
-    * unchanged.
+  /** dHash strip length: 127 "luminance" bytes → 126 gradient bits,
+    * carried as TWO 63-bit BIGINT words (bit 62 is the top bit of each
+    * word, so no sign-bit arithmetic anywhere on either engine). The
+    * width is the blocking-selectivity fix for the pigeonhole Hamming
+    * join (Dedup.hammingNearPairs2): at maxDist = 8 the 9 chunks get
+    * 14 bits each — 16K bucket values per chunk instead of the 64 a
+    * 60-bit hash afforded (where ~N/64 of the corpus shared every
+    * bucket and the candidate join was effectively quadratic, the
+    * round-9 verdict's worst scaling term). 126 = 9 × 14 exactly, so
+    * no gradient bit is dead for blocking. A real dHash has gradient
+    * bits to spare — this is a 9×14 or 14×9 downscale instead of 8×8.
     */
-  val StripBytes = 61
+  val StripBytes = 127
+
+  /** Gradient bits per signature word (and the word count). */
+  val WordBits = 63
+  val HashBits: Int = 2 * WordBits
 
   /** Synthetic image-id space for the re-encode corpus: doc_id % this
     * is the underlying image, doc_id / this the re-encode variant.
     */
   val ReencodeImages = 250
 
+  /** Perturbation modulus for the re-encode synthesis: positions
+    * j ≡ r (mod 67) over j ∈ [0, 127) hit at most TWO strip bytes
+    * (j = r and r + 67), each byte sits in two adjacent gradient
+    * comparisons, so a variant lands at Hamming ≤ 4 of its original —
+    * comfortably inside the ≤ 8 near-dup radius.
+    */
+  val PerturbMod = 67
+
   /** Deterministic decoded-luminance synthesis — the STAND-IN for a
     * real decode→grayscale→downscale stage (no codecs in container):
     * byte j of image `img` comes from md5(img ":" j/16) (16 bytes per
-    * md5 call, 4 calls per strip), and a re-encode variant (v > 0)
-    * perturbs the ~2 strip positions where (j + 11·v + 3·doc_id) ≡ 0
-    * (mod 31) by +16 — the "same picture, slightly different pixels"
-    * signature a lossy re-encode leaves. Every byte is an
-    * engine-portable integer expression, so the DuckDB oracle rebuilds
-    * the identical strip.
+    * md5 call, 8 calls per strip), and a re-encode variant (v > 0)
+    * perturbs the ≤2 strip positions where (j + 11·v + 3·doc_id) ≡ 0
+    * (mod [[PerturbMod]]) by +16 — the "same picture, slightly
+    * different pixels" signature a lossy re-encode leaves. Every byte
+    * is an engine-portable integer expression, so the DuckDB oracle
+    * rebuilds the identical strip.
     */
   def lumaStrip(docId: Column): Seq[Column] = {
     val img = docId % ReencodeImages
@@ -168,38 +187,38 @@ object Multimodal {
       val h = md5(concat(img.cast("string"), lit(":"), lit(j / 16)))
       val raw = conv(substring(h, 2 * (j % 16) + 1, 1), 16, 10).cast("long") * 16 +
         conv(substring(h, 2 * (j % 16) + 2, 1), 16, 10).cast("long")
-      when(v > 0 && (lit(j) + lit(11) * v + docId * 3) % 31 === 0, (raw + 16) % 256)
+      when(v > 0 && (lit(j) + lit(11) * v + docId * 3) % PerturbMod === 0, (raw + 16) % 256)
         .otherwise(raw)
     }
   }
 
-  /** 60-bit dHash: bit i = strip[i] > strip[i+1] (the gradient-sign
-    * hash real image pipelines use on downscaled luminance rows),
-    * folded into one BIGINT as a flat codegen'd expression tree —
-    * distinct powers of two, so the sum IS the bit-OR. A re-encode's
-    * k perturbed bytes flip at most 2k bits (each byte sits in two
-    * adjacent comparisons), which is what makes Hamming ≤ 8 the right
-    * near-dup radius for the ≤2-byte perturbation above.
-    */
-  def dhash60(strip: Seq[Column]): Column = {
-    require(strip.length == StripBytes, s"need $StripBytes strip bytes, got ${strip.length}")
-    (0 until StripBytes - 1)
-      .map(i => when(strip(i) > strip(i + 1), lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-  }
-
-  /** [[dhash60]] over a MATERIALIZED strip array column. Folding the
-    * synthesis exprs directly into the 60 comparisons lets Catalyst's
+  /** 126-bit dHash as two 63-bit words: gradient bit i = strip[i] >
+    * strip[i+1] (the gradient-sign hash real image pipelines use on
+    * downscaled luminance rows); bits 0-62 fold into word 0, bits
+    * 63-125 into word 1 — each a flat codegen'd expression tree of
+    * distinct powers of two, so the sum IS the bit-OR and bit 62 is
+    * the top bit of each word (no sign-bit arithmetic on either
+    * engine). A re-encode's k perturbed bytes flip at most 2k bits
+    * (each byte sits in two adjacent comparisons), which is what makes
+    * Hamming ≤ 8 the right near-dup radius for the ≤2-byte
+    * perturbation above.
+    *
+    * Input is a MATERIALIZED strip array column: folding the synthesis
+    * exprs directly into the 126 comparisons lets Catalyst's
     * CollapseProject + SimplifyExtractValueOps re-inline each md5+conv
-    * byte chain at every bit that references it (~120 copies — q118
-    * measured 11.9 s cold at 500 rows). Computing the strip ONCE into
-    * an array behind a lineage cut and hashing via element_at drops
-    * that to interpretation-trivial comparisons (0.7 s).
+    * byte chain at every bit that references it (~250 copies — the
+    * 60-bit ancestor measured 11.9 s cold at 500 rows). Computing the
+    * strip ONCE into an array behind a lineage cut and hashing via
+    * element_at keeps the comparisons interpretation-trivial.
     */
-  def dhash60FromArray(strip: Column): Column =
-    (0 until StripBytes - 1)
-      .map(i => when(element_at(strip, i + 1) > element_at(strip, i + 2), lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
+  def dhash126FromArray(strip: Column): Seq[Column] =
+    (0 until 2).map { w =>
+      (0 until WordBits)
+        .map(b => w * WordBits + b)
+        .filter(_ < StripBytes - 1)
+        .map(i => when(element_at(strip, i + 1) > element_at(strip, i + 2), lit(1L << (i - w * WordBits))).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }
 
   /** Partition-batched decode. A real implementation would initialize
     * a codec once per partition and decode each payload; the decode

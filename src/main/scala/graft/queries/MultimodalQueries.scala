@@ -19,31 +19,35 @@ object MultimodalQueries {
   // q118: near-dup radius for the dHash pigeonhole join — a re-encode
   // variant perturbs ≤2 strip bytes, each flipping ≤2 gradient bits,
   // so a (variant, variant) pair sits at Hamming ≤ 8 while unrelated
-  // images sit near 30 of 60 (P[≤8] ≈ 2e-8: no false pairs at any
+  // images sit near 63 of 126 (P[≤8] ≈ 1e-24: no false pairs at any
   // plausible corpus size per block).
   val PhashMaxDist = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q118: perceptual-hash near-duplicate detection over DECODED
-    // media (the LAION-shape image dedup): a 60-bit gradient dHash per
-    // payload as a pure codegen'd Column tree (decode stands in as
-    // deterministic luminance synthesis — no codecs in container),
-    // then Hamming ≤ 8 pairs via the SAME pigeonhole chunk equi-join
-    // SimHash text dedup uses (Dedup.simhashNearPairs): hashes travel
-    // as single BIGINTs, candidates come from 9 chunk buckets, never
-    // an all-pairs scan. Oracle rebuilds the identical strip bytes and
-    // compares ALL pairs — the pigeonhole join must lose nothing.
+    // media (the LAION-shape image dedup): a 126-bit gradient dHash
+    // per payload as a pure codegen'd Column tree over two 63-bit
+    // BIGINT words (decode stands in as deterministic luminance
+    // synthesis — no codecs in container), then Hamming ≤ 8 pairs via
+    // the two-word pigeonhole chunk equi-join (Dedup.
+    // hammingNearPairs2): 9 chunks × 14 bits = 16K bucket values per
+    // chunk — the round-9 fix for the 60-bit geometry whose 64-value
+    // chunk keys made ~14% of all pairs candidates. Hashes travel as
+    // two BIGINTs, never an all-pairs scan. Oracle rebuilds the
+    // identical strip bytes and compares ALL pairs — the pigeonhole
+    // join must lose nothing.
     "q118_phash_neardup" -> { (s, dir) =>
       import org.apache.spark.sql.functions.{array, col}
       // strip materialized ONCE behind a lineage cut — see
-      // Multimodal.dhash60FromArray for why inlining is 17× slower
+      // Multimodal.dhash126FromArray for why inlining is 17× slower
       val strips = Tables
         .documents(s, dir)
         .select(col("doc_id"), array(Multimodal.lumaStrip(col("doc_id")): _*).as("sa"))
         .localCheckpoint()
-      val sigs = strips.select(col("doc_id"), Multimodal.dhash60FromArray(col("sa")).as("simhash"))
+      val words = Multimodal.dhash126FromArray(col("sa"))
+      val sigs = strips.select(col("doc_id"), words(0).as("h0"), words(1).as("h1"))
       graft.dedup.Dedup
-        .simhashNearPairs(sigs, PhashMaxDist)
+        .hammingNearPairs2(sigs, PhashMaxDist, Multimodal.WordBits)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
     },
     "q40_multimodal_meta" -> { (s, dir) =>
@@ -73,19 +77,23 @@ object MultimodalQueries {
          |                     CAST(2 * (js.j % 16) + 2 AS INT), 1)) - 1) AS raw
          |      FROM d CROSS JOIN js),
          |p AS (SELECT doc_id, j,
-         |             CASE WHEN v > 0 AND (j + 11 * v + doc_id * 3) % 31 = 0
+         |             CASE WHEN v > 0 AND (j + 11 * v + doc_id * 3) % ${Multimodal.PerturbMod} = 0
          |                  THEN (raw + 16) % 256 ELSE raw END AS byte
          |      FROM b),
          |n AS (SELECT doc_id, j, byte,
          |             lead(byte) OVER (PARTITION BY doc_id ORDER BY j) AS nb FROM p),
          |h AS (SELECT doc_id,
-         |             CAST(sum(CASE WHEN byte > nb THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-         |                           ELSE 0 END) AS BIGINT) AS ph
+         |             CAST(sum(CASE WHEN byte > nb AND j < ${Multimodal.WordBits}
+         |                           THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+         |                           ELSE 0 END) AS BIGINT) AS h0,
+         |             CAST(sum(CASE WHEN byte > nb AND j >= ${Multimodal.WordBits}
+         |                           THEN (CAST(1 AS BIGINT) << CAST(j - ${Multimodal.WordBits} AS INT))
+         |                           ELSE 0 END) AS BIGINT) AS h1
          |      FROM n WHERE j < ${Multimodal.StripBytes - 1} GROUP BY doc_id)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+         |       CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS INT) AS hamming
          |FROM h a JOIN h b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.ph, b.ph)) <= $PhashMaxDist""".stripMargin,
+         |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= $PhashMaxDist""".stripMargin,
     "q40_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id,

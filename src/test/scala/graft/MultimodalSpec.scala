@@ -64,15 +64,17 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("q118: pigeonhole dHash pairs equal brute-force all-pairs Hamming, and every planted re-encode pair is found") {
     import graft.queries.MultimodalQueries.PhashMaxDist
+    val words = Multimodal.dhash126FromArray(col("sa"))
     val hashes = Tables
       .documents(spark, sf)
-      .select(col("doc_id"), Multimodal.dhash60(Multimodal.lumaStrip(col("doc_id"))).as("h"))
+      .select(col("doc_id"), array(Multimodal.lumaStrip(col("doc_id")): _*).as("sa"))
+      .select(col("doc_id"), words(0).as("h0"), words(1).as("h1"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    // brute-force ground truth over the collected 60-bit hashes
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force ground truth over the collected two-word 126-bit hashes
     val brute = (for {
-      (a, ha) <- hashes; (b, hb) <- hashes if a < b
-      d = java.lang.Long.bitCount(ha ^ hb) if d <= PhashMaxDist
+      (a, a0, a1) <- hashes; (b, b0, b1) <- hashes if a < b
+      d = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1) if d <= PhashMaxDist
     } yield (a, b, d)).toSet
     val got = SparkEntry
       .queries("q118_phash_neardup")(spark, sf)

@@ -700,6 +700,66 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.forall(_._2 > 0))
   }
 
+  test("two-word pigeonhole Hamming join: zero missed pairs at the radius boundary, bounded candidates") {
+    import spark.implicits._
+    val maxDist = 8
+    val wordBits = 63
+    val totalBits = 2 * wordBits
+    val rnd = new Random(87)
+    val wordMask = (1L << wordBits) - 1
+    // 400 random base signatures + planted variants at Hamming exactly
+    // 7 / 8 / 9 — the radius boundary the pigeonhole contract must get
+    // right (7/8 inside, 9 outside)
+    val base = (0 until 400).map(i => (i.toLong, rnd.nextLong() & wordMask, rnd.nextLong() & wordMask))
+    val planted = (0 until 30).map { i =>
+      val d = 7 + i % 3
+      val (id, b0, b1) = base(i)
+      var (v0, v1) = (b0, b1)
+      rnd.shuffle((0 until totalBits).toList).take(d).foreach { p =>
+        if (p < wordBits) v0 ^= (1L << p) else v1 ^= (1L << (p - wordBits))
+      }
+      (1000L + id, v0, v1, d)
+    }
+    val all = base ++ planted.map(p => (p._1, p._2, p._3))
+    val got = Dedup
+      .hammingNearPairs2(all.toDF("doc_id", "h0", "h1"), maxDist, wordBits)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // ground truth: brute-force two-word Hamming over all pairs
+    val brute = (for {
+      (a, a0, a1) <- all; (b, b0, b1) <- all if a < b
+      d = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1) if d <= maxDist
+    } yield (a, b, d)).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    planted.foreach { case (vid, _, _, d) =>
+      val inPairs = got.exists { case (a, b, _) => b == vid && a == vid - 1000L }
+      if (d <= maxDist) assert(inPairs, s"planted pair at Hamming $d missed")
+      else assert(!inPairs, s"planted pair at Hamming $d (beyond radius) emitted")
+    }
+    // candidate-count bound for the 14-bit chunk geometry: expected
+    // chunk collisions among random signatures ≈ pairs·chunks/2^14 —
+    // assert the actual blocking stays within 6× of that plus the
+    // planted near-pairs (the old 6-bit geometry put ~14% of ALL pairs
+    // in the candidate set and would blow this bound by ~250×)
+    val widths = Seq.fill(maxDist + 1)(totalBits / (maxDist + 1))
+    val lows = widths.scanLeft(0)(_ + _)
+    def chunkVal(h0: Long, h1: Long, c: Int): Long = {
+      val full = (BigInt(h1) << wordBits) | BigInt(h0)
+      ((full >> lows(c)) & ((BigInt(1) << widths(c)) - 1)).toLong
+    }
+    val candidates = (for {
+      (a, a0, a1) <- all; (b, b0, b1) <- all if a < b
+      if (0 to maxDist).exists(c => chunkVal(a0, a1, c) == chunkVal(b0, b1, c))
+    } yield 1).size
+    val nPairs = all.size.toLong * (all.size - 1) / 2
+    val expected = nPairs * (maxDist + 1) / (1 << 14)
+    assert(
+      candidates <= expected * 6 + brute.size,
+      s"candidate blocking degraded: $candidates candidates vs expected ~$expected random + ${brute.size} near"
+    )
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest
       .getInstance("MD5")
