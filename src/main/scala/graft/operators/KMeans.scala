@@ -87,6 +87,85 @@ object KMeans {
     assign(q, refineCentroids(q, k, iters, dims), dims)
       .select(col("vec_id"), col("cluster"), col("d2").as("dist2"))
 
+  /** Two-level (coarse IVF → cell-local fine) Lloyd refinement — the
+    * CORPUS-SCALED-k path. Flat [[refine]] broadcasts all k centroids
+    * against every vector: N·k work per round, which is N²/64 when k
+    * grows with the corpus (the SemDeDup contract k = N/target —
+    * measured 5.6× at a 10× scale-up in round 9), and at 10⁸ vectors
+    * k ≈ 1.5M centroid rows stop being broadcastable at all. Here:
+    *
+    *   1. a COARSE Voronoi partition of nc = ceil(√k) centroids is
+    *      Lloyd-trained with [[refineCentroids]] (N·√k per round, and
+    *      nc stays broadcast-sized for any feasible corpus);
+    *   2. the k fine seeds (first k vectors — the flat seeding
+    *      convention) are PINNED each to its coarse cell, the
+    *      FAISS-IVF fixed-coarse-quantizer posture; cells holding no
+    *      seed are dropped from the vector assignment (every vector
+    *      must land in a cell with fine candidates), so each vector
+    *      coarse-assigns once against the ACTIVE cells — N·√k, and
+    *      that partition is checkpointed: it is exactly the persisted
+    *      IVF layout (q107) a 100 TB run would pay once at ingest;
+    *   3. each fine Lloyd round assigns vectors only against their
+    *      OWN cell's fine centroids — an equi-join on the cell id
+    *      (~√k candidates per vector: N·√k per round, no broadcast of
+    *      the k-row frame), update/empty-cluster rules identical to
+    *      flat.
+    *
+    * Total N·√k per round instead of N·k. The assignment DEFINITION
+    * differs from flat exactly when a vector's nearest fine centroid
+    * sits in a foreign coarse cell — on a corpus whose coarse cells
+    * are well-separated the two coincide (KMeansSpec proves this), and
+    * that approximation is the declared SemDeDup/IVF trade. Same
+    * output shape and cluster-id space as [[refine]]: (vec_id,
+    * cluster, dist2), cluster ∈ [0, k), all-BIGINT exact.
+    */
+  def refineTwoLevel(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val nc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val coarse = refineCentroids(q, nc, iters, dims)
+    // fine seeds assigned against ALL coarse cells once (k·√k work)
+    var fine = assign(q.filter(col("vec_id") < k), coarse, dims)
+      .select(col("vec_id").as("cid"), col("cluster").as("cell"), col("qa").as("ca"))
+      .localCheckpoint()
+    val nSeeds = fine.count()
+    require(
+      nSeeds == k,
+      s"two-level k-means seeding expects vec_ids 0..${k - 1} present after quantizeShifted's " +
+        s"degenerate-vector filter; found $nSeeds of $k — re-id the corpus or lower k"
+    )
+    val active = fine.select(col("cell").as("cid")).distinct()
+    val activeCents = coarse.join(active, Seq("cid"))
+    // the fixed coarse partition every fine round (and the final
+    // assignment) reads — checkpoint once, N rows
+    val vcell = assign(q, activeCents, dims)
+      .select(col("vec_id"), col("qa"), col("cluster").as("cell"))
+      .localCheckpoint()
+    def fineAssign(f: DataFrame): DataFrame =
+      vcell
+        .join(f, Seq("cell"))
+        .withColumn("d2", dist2(col("qa"), col("ca"), dims))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("qa")).as("qa"))
+        .select(col("vec_id"), col("qa"), col("m.cid").as("cluster"), col("m.d2").as("d2"))
+    for (_ <- 1 to iters) {
+      val a = fineAssign(fine)
+      val sums = a
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), (1 to dims).map(i => sum(element_at(col("qa"), i)).as(s"s$i")): _*)
+      val next = sums.select(
+        col("cluster").as("cid"),
+        array((1 to dims).map(i => expr(s"s$i div n")): _*).as("nca")
+      )
+      // empty fine clusters keep their centroid; the cell pin never
+      // moves even as coordinates do (declared contract, oracle-mirrored)
+      fine = fine
+        .join(next, Seq("cid"), "left_outer")
+        .select(col("cid"), col("cell"), coalesce(col("nca"), col("ca")).as("ca"))
+        .localCheckpoint()
+    }
+    fineAssign(fine).select(col("vec_id"), col("cluster"), col("d2").as("dist2"))
+  }
+
   /** The refined centroid frame (cid, ca) after T Lloyd rounds — the
     * piece PQ composes with: refined centroids feed
     * [[graft.sim.Similarity.pqEncodeWith]] as trained codebooks

@@ -546,11 +546,13 @@ object DedupSimQueries {
     // N/SemClusterTarget) keeps cells ~64 vectors, so the per-cell
     // kNN is LINEAR in N — the first cut used constant-geometry LSH
     // buckets whose occupancy grows with N and measured 16.9× at a
-    // 10× scale-up; cell-bounded candidates measure ~1×). Neighbor
-    // rank = exact integer L2² on the quantized vectors, ties by id;
-    // vote = max_by over the integer surrogate cnt·2³² − label (max
-    // count, then smallest label — deterministic, exact BIGINT);
-    // vectors alone in their cell keep a NULL prediction rather than
+    // 10× scale-up; cell-bounded candidates measure ~1×). Clustering
+    // is the TWO-LEVEL assignment (KMeans.refineTwoLevel — N·√k, the
+    // round-10 fix for flat assignment's N·k with corpus-scaled k).
+    // Neighbor rank = exact integer L2² on the quantized vectors,
+    // ties by id; vote = max_by over (cnt, −label) (max count, then
+    // smallest label — deterministic for any label domain); vectors
+    // alone in their cell keep a NULL prediction rather than
     // vanishing. The correct flag is what a label-quality audit
     // thresholds on.
     "q133_knn_classify" -> { (s, dir) =>
@@ -559,7 +561,7 @@ object DedupSimQueries {
       val q = KMeans.quantizeShifted(emb, "vec_id", "embedding").localCheckpoint()
       val k = math.max(KmeansK, (q.count() / SemClusterTarget).toInt)
       val asg = KMeans
-        .refine(q, k, KmeansIters, Dims)
+        .refineTwoLevel(q, k, KmeansIters, Dims)
         .join(q, Seq("vec_id"))
         .select(col("vec_id"), col("cluster"), col("qa"))
       val a = asg.select(col("cluster"), col("vec_id"), col("qa"))
@@ -612,16 +614,20 @@ object DedupSimQueries {
     // be quadratic — measured 5.5× at a 10× scale-up before this).
     // That is the SemDeDup contract made executable; the count that
     // sizes k is one scan of the checkpointed quantized frame (the
-    // "train the clustering" step every SemDeDup run pays). At 1e9+
-    // vectors the broadcast-k assignment inside KMeans.refine is the
-    // next bottleneck — the two-level IVF assignment (q107) is the
-    // production path there; the prune stage is shape-identical.
+    // "train the clustering" step every SemDeDup run pays). The
+    // clustering itself is the TWO-LEVEL assignment (KMeans.
+    // refineTwoLevel — coarse √k-cell Voronoi partition, then
+    // cell-local fine Lloyd): N·√k per round instead of flat
+    // assignment's N·k, which was N²/64 with corpus-scaled k
+    // (measured 5.6× at a 10× scale-up in round 9) and whose k
+    // broadcast centroids stop being literal-codegen-able at 1e8+
+    // vectors. The prune stage is shape-identical either way.
     "q129_semantic_dedup" -> { (s, dir) =>
       val q = KMeans.quantizeShifted(Tables.embeddings(s, dir), "vec_id", "embedding").localCheckpoint()
       val k = math.max(KmeansK, (q.count() / SemClusterTarget).toInt)
       val centered = (c: String, i: Int) => element_at(col(c), i) - KMeans.Shift
       val asg = KMeans
-        .refine(q, k, KmeansIters, Dims)
+        .refineTwoLevel(q, k, KmeansIters, Dims)
         .join(q, Seq("vec_id"))
         .withColumn("n2", (1 to Dims).map(i => centered("qa", i) * centered("qa", i)).reduce(_ + _))
       val a = asg.select(col("cluster"), col("vec_id").as("ia"), col("qa").as("va"), col("n2").as("na2"))
@@ -1102,7 +1108,7 @@ object DedupSimQueries {
     * agree), empty clusters covered by the same LEFT JOIN + coalesce.
     */
   private def kmAssignCte(n: Int, cSrc: String): String =
-    s"""a$n AS (SELECT vec_id, qa, cid, d2,
+    s"""a$n AS MATERIALIZED (SELECT vec_id, qa, cid, d2,
        |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
        |FROM (SELECT q.vec_id, q.qa, c.cid,
        |             CAST(list_sum(list_transform(list_zip(q.qa, c.ca),
@@ -1110,12 +1116,12 @@ object DedupSimQueries {
        |      FROM q CROSS JOIN $cSrc c))""".stripMargin
 
   private def kmUpdateCte(n: Int, prev: String): String =
-    s"""s$n AS (SELECT cid, i,
+    s"""s$n AS MATERIALIZED (SELECT cid, i,
        |       CAST(CAST(sum(qa[CAST(i AS INT)]) AS BIGINT) // count(*) AS BIGINT) AS coord
        |FROM (SELECT qa, cid FROM a$n WHERE rn = 1) t
        |     CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i)
        |GROUP BY cid, i),
-       |c$n AS (SELECT p.cid, coalesce(u.ca, p.ca) AS ca
+       |c$n AS MATERIALIZED (SELECT p.cid, coalesce(u.ca, p.ca) AS ca
        |FROM $prev p LEFT JOIN (SELECT cid, list(coord ORDER BY i) AS ca
        |                        FROM s$n GROUP BY cid) u USING (cid))""".stripMargin
 
@@ -1132,12 +1138,12 @@ object DedupSimQueries {
        |           WHERE len(embedding) > 0
        |             AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)),
        |gs AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
-       |q AS (SELECT vec_id,
+       |q AS MATERIALIZED (SELECT vec_id,
        |             CASE WHEN s = 0 THEN list_transform(v, x -> CAST(${KMeans.Shift} AS BIGINT))
        |                  ELSE list_transform(v, x -> CAST(round(127 * x / s) AS BIGINT) + ${KMeans.Shift})
        |             END AS qa
        |      FROM e CROSS JOIN gs),
-       |c0 AS (SELECT vec_id AS cid, qa AS ca FROM q WHERE $c0Filter),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, qa AS ca FROM q WHERE $c0Filter),
        |$rounds,
        |${kmAssignCte(KmeansIters + 1, s"c$KmeansIters")}""".stripMargin
   }
@@ -1154,18 +1160,71 @@ object DedupSimQueries {
        |SELECT vec_id, cid AS cluster, d2 AS dist2
        |FROM a${KmeansIters + 1} WHERE rn = 1""".stripMargin
 
-  /** q129 oracle: the shared Lloyd chain with the DYNAMIC seed count
-    * k = greatest(KmeansK, N // SemClusterTarget) (the Spark side
-    * computes the same k from the same count), then the SemDeDup drop
-    * rule from first principles: centered integer dot/norms per pair
-    * within a cluster, tau=2/5 compared as 25*dot^2 >= 4*|a|^2*|b|^2
-    * with dot > 0 — all-BIGINT exact.
+  private def kmD2Sql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+
+  /** The corpus-scaled k both q129 and q133 size their clustering with
+    * (Spark twin: max(KmeansK, (q.count() / SemClusterTarget).toInt)).
+    */
+  private val kmKSub = s"(SELECT greatest($KmeansK, count(*) // $SemClusterTarget) FROM q)"
+
+  /** The two-level CTE chain mirroring KMeans.refineTwoLevel exactly:
+    * the shared coarse Lloyd chain seeded with nc = ceil(√k)
+    * centroids (kmClusterCtes — CTEs e, gs, q, cN, aN, sN), fine
+    * seeds = the first k vectors PINNED to their coarse cell (f0,
+    * read off the coarse final-assign CTE), active cells = cells
+    * holding ≥1 fine seed, each vector coarse-assigned once against
+    * active cells only (vcell), then KmeansIters cell-local fine
+    * Lloyd rounds (faN, fsN, fN — assign joins ON cell, argmin by
+    * (d2, cid) row_number, integral-mean update, empty clusters keep
+    * their centroid, cell pins never move). Final assignment CTE:
+    * fa{KmeansIters+1} (rn = 1) with (vec_id, cid, d2).
+    */
+  private def kmTwoLevelCtes(kExpr: String): String = {
+    val T = KmeansIters
+    def fineRound(n: Int): String =
+      s"""fa$n AS MATERIALIZED (SELECT vec_id, qa, cell, cid, d2,
+         |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+         |FROM (SELECT v.vec_id, v.qa, v.cell, f.cid, ${kmD2Sql("v.qa", "f.ca")} AS d2
+         |      FROM vcell v JOIN f${n - 1} f ON f.cell = v.cell)),
+         |fs$n AS MATERIALIZED (SELECT cid, i,
+         |       CAST(CAST(sum(qa[CAST(i AS INT)]) AS BIGINT) // count(*) AS BIGINT) AS coord
+         |FROM (SELECT qa, cid FROM fa$n WHERE rn = 1) t
+         |     CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i)
+         |GROUP BY cid, i),
+         |f$n AS MATERIALIZED (SELECT p.cid, p.cell, coalesce(u.ca, p.ca) AS ca
+         |FROM f${n - 1} p LEFT JOIN (SELECT cid, list(coord ORDER BY i) AS ca
+         |                        FROM fs$n GROUP BY cid) u USING (cid))""".stripMargin
+    val ncFilter = s"vec_id < (SELECT CAST(ceil(sqrt($kExpr)) AS BIGINT) FROM q)"
+    s"""${kmClusterCtes(ncFilter)},
+       |f0 AS MATERIALIZED (SELECT a.vec_id AS cid, a.cid AS cell, a.qa AS ca
+       |       FROM a${T + 1} a WHERE a.rn = 1 AND a.vec_id < $kExpr),
+       |act AS (SELECT DISTINCT cell FROM f0),
+       |acents AS (SELECT c.cid, c.ca FROM c$T c JOIN act ON act.cell = c.cid),
+       |vcell AS MATERIALIZED (SELECT vec_id, qa, cid AS cell FROM (
+       |          SELECT q.vec_id, q.qa, c.cid,
+       |                 row_number() OVER (PARTITION BY q.vec_id
+       |                                    ORDER BY ${kmD2Sql("q.qa", "c.ca")} ASC, c.cid ASC) AS rn
+       |          FROM q CROSS JOIN acents c) WHERE rn = 1),
+       |${(1 to T).map(fineRound).mkString(",\n")},
+       |fa${T + 1} AS MATERIALIZED (SELECT vec_id, qa, cell, cid, d2,
+       |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+       |FROM (SELECT v.vec_id, v.qa, v.cell, f.cid, ${kmD2Sql("v.qa", "f.ca")} AS d2
+       |      FROM vcell v JOIN f$T f ON f.cell = v.cell))""".stripMargin
+  }
+
+  /** q129 oracle: the two-level Lloyd chain with the DYNAMIC seed
+    * count k = greatest(KmeansK, N // SemClusterTarget) (the Spark
+    * side computes the same k from the same count), then the SemDeDup
+    * drop rule from first principles: centered integer dot/norms per
+    * pair within a cluster, tau=2/5 compared as 25*dot^2 >=
+    * 4*|a|^2*|b|^2 with dot > 0 — all-BIGINT exact.
     */
   private lazy val q129Sql: String =
-    s"""WITH ${kmClusterCtes(s"vec_id < (SELECT greatest($KmeansK, count(*) // $SemClusterTarget) FROM q)")},
+    s"""WITH ${kmTwoLevelCtes(kmKSub)},
        |asg AS (SELECT a.vec_id, a.cid AS cluster, q.qa,
        |               CAST(list_sum(list_transform(q.qa, x -> (x - ${KMeans.Shift}) * (x - ${KMeans.Shift}))) AS BIGINT) AS n2
-       |        FROM (SELECT vec_id, cid FROM a${KmeansIters + 1} WHERE rn = 1) a JOIN q USING (vec_id)),
+       |        FROM (SELECT vec_id, cid FROM fa${KmeansIters + 1} WHERE rn = 1) a JOIN q USING (vec_id)),
        |dropped AS (SELECT DISTINCT b.vec_id
        |            FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
        |            WHERE CAST(list_sum(list_transform(list_zip(a.qa, b.qa),
@@ -1419,16 +1478,16 @@ object DedupSimQueries {
          |       round(CAST(h.n_hit AS DOUBLE) / nullif(na.n_approx, 0), 4) AS precision,
          |       round(CAST(h.n_hit AS DOUBLE) / nullif(nx.n_exact, 0), 4) AS recall
          |FROM nx CROSS JOIN na CROSS JOIN h""".stripMargin,
-    // q133 oracle: the shared Lloyd chain with q129's dynamic seed
-    // count, within-cell pairs ranked by exact integer L2²
-    // (row_number over (d2, id)), labels joined onto the neighbor
+    // q133 oracle: the shared two-level Lloyd chain with q129's
+    // dynamic seed count, within-cell pairs ranked by exact integer
+    // L2² (row_number over (d2, id)), labels joined onto the neighbor
     // list, majority vote as arg_max over (cnt, -label) — max count,
     // then smallest label, the q113 struct-ordering pattern (HUGEINT
     // negation is exact for any BIGINT label).
     "q133_knn_classify" ->
-      s"""WITH ${kmClusterCtes(s"vec_id < (SELECT greatest($KmeansK, count(*) // $SemClusterTarget) FROM q)")},
+      s"""WITH ${kmTwoLevelCtes(kmKSub)},
          |asg AS (SELECT a.vec_id, a.cid AS cluster, q.qa
-         |        FROM (SELECT vec_id, cid FROM a${KmeansIters + 1} WHERE rn = 1) a JOIN q USING (vec_id)),
+         |        FROM (SELECT vec_id, cid FROM fa${KmeansIters + 1} WHERE rn = 1) a JOIN q USING (vec_id)),
          |knn AS (SELECT vec_id, neighbor_id FROM (
          |          SELECT a.vec_id, b.vec_id AS neighbor_id,
          |                 row_number() OVER (PARTITION BY a.vec_id

@@ -555,7 +555,7 @@ class DedupSimSpec extends AnyFunSuite {
     val k = math.max(KmeansK, (q.count() / SemClusterTarget).toInt)
     val qa = q.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     val clusters = KMeans
-      .refine(q, k, KmeansIters, Dims)
+      .refineTwoLevel(q, k, KmeansIters, Dims)
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
@@ -567,7 +567,7 @@ class DedupSimSpec extends AnyFunSuite {
       else {
         val votes = ns.map(labels).groupBy(identity).map { case (l, xs) => l -> xs.size }
         // max count, then smallest label — the declared tie-break
-        Some(v -> votes.toSeq.maxBy { case (l, c2) => c2.toLong * 4294967296L - l }._1)
+        Some(v -> votes.toSeq.maxBy { case (l, c2) => (c2.toLong, -l.toLong) }._1)
       }
     }
     val out = SparkEntry
@@ -584,14 +584,17 @@ class DedupSimSpec extends AnyFunSuite {
 
   test("q129: kept flags equal a driver-side SemDeDup recomputation from clusters + quantized vectors") {
     import graft.operators.KMeans
-    import graft.queries.DedupSimQueries.{Dims, KmeansIters, KmeansK, SemDedupTauDen, SemDedupTauNum}
-    val clusters = SparkEntry
-      .queries("q119_kmeans_refine")(spark, sf)
+    import graft.queries.DedupSimQueries.{Dims, KmeansIters, KmeansK, SemClusterTarget, SemDedupTauDen, SemDedupTauNum}
+    val qdf = KMeans
+      .quantizeShifted(graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .localCheckpoint()
+    val k = math.max(KmeansK, (qdf.count() / SemClusterTarget).toInt)
+    val clusters = KMeans
+      .refineTwoLevel(qdf, k, KmeansIters, Dims)
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
-    val qa = KMeans
-      .quantizeShifted(graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val qa = qdf
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_ - KMeans.Shift).toArray)
       .toMap

@@ -182,4 +182,46 @@ class KMeansSpec extends AnyFunSuite {
       .toSet
     assert(got == expected, s"diverges: missing=${expected -- got} extra=${got -- expected}")
   }
+
+  /** The two-level theorem: on a corpus whose coarse cells are
+    * well-separated (tight blobs, one fine seed per blob, blob
+    * separation orders beyond blob radius), refineTwoLevel's
+    * cell-restricted assignment equals flat refine — same clusters,
+    * same centroids, same exact dist2 per vector. The approximation
+    * the two-level path trades away only bites when a vector's
+    * nearest fine centroid lives in a FOREIGN coarse cell, which
+    * well-separation precludes.
+    */
+  test("two-level refinement equals flat refinement on a well-separated corpus") {
+    import spark.implicits._
+    val groups = 9
+    val n = 180
+    val dims = 8
+    val rnd = new scala.util.Random(19)
+    // group g's blob center: (100·(g%3), 100·(g/3), 0...) — blobs 100
+    // apart in the leading dims, jitter ±2 confined to dims 2..7 so no
+    // blob can straddle a Voronoi boundary; vec_ids 0..8 are one per
+    // blob (the seeding convention both paths share)
+    val rows = (0 until n).map { id =>
+      val g = id % groups
+      val v = Array.tabulate(dims) { d =>
+        if (d == 0) (g % 3) * 100.0
+        else if (d == 1) (g / 3) * 100.0
+        else (rnd.nextInt(5) - 2).toDouble
+      }
+      (id.toLong, v.toSeq)
+    }
+    val q = KMeans
+      .quantizeShifted(rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .localCheckpoint()
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val flat = run(KMeans.refine(q, groups, 3, dims))
+    val two = run(KMeans.refineTwoLevel(q, groups, 3, dims))
+    assert(two == flat, s"two-level diverges from flat: missing=${flat -- two} extra=${two -- flat}")
+    // and the labeling recovers the planted blobs exactly
+    val byCluster = flat.groupBy(_._2).values.map(_.map(_._1 % groups)).toSeq
+    assert(byCluster.size == groups)
+    byCluster.foreach(members => assert(members.toSet.size == 1, s"cluster mixes blobs: $members"))
+  }
 }

@@ -344,11 +344,15 @@ class PlanSpec extends AnyFunSuite {
     // brute-force side is checkpointed and both stitch joins
     // broadcast k·probes-row frames
     "q128_ann_recall" -> 8,
-    // q129: k-means final assignment (2 post-checkpoint: argmin agg +
-    // vector re-join) + pair join on cluster + dropped-set distinct
-    // (2) + the kept stitch; within-cluster pair frame never leaves
-    // the cluster key
-    "q129_semantic_dedup" -> 6,
+    // q129: the two-level final assignment (cell equi-join of the
+    // checkpointed vcell/fine frames + argmin agg — the N·√k shape
+    // that replaced flat broadcast-k's N·k) + vector re-join + pair
+    // join on cluster + dropped-set distinct + the kept stitch. More
+    // exchanges than the flat plan (12 vs 6) but every added one
+    // carries (id, cell/cluster, qa) rows keyed on bounded-occupancy
+    // cells — the flat plan's fewer exchanges hid an N·k compute term
+    // and a k-row broadcast that stops codegen-ing at 1e8 vectors
+    "q129_semantic_dedup" -> 12,
     // q130: the gram-hash occurrence agg + the covered-index distinct
     // + the per-doc reassembly agg; the anti-join and the final doc
     // stitch ride those exchanges
@@ -360,12 +364,12 @@ class PlanSpec extends AnyFunSuite {
     // q132: the returned plan is a projection over the checkpointed
     // vocabulary; the pair election ran as a driver-side 1-row action
     "q132_bpe_apply" -> 0,
-    // q133: post-checkpoint k-means assignment (argmin agg + vector
-    // re-join) + the within-cell pair join + the kNN rank window +
-    // the vote and winner aggs; cell-bounded candidates keep every
-    // exchange linear in N (the LSH-bucket first cut measured 16.9×
-    // at a 10× scale-up; this plan measures ~1×)
-    "q133_knn_classify" -> 6,
+    // q133: the two-level final assignment (cell equi-join + argmin
+    // agg, q129's budget note) + vector re-join + the within-cell
+    // pair join + the kNN rank window + the vote and winner aggs;
+    // cell-bounded candidates keep every exchange linear in N (the
+    // LSH-bucket first cut measured 16.9× at a 10× scale-up)
+    "q133_knn_classify" -> 10,
     // q134: post-checkpoint plan over the two pair frames — the
     // intersection join + three 1-row count aggregates (pair sets
     // are unbounded at scale, so no broadcast hint)
