@@ -34,18 +34,46 @@ import org.apache.spark.sql.functions._
   *     cancel — duplicated or overlapping parts, q4-style dedup
   *     belongs upstream).
   * A T-junction (one part's edge equals two collinear edges of its
-  * neighbors) cannot be detected from edge counts and is the declared
-  * out-of-contract case — same vertex-agreement precondition the
-  * planar-partition literature states for this construction.
+  * neighbors) cannot be detected from edge counts and is out of the
+  * DEFAULT contract — same vertex-agreement precondition the
+  * planar-partition literature states for this construction. The
+  * `snapVertices = true` mode widens the contract to cover it: every
+  * group vertex lying strictly inside a collinear edge is inserted
+  * into that edge before cancellation (the standard noding/snapping
+  * normalization), so a long edge abutting two shorter neighbor
+  * edges splits into sub-edges that cancel exactly. Splitting
+  * preserves the shoelace cross sum exactly in BIGINT (for m on
+  * segment a→b: cross(a,m) + cross(m,b) = cross(a,b)), L1 edge
+  * length, and the boundary envelope, so only the edge COUNTS change
+  * where a split lands — which is precisely the T-junction being
+  * repaired. Cost of the widened mode: one per-group (edge × vertex)
+  * join — group-quadratic, acceptable because a dissolve group is
+  * ONE geographic unit's colliding parts (dim-sized by the reference
+  * workload, pl_geo.py's per-geoid merge loop); the exact-vertex
+  * default keeps the two-aggregate zero-join fast path.
   */
 object Dissolve {
 
-  /** A ring's edges prepared for cancellation counting: endpoints
-    * canonicalized to lexicographic order (so both traversal
-    * directions of a shared edge collide in one groupBy key) plus the
-    * DIRECTED shoelace cross term, computed before canonicalization.
-    * Degenerate rings (< 3 vertices) yield no edges — the same
-    * verdict [[GeoFunctions.shoelace2]] reaches with its 0 area.
+  /** One canonicalized edge struct: endpoints in lexicographic order
+    * (so both traversal directions of a shared edge collide in one
+    * groupBy key) plus the DIRECTED shoelace cross term, computed
+    * before canonicalization.
+    */
+  private def canonEdge(ax: Column, ay: Column, bx: Column, by: Column): Column = {
+    val fwd = (ax < bx) || (ax === bx && ay <= by)
+    struct(
+      when(fwd, ax).otherwise(bx).as("ex"),
+      when(fwd, ay).otherwise(by).as("ey"),
+      when(fwd, bx).otherwise(ax).as("fx"),
+      when(fwd, by).otherwise(ay).as("fy"),
+      (ax * by - bx * ay).as("cross")
+    )
+  }
+
+  /** A ring's edges prepared for cancellation counting (see
+    * [[canonEdge]]). Degenerate rings (< 3 vertices) yield no edges —
+    * the same verdict [[GeoFunctions.shoelace2]] reaches with its 0
+    * area.
     */
   def ringEdges(ring: Column): Column = {
     val n = size(ring)
@@ -54,18 +82,7 @@ object Dissolve {
       i => {
         val a = element_at(ring, i + 1)
         val b = element_at(ring, ((i + 1) % n) + 1)
-        val ax = a.getField("x")
-        val ay = a.getField("y")
-        val bx = b.getField("x")
-        val by = b.getField("y")
-        val fwd = (ax < bx) || (ax === bx && ay <= by)
-        struct(
-          when(fwd, ax).otherwise(bx).as("ex"),
-          when(fwd, ay).otherwise(by).as("ey"),
-          when(fwd, bx).otherwise(ax).as("fx"),
-          when(fwd, by).otherwise(ay).as("fy"),
-          (ax * by - bx * ay).as("cross")
-        )
+        canonEdge(a.getField("x"), a.getField("y"), b.getField("x"), b.getField("y"))
       }
     )
     // typed empty literal, NOT an expression over `edges`: the taken
@@ -88,10 +105,99 @@ object Dissolve {
     * union's) envelope — q88's mergeEnvelopes hull, derived here from
     * the true geometry.
     */
-  def dissolve(parts: DataFrame, idCol: String, ringCol: String): DataFrame = {
-    val e = parts
-      .select(col(idCol), explode(ringEdges(col(ringCol))).as("e"))
+  def dissolve(parts: DataFrame, idCol: String, ringCol: String): DataFrame =
+    dissolve(parts, idCol, ringCol, snapVertices = false)
+
+  /** A ring's DIRECTED edges, un-canonicalized: (ax, ay) → (bx, by)
+    * in traversal order. The snap pass needs direction (sub-edge
+    * cross terms are computed per directed sub-segment) and identity
+    * (splits attach to one traversal, not the canonical pair).
+    */
+  def ringEdgesDirected(ring: Column): Column = {
+    val n = size(ring)
+    val edges = transform(
+      sequence(lit(0), n - 1),
+      i => {
+        val a = element_at(ring, i + 1)
+        val b = element_at(ring, ((i + 1) % n) + 1)
+        struct(
+          a.getField("x").as("ax"),
+          a.getField("y").as("ay"),
+          b.getField("x").as("bx"),
+          b.getField("y").as("by")
+        )
+      }
+    )
+    val none = expr("CAST(array() AS array<struct<ax: bigint, ay: bigint, bx: bigint, by: bigint>>)")
+    when(n < 3, none).otherwise(edges)
+  }
+
+  /** The snapped canonical edge frame: every group vertex strictly
+    * interior to a collinear edge splits that edge, on BOTH of its
+    * traversals (the vertex set is per-group global, so an interior
+    * edge's two directions split identically and still cancel).
+    * Identity of a directed edge is (group, part row, edge ordinal) —
+    * NOT the coordinate tuple — so a same-direction duplicate edge
+    * (the overlap violation) keeps two rows here and still trips the
+    * downstream multiplicity guard instead of being silently merged.
+    */
+  private def snappedEdges(parts: DataFrame, idCol: String, ringCol: String): DataFrame = {
+    val d = parts
+      .withColumn("__pid", monotonically_increasing_id())
+      .select(col(idCol), col("__pid"), posexplode(ringEdgesDirected(col(ringCol))).as(Seq("__ei", "e")))
+      .select(col(idCol), col("__pid"), col("__ei"), col("e.ax"), col("e.ay"), col("e.bx"), col("e.by"))
+    val verts = d
+      .select(col(idCol).as("__vid"), col("ax").as("px"), col("ay").as("py"))
+      .distinct()
+    val interior =
+      (col("bx") - col("ax")) * (col("py") - col("ay")) === (col("by") - col("ay")) * (col("px") - col("ax")) &&
+        col("px") >= least(col("ax"), col("bx")) && col("px") <= greatest(col("ax"), col("bx")) &&
+        col("py") >= least(col("ay"), col("by")) && col("py") <= greatest(col("ay"), col("by")) &&
+        !(col("px") === col("ax") && col("py") === col("ay")) &&
+        !(col("px") === col("bx") && col("py") === col("by"))
+    val withMids = d
+      .join(verts, col(idCol) === col("__vid") && interior, "left")
+      .groupBy(col(idCol), col("__pid"), col("__ei"), col("ax"), col("ay"), col("bx"), col("by"))
+      .agg(
+        sort_array(
+          collect_set(
+            when(
+              col("px").isNotNull,
+              struct((abs(col("px") - col("ax")) + abs(col("py") - col("ay"))).as("d"), col("px"), col("py"))
+            )
+          )
+        ).as("mids")
+      )
+    val nodes = concat(
+      array(struct(col("ax").as("x"), col("ay").as("y"))),
+      transform(col("mids"), m => struct(m.getField("px").as("x"), m.getField("py").as("y"))),
+      array(struct(col("bx").as("x"), col("by").as("y")))
+    )
+    withMids
+      .withColumn("__nodes", nodes)
+      .select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(0), size(col("__nodes")) - 2),
+            i => {
+              val a = element_at(col("__nodes"), i + 1)
+              val b = element_at(col("__nodes"), i + 2)
+              canonEdge(a.getField("x"), a.getField("y"), b.getField("x"), b.getField("y"))
+            }
+          )
+        ).as("e")
+      )
       .select(col(idCol), col("e.ex"), col("e.ey"), col("e.fx"), col("e.fy"), col("e.cross"))
+  }
+
+  def dissolve(parts: DataFrame, idCol: String, ringCol: String, snapVertices: Boolean): DataFrame = {
+    val e =
+      if (snapVertices) snappedEdges(parts, idCol, ringCol)
+      else
+        parts
+          .select(col(idCol), explode(ringEdges(col(ringCol))).as("e"))
+          .select(col(idCol), col("e.ex"), col("e.ey"), col("e.fx"), col("e.fy"), col("e.cross"))
     val perEdge = e
       .groupBy(col(idCol), col("ex"), col("ey"), col("fx"), col("fy"))
       .agg(count(lit(1)).as("mult"), sum(col("cross")).as("crs"))

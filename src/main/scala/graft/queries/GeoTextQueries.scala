@@ -271,6 +271,66 @@ object GeoTextQueries {
           col("bb_x_hi"),
           col("bb_y_hi")
         )
+    },
+
+    // q139: dissolve under the WIDENED vertex-snapping contract
+    // (Dissolve.scaladoc): the input deliberately mixes part sizes —
+    // a bottom row of 20×10 rectangles and a top row of 10×10
+    // squares — so a square's bottom edge abuts only HALF of a
+    // rectangle's top edge (a T-junction at the rectangle midpoint,
+    // exactly the case q124's exact-vertex contract declares out of
+    // scope). snapVertices inserts each group vertex into collinear
+    // edges before cancellation; the split halves then cancel with
+    // the squares above while unsupported halves stay boundary. The
+    // oracle replays the identical snap (edge × group-vertex
+    // collinearity join, lead() chain walk) in SQL. n_parts is an
+    // honest per-geoid part count (the q124 incidence formula assumes
+    // uniform 4-edge parts, which splitting breaks) — a 97-row agg,
+    // broadcast back.
+    "q139_dissolve_snap" -> { (s, dir) =>
+      val k = col("c_custkey")
+      val cust = Tables.customer(s, dir)
+      val rects = cust
+        .select((k % 97).as("geoid"), ((k * 7919) % 6).as("j"))
+        .dropDuplicates("geoid", "j")
+        .select(
+          col("geoid"),
+          array(
+            ringPoint(col("j") * 20, lit(0L)),
+            ringPoint(col("j") * 20 + 20, lit(0L)),
+            ringPoint(col("j") * 20 + 20, lit(10L)),
+            ringPoint(col("j") * 20, lit(10L))
+          ).as("ring")
+        )
+      val squares = cust
+        .select((k % 97).as("geoid"), ((k * 104729) % 12).as("i"))
+        .dropDuplicates("geoid", "i")
+        .select(
+          col("geoid"),
+          array(
+            ringPoint(col("i") * 10, lit(10L)),
+            ringPoint(col("i") * 10 + 10, lit(10L)),
+            ringPoint(col("i") * 10 + 10, lit(20L)),
+            ringPoint(col("i") * 10, lit(20L))
+          ).as("ring")
+        )
+      val parts = rects.unionByName(squares)
+      val np = parts.groupBy(col("geoid")).agg(count(lit(1)).as("n_parts"))
+      Dissolve
+        .dissolve(parts, "geoid", "ring", snapVertices = true)
+        .join(broadcast(np), Seq("geoid"))
+        .select(
+          col("geoid"),
+          col("n_parts"),
+          col("area2"),
+          col("n_boundary_edges"),
+          col("n_interior_edges"),
+          col("perimeter"),
+          col("bb_x_lo"),
+          col("bb_y_lo"),
+          col("bb_x_hi"),
+          col("bb_y_hi")
+        )
     }
   )
 
@@ -381,6 +441,69 @@ object GeoTextQueries {
         |       max(CASE WHEN mult = 1 THEN greatest(ex, fx) END) AS bb_x_hi,
         |       max(CASE WHEN mult = 1 THEN greatest(ey, fy) END) AS bb_y_hi
         |FROM pe GROUP BY geoid""".stripMargin,
+    // q139 oracle: the same directed-edge fan-out as q124's, two part
+    // shapes (20×10 rects, 10×10 squares), then the snap replayed
+    // generically: group vertices (v) joined to collinear strictly-
+    // interior positions on each directed edge (sp), each edge walked
+    // endpoint→splits→endpoint ordered by L1 distance along the
+    // traversal (chain + lead window), sub-edges canonicalized with
+    // their own cross terms, then the identical cancellation algebra.
+    "q139_dissolve_snap" ->
+      """WITH r0 AS (SELECT DISTINCT c_custkey % 97 AS geoid, (c_custkey * 7919) % 6 AS j FROM customer),
+        |s0 AS (SELECT DISTINCT c_custkey % 97 AS geoid, (c_custkey * 104729) % 12 AS i FROM customer),
+        |d AS (
+        |  SELECT geoid, 0 AS kind, j AS pid, t.ei,
+        |         CASE t.ei WHEN 0 THEN j*20    WHEN 1 THEN j*20+20 WHEN 2 THEN j*20+20 ELSE j*20 END AS ax,
+        |         CASE t.ei WHEN 0 THEN 0       WHEN 1 THEN 0       WHEN 2 THEN 10      ELSE 10   END AS ay,
+        |         CASE t.ei WHEN 0 THEN j*20+20 WHEN 1 THEN j*20+20 WHEN 2 THEN j*20    ELSE j*20 END AS bx,
+        |         CASE t.ei WHEN 0 THEN 0       WHEN 1 THEN 10      WHEN 2 THEN 10      ELSE 0    END AS by_
+        |  FROM r0 CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(ei)
+        |  UNION ALL
+        |  SELECT geoid, 1, i, t.ei,
+        |         CASE t.ei WHEN 0 THEN i*10    WHEN 1 THEN i*10+10 WHEN 2 THEN i*10+10 ELSE i*10 END,
+        |         CASE t.ei WHEN 0 THEN 10      WHEN 1 THEN 10      WHEN 2 THEN 20      ELSE 20   END,
+        |         CASE t.ei WHEN 0 THEN i*10+10 WHEN 1 THEN i*10+10 WHEN 2 THEN i*10    ELSE i*10 END,
+        |         CASE t.ei WHEN 0 THEN 10      WHEN 1 THEN 20      WHEN 2 THEN 20      ELSE 10   END
+        |  FROM s0 CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(ei)),
+        |v AS (SELECT DISTINCT geoid, ax AS px, ay AS py FROM d),
+        |sp AS (SELECT d.geoid, d.kind, d.pid, d.ei, v.px, v.py,
+        |              abs(v.px - d.ax) + abs(v.py - d.ay) AS dist
+        |       FROM d JOIN v ON v.geoid = d.geoid
+        |       WHERE (d.bx - d.ax) * (v.py - d.ay) = (d.by_ - d.ay) * (v.px - d.ax)
+        |         AND v.px BETWEEN least(d.ax, d.bx) AND greatest(d.ax, d.bx)
+        |         AND v.py BETWEEN least(d.ay, d.by_) AND greatest(d.ay, d.by_)
+        |         AND NOT (v.px = d.ax AND v.py = d.ay)
+        |         AND NOT (v.px = d.bx AND v.py = d.by_)),
+        |chain AS (
+        |  SELECT geoid, kind, pid, ei, px, py, dist FROM sp
+        |  UNION ALL SELECT geoid, kind, pid, ei, ax, ay, 0 FROM d
+        |  UNION ALL SELECT geoid, kind, pid, ei, bx, by_, abs(bx - ax) + abs(by_ - ay) FROM d),
+        |sub AS (SELECT geoid, px AS sax, py AS say,
+        |               lead(px) OVER w AS sbx, lead(py) OVER w AS sby
+        |        FROM chain
+        |        WINDOW w AS (PARTITION BY geoid, kind, pid, ei ORDER BY dist)),
+        |c AS (SELECT geoid,
+        |             CASE WHEN sax < sbx OR (sax = sbx AND say <= sby) THEN sax ELSE sbx END AS ex,
+        |             CASE WHEN sax < sbx OR (sax = sbx AND say <= sby) THEN say ELSE sby END AS ey,
+        |             CASE WHEN sax < sbx OR (sax = sbx AND say <= sby) THEN sbx ELSE sax END AS fx,
+        |             CASE WHEN sax < sbx OR (sax = sbx AND say <= sby) THEN sby ELSE say END AS fy,
+        |             sax * sby - sbx * say AS cross_t
+        |      FROM sub WHERE sbx IS NOT NULL),
+        |pe AS (SELECT geoid, ex, ey, fx, fy,
+        |              count(*) AS mult, CAST(sum(cross_t) AS BIGINT) AS cross_t
+        |       FROM c GROUP BY 1, 2, 3, 4, 5),
+        |np AS (SELECT geoid, CAST(count(*) AS BIGINT) AS n_parts
+        |       FROM (SELECT geoid, kind, pid FROM d GROUP BY 1, 2, 3) GROUP BY geoid)
+        |SELECT pe.geoid, np.n_parts,
+        |       CAST(sum(cross_t) AS BIGINT) AS area2,
+        |       CAST(sum(CASE WHEN mult = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_edges,
+        |       CAST(sum(CASE WHEN mult = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_interior_edges,
+        |       CAST(sum(CASE WHEN mult = 1 THEN abs(fx - ex) + abs(fy - ey) ELSE 0 END) AS BIGINT) AS perimeter,
+        |       min(CASE WHEN mult = 1 THEN least(ex, fx) END) AS bb_x_lo,
+        |       min(CASE WHEN mult = 1 THEN least(ey, fy) END) AS bb_y_lo,
+        |       max(CASE WHEN mult = 1 THEN greatest(ex, fx) END) AS bb_x_hi,
+        |       max(CASE WHEN mult = 1 THEN greatest(ey, fy) END) AS bb_y_hi
+        |FROM pe JOIN np USING (geoid) GROUP BY pe.geoid, np.n_parts""".stripMargin,
     "q23_utm_zone" ->
       s"""SELECT c_nationkey, modal_zone, n FROM (
          |  SELECT c_nationkey, zone AS modal_zone, count(*) AS n,

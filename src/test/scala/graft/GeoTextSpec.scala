@@ -234,6 +234,85 @@ class GeoTextSpec extends AnyFunSuite {
     assert(ok.getLong(2) == 6L && ok.getLong(3) == 1L, "6 boundary + 1 cancelled interior edge")
   }
 
+  test("snapVertices dissolves a planted T-junction correctly (and is identity on exact-vertex input)") {
+    import graft.geo.Dissolve
+    def ringDf(parts: Seq[Seq[(Long, Long)]]) =
+      parts
+        .map(vs => (1L, vs))
+        .toDF("geoid", "vs")
+        .select(col("geoid"), expr("transform(vs, v -> struct(v._1 AS x, v._2 AS y))").as("ring"))
+    // a 20×10 rectangle with a 10×10 square on its top-LEFT half: the
+    // square's corner (10,10) sits strictly inside the rectangle's top
+    // edge — the exact T-junction q124's exact-vertex contract
+    // declares out of scope. Snapping must split the top edge there,
+    // cancel the left half against the square's bottom edge, and keep
+    // the right half as boundary.
+    val rect = Seq((0L, 0L), (20L, 0L), (20L, 10L), (0L, 10L))
+    val square = Seq((0L, 10L), (10L, 10L), (10L, 20L), (0L, 20L))
+    val got = Dissolve
+      .dissolve(ringDf(Seq(rect, square)), "geoid", "ring", snapVertices = true)
+      .collect()
+      .head
+    assert(got.getLong(1) == 600L, "area2: 2 * (200 + 100)")
+    assert(got.getLong(2) == 7L, "boundary edges of the L-shape after the split")
+    assert(got.getLong(3) == 1L, "exactly the repaired junction cancels")
+    assert(got.getLong(4) == 80L, "L-shape perimeter")
+    assert((got.getLong(5), got.getLong(6), got.getLong(7), got.getLong(8)) == ((0L, 0L, 20L, 20L)))
+    // without snapping the same input mis-reports the junction as
+    // boundary on both sides (the declared failure the widened
+    // contract repairs); area2 still cancels arithmetically
+    val raw = Dissolve.dissolve(ringDf(Seq(rect, square)), "geoid", "ring").collect().head
+    assert(raw.getLong(2) == 8L && raw.getLong(3) == 0L, "unsnapped T-junction miscounts edges")
+    // on exact-vertex-matched parts the snap finds nothing to insert
+    // and both modes agree bit-for-bit
+    val twoCells = Seq(
+      Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L)),
+      Seq((10L, 0L), (20L, 0L), (20L, 10L), (10L, 10L))
+    )
+    val a = Dissolve.dissolve(ringDf(twoCells), "geoid", "ring").collect().head
+    val b = Dissolve.dissolve(ringDf(twoCells), "geoid", "ring", snapVertices = true).collect().head
+    assert(a == b, "snap must be the identity when the exact-vertex contract already holds")
+  }
+
+  test("q139: snapped dissolve matches a driver-side union reference on the mixed-size parts") {
+    val k = col("c_custkey")
+    val groups = graft.sources.Tables
+      .customer(spark, sf)
+      .select((k % 97).as("geoid"), ((k * 7919) % 6).as("j"), ((k * 104729) % 12).as("i"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = groups.map { case (g, rows) =>
+      val rects = rows.map(_._2).toSet
+      val squares = rows.map(_._3).toSet
+      // rasterize the union on the 10-unit grid: rect j covers cells
+      // (2j, 0) and (2j+1, 0); square i covers cell (i, 1)
+      val cells =
+        rects.flatMap(j => Set((2 * j, 0L), (2 * j + 1, 0L))) ++ squares.map(i => (i, 1L))
+      val edgeCount = scala.collection.mutable.Map.empty[(Long, Long, Long, Long), Int].withDefaultValue(0)
+      cells.foreach { case (cx, cy) =>
+        val (x0, y0) = (cx * 10, cy * 10)
+        Seq(
+          (x0, y0, x0 + 10, y0),
+          (x0 + 10, y0, x0 + 10, y0 + 10),
+          (x0, y0 + 10, x0 + 10, y0 + 10),
+          (x0, y0, x0, y0 + 10)
+        ).foreach(e => edgeCount(e) += 1)
+      }
+      val boundary = edgeCount.filter(_._2 == 1).keys.toSeq
+      val bbX = boundary.flatMap(e => Seq(e._1, e._3))
+      val bbY = boundary.flatMap(e => Seq(e._2, e._4))
+      g -> ((rects.size.toLong + squares.size, 200L * cells.size, bbX.min, bbY.min, bbX.max, bbY.max))
+    }
+    val got = SparkEntry
+      .queries("q139_dissolve_snap")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (g, e) => assert(got(g) == e, s"geoid $g: ${got(g)} != $e") }
+  }
+
   test("q124 dissolve agrees with q88's envelope merge on the same cells (the real-geometry upgrade)") {
     val k = col("c_custkey")
     val cellEnvs = graft.sources.Tables

@@ -326,6 +326,13 @@ class PlanSpec extends AnyFunSuite {
     // agg, and the per-geoid union agg — no joins, no windows, no
     // broadcasts; n_parts is a projection over edge incidences
     "q124_polygon_dissolve" -> 3,
+    // q139: q124's pipeline plus the widened snap contract's cost:
+    // two part-frame dedups (rects, squares), the group-vertex
+    // distinct, the edge×vertex collinearity join (one exchange per
+    // side), the per-directed-edge split aggregate, then the shared
+    // (geoid, edge) and per-geoid aggregates; the 97-row n_parts agg
+    // broadcasts back
+    "q139_dissolve_snap" -> 11,
     // q125: ONE bounded-heap shortlist agg per probe over the
     // DPP-pruned codes read + the candidate-sized re-rank window;
     // cells/tables/shortlist all broadcast; the index build and the
