@@ -1,0 +1,138 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.KMeans
+
+/** The dedup granularity ladder run as ONE composed pipeline (the
+  * q138 capstone): exact whole-doc → span surgery on the survivors →
+  * SemDeDup on what's left — the three-stage shape a production
+  * training-data pipeline actually runs (cf. Lee et al. 2022 for the
+  * span stage, Abbas et al. 2023 for the semantic stage), with each
+  * stage's input the previous stage's output rather than the raw
+  * corpus:
+  *
+  *   1. EXACT — md5 groupBy, keep the smallest id per text group
+  *      (the 100 TB shuffle carries 32-byte digests, never bodies);
+  *   2. SPAN — [[Dedup.substringClean]] over the SURVIVOR corpus:
+  *      gram occurrence counts are computed on what stage 1 kept, so
+  *      a window is "duplicated" relative to the deduplicated corpus
+  *      — composition changes the counts, which is the point of
+  *      running a pipeline instead of independent passes. Docs whose
+  *      every token was covered come back empty and are dropped
+  *      (`span_empty`);
+  *   3. SEMANTIC — the SemDeDup cluster-then-prune over the docs'
+  *      PRECOMPUTED embeddings (the embed-once-then-filter posture:
+  *      embeddings are an upstream model artifact keyed by doc id),
+  *      restricted to the remaining ids. Clustering is the two-level
+  *      corpus-scaled k-means with RANK seeding
+  *      ([[KMeans.refineTwoLevelRankSeeded]]) because stages 1-2
+  *      leave holes in the id space the dense-id seeding contract
+  *      would (loudly) reject.
+  *
+  * Returns one row per input doc: (id, stage, n_tokens, kept_tokens,
+  * cluster) where stage ∈ {exact, span_empty, semantic, kept};
+  * n_tokens/kept_tokens are the span-surgery accounting (NULL for
+  * exact-dropped docs that never reached it) and cluster is the
+  * semantic cluster (NULL before stage 3, including docs whose
+  * embedding was missing or degenerate — those pass through `kept`).
+  *
+  * Scale shape: stage inputs shrink monotonically; the corpus is
+  * tokenized once (inside substringClean), nothing re-scans a prior
+  * stage's full input, and every stage keeps its own linear-shuffle
+  * contract (md5 digests, gram hashes, cluster-bounded pairs).
+  */
+object DedupPipeline {
+
+  def run(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      emb: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      gramLen: Int,
+      kMin: Int,
+      clusterTarget: Int,
+      iters: Int,
+      dims: Int,
+      tauNum: Long,
+      tauDen: Long
+  ): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // stage 1: exact
+    val withMd5 = d.withColumn("text_md5", md5(col("text")))
+    val keep = withMd5.groupBy(col("text_md5")).agg(min(col("doc_id")).as("keep_id"))
+    val st1 = withMd5
+      .join(keep, Seq("text_md5"))
+      .select(col("doc_id"), col("text"), (col("doc_id") =!= col("keep_id")).as("exact_dup"))
+    val surv1 = st1.filter(!col("exact_dup")).select(col("doc_id"), col("text"))
+    // stage 2: span surgery over the survivor corpus
+    val st2 = Dedup
+      .substringClean(surv1, "doc_id", "text", gramLen)
+      .select(col("doc_id"), col("n_tokens"), col("kept_tokens"))
+      .localCheckpoint()
+    val surv2 = st2.filter(col("kept_tokens") > 0).select(col("doc_id"))
+    // stage 3: SemDeDup over the remaining docs' precomputed embeddings
+    val e = emb
+      .select(col(embIdCol).as("vec_id"), col(vecCol).as("__v"))
+      .join(surv2.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val q = KMeans.quantizeShifted(e, "vec_id", "__v").localCheckpoint()
+    val k = math.max(kMin, (q.count() / clusterTarget).toInt)
+    val sem = semDedup(q, KMeans.refineTwoLevelRankSeeded(q, k, iters, dims), dims, tauNum, tauDen)
+    st1
+      .select(col("doc_id"), col("exact_dup"))
+      .join(st2, Seq("doc_id"), "left_outer")
+      .join(
+        sem.select(col("vec_id").as("doc_id"), col("cluster"), col("kept").as("sem_kept")),
+        Seq("doc_id"),
+        "left_outer"
+      )
+      .select(
+        col("doc_id"),
+        when(col("exact_dup"), "exact")
+          .when(col("kept_tokens") === 0, "span_empty")
+          .when(!col("sem_kept"), "semantic")
+          .otherwise("kept")
+          .as("stage"),
+        col("n_tokens"),
+        col("kept_tokens"),
+        col("cluster")
+      )
+  }
+
+  /** The SemDeDup prune (shared by q129 and the pipeline): given the
+    * quantized frame and a (vec_id, cluster, ...) assignment, a
+    * vector is DROPPED when an earlier (smaller-id) same-cluster
+    * vector is τ-similar on the centered quantized cosine — exact
+    * BIGINT compare (den²·dot² ≥ num²·|a|²·|b|², dot > 0),
+    * deterministic keep-lowest-id rule. Returns (vec_id, cluster,
+    * kept).
+    */
+  def semDedup(q: DataFrame, assignment: DataFrame, dims: Int, tauNum: Long, tauDen: Long): DataFrame = {
+    val centered = (c: String, i: Int) => element_at(col(c), i) - KMeans.Shift
+    val asg = assignment
+      .join(q, Seq("vec_id"))
+      .withColumn("n2", (1 to dims).map(i => centered("qa", i) * centered("qa", i)).reduce(_ + _))
+    val a = asg.select(col("cluster"), col("vec_id").as("ia"), col("qa").as("va"), col("n2").as("na2"))
+    val b = asg.select(col("cluster"), col("vec_id").as("ib"), col("qa").as("vb"), col("n2").as("nb2"))
+    val dot = (1 to dims).map(i => centered("va", i) * centered("vb", i)).reduce(_ + _)
+    val dropped = a
+      .join(b, Seq("cluster"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("dt", dot)
+      .filter(
+        col("dt") > 0 &&
+          lit(tauDen * tauDen) * col("dt") * col("dt") >=
+            lit(tauNum * tauNum) * col("na2") * col("nb2")
+      )
+      .select(col("ib").as("vec_id"))
+      .distinct()
+      .withColumn("is_dropped", lit(true))
+    asg
+      .select(col("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"), coalesce(!col("is_dropped"), lit(true)).as("kept"))
+  }
+}

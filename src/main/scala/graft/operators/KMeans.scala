@@ -119,18 +119,54 @@ object KMeans {
     * output shape and cluster-id space as [[refine]]: (vec_id,
     * cluster, dist2), cluster ∈ [0, k), all-BIGINT exact.
     */
-  def refineTwoLevel(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
+  def refineTwoLevel(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame =
+    refineTwoLevelImpl(q, k, iters, dims, m => q.filter(col("vec_id") < m))
+
+  /** [[refineTwoLevel]] for SPARSE id spaces: seeds are the k
+    * SMALLEST vec_ids PRESENT in `q` rather than literally 0..k-1 —
+    * the seeding a pipeline stage needs when its input has already
+    * dropped rows (exact/span dedup upstream leaves holes in the id
+    * space, so the dense-id contract would raise). On a dense-from-0
+    * corpus the two are identical (KMeansSpec pins this). The seed
+    * list is a k-row TakeOrdered (the same k-row frame the fine
+    * centroid state is anyway), broadcast back onto `q` — a 100 TB
+    * run would persist the choice at ingest exactly like the IVF
+    * layout it pins.
+    */
+  def refineTwoLevelRankSeeded(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
+    require(k > 0, s"need k > 0; got k=$k")
+    val ids = q.select(col("vec_id")).orderBy(col("vec_id")).limit(k).localCheckpoint()
+    refineTwoLevelImpl(
+      q,
+      k,
+      iters,
+      dims,
+      m => q.join(broadcast(ids.orderBy(col("vec_id")).limit(m)), Seq("vec_id"))
+    )
+  }
+
+  /** Shared two-level body: `seedsOf(m)` returns the m seed rows
+    * (vec_id, qa, ...) of `q` — the dense-id filter for the default
+    * path, the rank prefix for [[refineTwoLevelRankSeeded]].
+    */
+  private def refineTwoLevelImpl(
+      q: DataFrame,
+      k: Int,
+      iters: Int,
+      dims: Int,
+      seedsOf: Int => DataFrame
+  ): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val nc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val coarse = refineCentroids(q, nc, iters, dims)
+    val coarse = refineCentroidsFrom(q, seedsOf(nc), nc, iters, dims)
     // fine seeds assigned against ALL coarse cells once (k·√k work)
-    var fine = assign(q.filter(col("vec_id") < k), coarse, dims)
+    var fine = assign(seedsOf(k), coarse, dims)
       .select(col("vec_id").as("cid"), col("cluster").as("cell"), col("qa").as("ca"))
       .localCheckpoint()
     val nSeeds = fine.count()
     require(
       nSeeds == k,
-      s"two-level k-means seeding expects vec_ids 0..${k - 1} present after quantizeShifted's " +
+      s"two-level k-means seeding expects $k seed vectors present after quantizeShifted's " +
         s"degenerate-vector filter; found $nSeeds of $k — re-id the corpus or lower k"
     )
     val active = fine.select(col("cell").as("cid")).distinct()
@@ -172,10 +208,16 @@ object KMeans {
     * (cid → code_id, ca → codeword), closing the "q119 is the
     * codebook-training counterpart" loop. K rows, localCheckpoint'd.
     */
-  def refineCentroids(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
+  def refineCentroids(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame =
+    refineCentroidsFrom(q, q.filter(col("vec_id") < k), k, iters, dims)
+
+  /** [[refineCentroids]] from an explicit seed-row frame (vec_id, qa
+    * rows of `q`) — the piece the rank-seeded two-level path shares
+    * with the dense-id default.
+    */
+  private def refineCentroidsFrom(q: DataFrame, seedRows: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
-    var cents = q
-      .filter(col("vec_id") < k)
+    var cents = seedRows
       .select(col("vec_id").as("cid"), col("qa").as("ca"))
       .localCheckpoint()
     // seeding contract (q50's deterministic-centroid convention):
@@ -186,7 +228,7 @@ object KMeans {
     val nSeeds = cents.count()
     require(
       nSeeds == k,
-      s"k-means seeding expects vec_ids 0..${k - 1} present after quantizeShifted's " +
+      s"k-means seeding expects $k seed vectors present after quantizeShifted's " +
         s"degenerate-vector filter; found $nSeeds of $k — re-id the corpus or lower k"
     )
     for (_ <- 1 to iters) {

@@ -61,6 +61,17 @@ object DedupSimQueries {
   // for per-query use; a long-lived service should instead
   // materialize shingles ONCE per corpus snapshot (at 100 TB: a
   // doc_id-bucketed parquet table) rather than per query call.
+  /** The SemDeDup prune shared by q129 and the q138 pipeline: given
+    * the quantized frame and a (vec_id, cluster, ...) assignment, a
+    * vector is DROPPED when an earlier (smaller-id) same-cluster
+    * vector is τ-similar on the centered quantized cosine — exact
+    * BIGINT compare (den²·dot² ≥ num²·|a|²·|b|², dot > 0),
+    * deterministic keep-lowest-id rule. Returns (vec_id, cluster,
+    * kept).
+    */
+  private def semDedupOutput(q: DataFrame, assignment: DataFrame): DataFrame =
+    graft.dedup.DedupPipeline.semDedup(q, assignment, Dims, SemDedupTauNum, SemDedupTauDen)
+
   private def shingles3(s: SparkSession, dir: String): DataFrame =
     Dedup
       .dfCapped(Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3), MaxShingleDf)
@@ -625,30 +636,7 @@ object DedupSimQueries {
     "q129_semantic_dedup" -> { (s, dir) =>
       val q = KMeans.quantizeShifted(Tables.embeddings(s, dir), "vec_id", "embedding").localCheckpoint()
       val k = math.max(KmeansK, (q.count() / SemClusterTarget).toInt)
-      val centered = (c: String, i: Int) => element_at(col(c), i) - KMeans.Shift
-      val asg = KMeans
-        .refineTwoLevel(q, k, KmeansIters, Dims)
-        .join(q, Seq("vec_id"))
-        .withColumn("n2", (1 to Dims).map(i => centered("qa", i) * centered("qa", i)).reduce(_ + _))
-      val a = asg.select(col("cluster"), col("vec_id").as("ia"), col("qa").as("va"), col("n2").as("na2"))
-      val b = asg.select(col("cluster"), col("vec_id").as("ib"), col("qa").as("vb"), col("n2").as("nb2"))
-      val dot = (1 to Dims).map(i => centered("va", i) * centered("vb", i)).reduce(_ + _)
-      val dropped = a
-        .join(b, Seq("cluster"))
-        .filter(col("ia") < col("ib"))
-        .withColumn("dt", dot)
-        .filter(
-          col("dt") > 0 &&
-            lit(SemDedupTauDen * SemDedupTauDen) * col("dt") * col("dt") >=
-              lit(SemDedupTauNum * SemDedupTauNum) * col("na2") * col("nb2")
-        )
-        .select(col("ib").as("vec_id"))
-        .distinct()
-        .withColumn("is_dropped", lit(true))
-      asg
-        .select(col("vec_id"), col("cluster"))
-        .join(dropped, Seq("vec_id"), "left_outer")
-        .select(col("vec_id"), col("cluster"), coalesce(!col("is_dropped"), lit(true)).as("kept"))
+      semDedupOutput(q, KMeans.refineTwoLevel(q, k, KmeansIters, Dims))
     },
 
     // q128: ANN recall@k evaluation — the harness that certifies an
@@ -761,6 +749,43 @@ object DedupSimQueries {
     // empty rather than vanishing.
     "q130_substring_clean" -> { (s, dir) =>
       Dedup.substringClean(Tables.documents(s, dir), "doc_id", "text", SubstrGramLen)
+    },
+
+    // q138: the dedup PIPELINE capstone — the granularity ladder run
+    // as one composed job instead of independent queries (the q56
+    // pattern applied to dedup): exact whole-doc (q30's md5 rule,
+    // keep-smallest-id) → span surgery on the SURVIVORS (q126/q130's
+    // Lee-et-al. exact-substring machinery, gram counts computed over
+    // the survivor corpus — composition changes what counts as
+    // duplicated, which is the point) → SemDeDup on what's left
+    // (q129's corpus-scaled two-level k-means + τ-prune, consuming
+    // the docs' PRECOMPUTED embeddings — the embed-once-then-filter
+    // posture of production pipelines — with RANK seeding because the
+    // surviving id space has holes). Output is one row per input doc
+    // with its terminal disposition: stage ∈ {exact, span_empty,
+    // semantic, kept}, the span accounting (n_tokens/kept_tokens,
+    // NULL for exact-dropped docs that never reached surgery), and
+    // the semantic cluster (NULL before stage 3). Per-stage removal
+    // is one groupBy(stage) away; keeping the per-doc frame makes the
+    // oracle compare total. Scale shape: each stage's inputs shrink
+    // monotonically; nothing is re-tokenized (stage 2 tokenizes once)
+    // and nothing re-scans a previous stage's full input.
+    "q138_dedup_pipeline" -> { (s, dir) =>
+      graft.dedup.DedupPipeline.run(
+        Tables.documents(s, dir),
+        "doc_id",
+        "text",
+        Tables.embeddings(s, dir),
+        "vec_id",
+        "embedding",
+        SubstrGramLen,
+        KmeansK,
+        SemClusterTarget,
+        KmeansIters,
+        Dims,
+        SemDedupTauNum,
+        SemDedupTauDen
+      )
     }
   )
 
@@ -1130,11 +1155,11 @@ object DedupSimQueries {
     * a{KmeansIters+1}) — ONE definition of the unrolled k-means both
     * q119 and q129 nest, so the arithmetic cannot drift between them.
     */
-  private def kmClusterCtes(c0Filter: String): String = {
+  private def kmClusterCtes(c0Filter: String, srcTable: String = "embeddings"): String = {
     val rounds = (1 to KmeansIters)
       .map(n => kmAssignCte(n, s"c${n - 1}") + ",\n" + kmUpdateCte(n, s"c${n - 1}"))
       .mkString(",\n")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $srcTable
        |           WHERE len(embedding) > 0
        |             AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS u(x) WHERE x IS NULL)),
        |gs AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
@@ -1180,7 +1205,11 @@ object DedupSimQueries {
     * their centroid, cell pins never move). Final assignment CTE:
     * fa{KmeansIters+1} (rn = 1) with (vec_id, cid, d2).
     */
-  private def kmTwoLevelCtes(kExpr: String): String = {
+  private def kmTwoLevelCtes(
+      kExpr: String,
+      srcTable: String = "embeddings",
+      rankSeeded: Boolean = false
+  ): String = {
     val T = KmeansIters
     def fineRound(n: Int): String =
       s"""fa$n AS MATERIALIZED (SELECT vec_id, qa, cell, cid, d2,
@@ -1195,10 +1224,20 @@ object DedupSimQueries {
          |f$n AS MATERIALIZED (SELECT p.cid, p.cell, coalesce(u.ca, p.ca) AS ca
          |FROM f${n - 1} p LEFT JOIN (SELECT cid, list(coord ORDER BY i) AS ca
          |                        FROM fs$n GROUP BY cid) u USING (cid))""".stripMargin
-    val ncFilter = s"vec_id < (SELECT CAST(ceil(sqrt($kExpr)) AS BIGINT) FROM q)"
-    s"""${kmClusterCtes(ncFilter)},
+    // rank seeding (mirrors KMeans.refineTwoLevelRankSeeded): seeds
+    // are the m SMALLEST vec_ids PRESENT in q, not literally 0..m-1 —
+    // identical on a dense-from-0 corpus, well-defined when a
+    // pipeline stage upstream left holes in the id space
+    def seedPred(qualifiedId: String, mExpr: String): String =
+      if (rankSeeded)
+        s"""$qualifiedId IN (SELECT vec_id FROM (
+           |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS __rn FROM q)
+           |  WHERE __rn <= $mExpr)""".stripMargin
+      else s"$qualifiedId < $mExpr"
+    val ncFilter = seedPred("vec_id", s"(SELECT CAST(ceil(sqrt($kExpr)) AS BIGINT) FROM q)")
+    s"""${kmClusterCtes(ncFilter, srcTable)},
        |f0 AS MATERIALIZED (SELECT a.vec_id AS cid, a.cid AS cell, a.qa AS ca
-       |       FROM a${T + 1} a WHERE a.rn = 1 AND a.vec_id < $kExpr),
+       |       FROM a${T + 1} a WHERE a.rn = 1 AND ${seedPred("a.vec_id", kExpr)}),
        |act AS (SELECT DISTINCT cell FROM f0),
        |acents AS (SELECT c.cid, c.ca FROM c$T c JOIN act ON act.cell = c.cid),
        |vcell AS MATERIALIZED (SELECT vec_id, qa, cid AS cell FROM (
@@ -1220,9 +1259,12 @@ object DedupSimQueries {
     * pair within a cluster, tau=2/5 compared as 25*dot^2 >=
     * 4*|a|^2*|b|^2 with dot > 0 — all-BIGINT exact.
     */
-  private lazy val q129Sql: String =
-    s"""WITH ${kmTwoLevelCtes(kmKSub)},
-       |asg AS (SELECT a.vec_id, a.cid AS cluster, q.qa,
+  /** The SemDeDup prune CTEs shared by q129 and q138: final fine
+    * assignment → centered norms (asg) → the τ-drop pair rule
+    * (dropped) — the SQL twin of semDedupOutput.
+    */
+  private lazy val semAsgDropCtes: String =
+    s"""asg AS (SELECT a.vec_id, a.cid AS cluster, q.qa,
        |               CAST(list_sum(list_transform(q.qa, x -> (x - ${KMeans.Shift}) * (x - ${KMeans.Shift}))) AS BIGINT) AS n2
        |        FROM (SELECT vec_id, cid FROM fa${KmeansIters + 1} WHERE rn = 1) a JOIN q USING (vec_id)),
        |dropped AS (SELECT DISTINCT b.vec_id
@@ -1234,7 +1276,11 @@ object DedupSimQueries {
        |                    z -> (z[1] - ${KMeans.Shift}) * (z[2] - ${KMeans.Shift}))) AS BIGINT) *
        |                  CAST(list_sum(list_transform(list_zip(a.qa, b.qa),
        |                    z -> (z[1] - ${KMeans.Shift}) * (z[2] - ${KMeans.Shift}))) AS BIGINT)
-       |                  >= ${SemDedupTauNum * SemDedupTauNum} * a.n2 * b.n2)
+       |                  >= ${SemDedupTauNum * SemDedupTauNum} * a.n2 * b.n2)""".stripMargin
+
+  private lazy val q129Sql: String =
+    s"""WITH ${kmTwoLevelCtes(kmKSub)},
+       |$semAsgDropCtes
        |SELECT asg.vec_id, asg.cluster, (d.vec_id IS NULL) AS kept
        |FROM asg LEFT JOIN dropped d ON d.vec_id = asg.vec_id""".stripMargin
 
@@ -1659,34 +1705,75 @@ object DedupSimQueries {
     // q130 oracle: q126's marking CTEs, then token explode, anti-join
     // on covered indices, and order-preserving list reassembly.
     "q130_substring_clean" ->
-      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}') AS tk
-         |           FROM documents),
-         |b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk FROM t),
-         |g0 AS (SELECT doc_id,
-         |              unnest(list_transform(range(1, CAST(n_tokens AS INT) - $SubstrGramLen + 2),
-         |                     i -> struct_pack(pos := i, s := array_to_string(tk[i:i+${SubstrGramLen - 1}], ' ')))) AS g
-         |       FROM b WHERE n_tokens >= $SubstrGramLen),
-         |g AS (SELECT doc_id, g.pos AS pos, ${strhash2Sql("(g.s)")} AS h FROM g0),
-         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
-         |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
-         |cov AS (SELECT DISTINCT doc_id, pos + o AS idx
-         |        FROM dp CROSS JOIN (SELECT unnest(range(0, $SubstrGramLen)) AS o)),
-         |tok AS (SELECT doc_id, u.idx AS idx, u.tok AS tok
-         |        FROM (SELECT doc_id,
-         |                     unnest(list_transform(range(1, CAST(n_tokens AS INT) + 1),
-         |                            i -> struct_pack(idx := i, tok := tk[CAST(i AS INT)]))) AS u
-         |              FROM b)),
-         |kept AS (SELECT tok.doc_id, tok.idx, tok.tok
-         |         FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.idx = tok.idx
-         |         WHERE cov.idx IS NULL),
-         |cl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
-         |              array_to_string(list(tok ORDER BY idx), ' ') AS clean_text
-         |       FROM kept GROUP BY doc_id)
+      s"""WITH ${substrCleanCtes("documents")}
          |SELECT b.doc_id, b.n_tokens,
          |       CAST(coalesce(cl.kept_tokens, 0) AS BIGINT) AS kept_tokens,
          |       coalesce(cl.clean_text, '') AS clean_text
-         |FROM b LEFT JOIN cl USING (doc_id)""".stripMargin
+         |FROM b LEFT JOIN cl USING (doc_id)""".stripMargin,
+    // q138 oracle: the three stage oracles NESTED in composition
+    // order — q30's md5 keep rule (m/kp/s1), the q130 span-surgery
+    // CTEs over the survivor corpus (substrCleanCtes("surv1")), the
+    // two-level k-means chain over the embeddings of what's left with
+    // RANK seeding (the Spark twin of refineTwoLevelRankSeeded), and
+    // q129's τ-prune; the final stitch assigns each input doc its
+    // terminal stage exactly as the Spark CASE does.
+    "q138_dedup_pipeline" ->
+      s"""WITH m AS (SELECT doc_id, md5(text) AS text_md5, text FROM documents),
+         |kp AS (SELECT text_md5, min(doc_id) AS keep_id FROM m GROUP BY text_md5),
+         |stage1 AS (SELECT m.doc_id, m.text, (m.doc_id <> kp.keep_id) AS exact_dup
+         |       FROM m JOIN kp USING (text_md5)),
+         |surv1 AS (SELECT doc_id, text FROM stage1 WHERE NOT exact_dup),
+         |${substrCleanCtes("surv1")},
+         |st2 AS (SELECT b.doc_id, b.n_tokens,
+         |               CAST(coalesce(cl.kept_tokens, 0) AS BIGINT) AS kept_tokens
+         |        FROM b LEFT JOIN cl USING (doc_id)),
+         |surv2 AS (SELECT doc_id FROM st2 WHERE kept_tokens > 0),
+         |semsrc AS (SELECT e.vec_id, e.embedding
+         |           FROM embeddings e JOIN surv2 s ON s.doc_id = e.vec_id),
+         |${kmTwoLevelCtes(kmKSub, "semsrc", rankSeeded = true)},
+         |$semAsgDropCtes
+         |SELECT stage1.doc_id,
+         |       CASE WHEN stage1.exact_dup THEN 'exact'
+         |            WHEN st2.kept_tokens = 0 THEN 'span_empty'
+         |            WHEN dr.vec_id IS NOT NULL THEN 'semantic'
+         |            ELSE 'kept' END AS stage,
+         |       st2.n_tokens, st2.kept_tokens, a.cluster
+         |FROM stage1 LEFT JOIN st2 USING (doc_id)
+         |        LEFT JOIN asg a ON a.vec_id = stage1.doc_id
+         |        LEFT JOIN dropped dr ON dr.vec_id = stage1.doc_id""".stripMargin
   )
+
+  /** The q126/q130 span-surgery CTE chain (tokenize → gram-hash →
+    * corpus-wide dup marking → coverage → token anti-join →
+    * order-preserving reassembly), parameterized by the source
+    * relation so the q138 pipeline can run it over the exact-dedup
+    * SURVIVOR corpus. Yields CTEs t, b, g0, g, dup, dp, cov, tok,
+    * kept, cl; callers select from b/cl.
+    */
+  private def substrCleanCtes(src: String): String =
+    s"""t AS (SELECT doc_id, string_split_regex(trim(text), '${graft.text.TextFunctions.WsRun}') AS tk
+       |           FROM $src),
+       |b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk FROM t),
+       |g0 AS (SELECT doc_id,
+       |              unnest(list_transform(range(1, CAST(n_tokens AS INT) - $SubstrGramLen + 2),
+       |                     i -> struct_pack(pos := i, s := array_to_string(tk[i:i+${SubstrGramLen - 1}], ' ')))) AS g
+       |       FROM b WHERE n_tokens >= $SubstrGramLen),
+       |g AS (SELECT doc_id, g.pos AS pos, ${strhash2Sql("(g.s)")} AS h FROM g0),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+       |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+       |cov AS (SELECT DISTINCT doc_id, pos + o AS idx
+       |        FROM dp CROSS JOIN (SELECT unnest(range(0, $SubstrGramLen)) AS o)),
+       |tok AS (SELECT doc_id, u.idx AS idx, u.tok AS tok
+       |        FROM (SELECT doc_id,
+       |                     unnest(list_transform(range(1, CAST(n_tokens AS INT) + 1),
+       |                            i -> struct_pack(idx := i, tok := tk[CAST(i AS INT)]))) AS u
+       |              FROM b)),
+       |kept AS (SELECT tok.doc_id, tok.idx, tok.tok
+       |         FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.idx = tok.idx
+       |         WHERE cov.idx IS NULL),
+       |cl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+       |              array_to_string(list(tok ORDER BY idx), ' ') AS clean_text
+       |       FROM kept GROUP BY doc_id)""".stripMargin
 
   // same sign-bucket tables as the q34 oracle (shared embKbSql),
   // but directed (!=) candidates and a per-vector rank window; the

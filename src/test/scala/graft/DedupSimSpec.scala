@@ -620,4 +620,50 @@ class DedupSimSpec extends AnyFunSuite {
     }
     assert(expectedDropped.nonEmpty, "the near-dup corpus must drop at least one vector")
   }
+
+  test("q138: the composed pipeline routes a planted corpus through every stage") {
+    import spark.implicits._
+    import graft.dedup.DedupPipeline
+    // S is an 8-token boilerplate shared by docs 2 and 3; doc 1 is an
+    // exact copy of doc 0; docs 4 and 5 are semantic twins (same
+    // embedding direction). Stage routing must be: 1→exact (removed
+    // before span counting, so doc 0's grams occur ONCE in the
+    // survivor corpus and doc 0 keeps everything), 2→span_empty
+    // (fully covered by the shared boilerplate), 5→semantic (later id
+    // of the twin pair), 0/3/4→kept.
+    val s8 = "aa bb cc dd ee ff gg hh"
+    val d0 = "zero one two three four five six seven eight nine"
+    val docs = Seq(
+      (0L, d0),
+      (1L, d0),
+      (2L, s8),
+      (3L, s8 + " ii jj kk ll"),
+      (4L, "m4 n4 o4"),
+      (5L, "m5 n5 o5")
+    ).toDF("doc_id", "text")
+    // orthogonal axis directions except the planted twin pair (4, 5);
+    // doc 2 never reaches stage 3 so its vector is irrelevant
+    val emb = Seq(
+      (0L, Seq(4f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 1f, 1f, 1f)),
+      (2L, Seq(0f, 0f, 1f, 1f)),
+      (3L, Seq(0f, 0f, 4f, 0f)),
+      (4L, Seq(0f, 3f, 0f, 0f)),
+      (5L, Seq(0f, 4f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = DedupPipeline
+      .run(docs, "doc_id", "text", emb, "vec_id", "embedding", 8, 2, 100, 1, 4, 2, 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))))
+      .toMap
+    assert(out.keySet == (0L to 5L).toSet, "one disposition per input doc")
+    assert(out(1L) == (("exact", None, None, None)), s"doc 1: ${out(1L)}")
+    assert(out(2L)._1 == "span_empty" && out(2L)._3 == Some(0L), s"doc 2: ${out(2L)}")
+    assert(out(0L) == (("kept", Some(10L), Some(10L), out(0L)._4)), s"doc 0: ${out(0L)}")
+    assert(out(3L)._1 == "kept" && out(3L)._2 == Some(12L) && out(3L)._3 == Some(4L), s"doc 3: ${out(3L)}")
+    assert(out(4L)._1 == "kept" && out(4L)._3 == Some(3L), s"doc 4: ${out(4L)}")
+    assert(out(5L)._1 == "semantic", s"doc 5: ${out(5L)}")
+    // the twins must share a cluster — the prune is within-cluster
+    assert(out(4L)._4.isDefined && out(4L)._4 == out(5L)._4, "semantic twins must share a cluster")
+  }
 }

@@ -223,5 +223,30 @@ class KMeansSpec extends AnyFunSuite {
     val byCluster = flat.groupBy(_._2).values.map(_.map(_._1 % groups)).toSeq
     assert(byCluster.size == groups)
     byCluster.foreach(members => assert(members.toSet.size == 1, s"cluster mixes blobs: $members"))
+    // rank seeding ≡ dense-id seeding when ids are dense from 0 (the
+    // pipeline-stage variant must be a strict generalization)
+    val ranked = run(KMeans.refineTwoLevelRankSeeded(q, groups, 3, dims))
+    assert(ranked == two, "rank-seeded diverges from dense-id seeding on a dense corpus")
+  }
+
+  test("rank-seeded two-level k-means works on a SPARSE id space (dense seeding raises)") {
+    import spark.implicits._
+    // ids 100, 205, 310, ... — nothing below k, so the dense-id
+    // contract must fail loudly while rank seeding proceeds
+    val rows = (0 until 60).map { i =>
+      (100L + 105L * i, Seq.tabulate(4)(d => if (d == i % 2) 50.0 + i else (i % 3).toDouble))
+    }
+    val q = KMeans
+      .quantizeShifted(rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .localCheckpoint()
+    val dense = intercept[IllegalArgumentException] {
+      KMeans.refineTwoLevel(q, 4, 1, 4).collect()
+    }
+    assert(dense.getMessage.contains("seed"), dense.getMessage)
+    val got = KMeans.refineTwoLevelRankSeeded(q, 4, 1, 4).collect()
+    assert(got.length == 60, "every vector must be assigned")
+    // cluster ids are the 4 smallest vec_ids (the rank seeds)
+    val seedIds = rows.map(_._1).sorted.take(4).toSet
+    assert(got.map(_.getLong(1)).toSet.subsetOf(seedIds))
   }
 }

@@ -326,6 +326,13 @@ class PlanSpec extends AnyFunSuite {
     // agg, and the per-geoid union agg — no joins, no windows, no
     // broadcasts; n_parts is a projection over edge incidences
     "q124_polygon_dissolve" -> 3,
+    // q138: the composed pipeline's returned plan — the md5 keep
+    // join (scan-side agg + join), the span-surgery frame rides its
+    // localCheckpoint, the semantic stage's final cell assignment +
+    // prune self-join + distinct, and the three disposition stitches;
+    // the k-means rounds live behind the Ipf/KMeans checkpoint
+    // convention
+    "q138_dedup_pipeline" -> 17,
     // q139: q124's pipeline plus the widened snap contract's cost:
     // two part-frame dedups (rects, squares), the group-vertex
     // distinct, the edge×vertex collinearity join (one exchange per
