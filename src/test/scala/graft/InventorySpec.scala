@@ -26,6 +26,26 @@ class InventorySpec extends AnyFunSuite {
     )
   }
 
+  test("README inventory counts match SparkEntry.queries (the r9 README-drift fix)") {
+    val n = SparkEntry.queries.size
+    val src = scala.io.Source.fromFile("README.md", "UTF-8")
+    val readme =
+      try src.mkString
+      finally src.close()
+    // the inventory sentence must state the actual full range (family
+    // sub-ranges like "q01–q22" in the scaling table are fine)
+    assert(
+      readme.contains(s"every operator (q01–q$n)"),
+      s"README inventory sentence does not state the full q01–q$n range"
+    )
+    // the two standing coverage claims regenerate from the code size
+    assert(readme.contains(s"$n of $n"), s"README oracle-coverage claim is not '$n of $n'")
+    assert(
+      readme.contains(s"all $n SQL-expressible"),
+      s"README correctness claim is not 'all $n SQL-expressible'"
+    )
+  }
+
   test("every query has an oracle (the driver's triple-green contract)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without a DuckDB oracle: ${noOracle.toSeq.sorted.mkString(", ")}")
