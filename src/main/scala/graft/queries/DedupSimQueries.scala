@@ -786,6 +786,62 @@ object DedupSimQueries {
         SemDedupTauNum,
         SemDedupTauDen
       )
+    },
+
+    // q140: HYBRID retrieval — reciprocal-rank fusion (Cormack et
+    // al. 2009's RRF, the standard hybrid-search combiner) of the
+    // engine's two retrieval stacks over the SAME query-by-example
+    // probes (doc_id < 5, the q35/q50 convention): the lexical side
+    // scores the probe doc's distinct tokens through q76/q117's
+    // rational-idf BM25 (searchDirect — the one-shot form; the probe
+    // itself is excluded and the shortlist re-ranked, so "docs like
+    // X" never returns X, matching the semantic side's self-exclusion),
+    // the semantic side is q50's IVF ANN over the probe's embedding.
+    // rrf = Σ 1/(60 + rank) over the retrievers that returned the doc
+    // — TWO fixed-order double addends, bit-identical on both
+    // engines, 6dp-rounded; fused rank ties break on doc_id. The
+    // 5-row probe-text collect is dim-table-sized by construction
+    // (the q136 model-collect class). Oracle: the shared
+    // bm25ScoreCtes chain with the query terms derived in SQL from
+    // the same probe docs + the q50 oracle nested verbatim + the
+    // fusion arithmetic restated.
+    "q140_hybrid_retrieval" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, dir)
+      val tokenRe = graft.search.Bm25Index.TokenPattern.r
+      val probeQueries = docs
+        .filter(col("doc_id") < FusionProbes)
+        .select(col("doc_id"), col("text"))
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(r => (r.getLong(0).toInt, tokenRe.findAllIn(r.getString(1).toLowerCase).toSeq.distinct))
+        .toSeq
+      val wLex = Window.partitionBy(col("query_id")).orderBy(col("score_bp").desc, col("doc_id").asc)
+      val lex = graft.search.Bm25Index
+        .searchDirect(docs, "doc_id", "text", probeQueries, FusionTopK + 1)
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("lex_rank", row_number().over(wLex))
+        .filter(col("lex_rank") <= FusionTopK)
+        .select(col("query_id").cast("long").as("query_id"), col("doc_id"), col("lex_rank"))
+      val e = embDouble(s, dir)
+      val sem = Similarity
+        .ivfTopK(e, e.filter(col("vec_id") < FusionProbes), FusionTopK, IvfCells, IvfNprobe)
+        .select(col("probe_id").as("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
+      val wFuse = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id").asc)
+      lex
+        .join(sem, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn(
+          "rrf",
+          round(
+            coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)),
+            6
+          )
+        )
+        .withColumn("rank", row_number().over(wFuse))
+        .filter(col("rank") <= FusionTopK)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"), col("lex_rank"), col("sem_rank"))
     }
   )
 
@@ -826,6 +882,14 @@ object DedupSimQueries {
   // the decision is exact BIGINT (no sqrt, no doubles).
   val SemDedupTauNum = 2
   val SemDedupTauDen = 5
+
+  // q140: hybrid retrieval geometry. FusionTopK MUST stay equal to
+  // AnnK — the oracle nests q50Sql (whose shortlist depth is AnnK)
+  // verbatim as the semantic side. RrfK = 60 is the standard RRF
+  // smoothing constant (Cormack et al. 2009).
+  val FusionProbes = 5
+  val FusionTopK: Int = AnnK
+  val RrfK = 60
 
   // q129: target cluster population — k = max(KmeansK, N/target), so
   // clusters stay ~this size as the corpus grows and the
@@ -1615,6 +1679,7 @@ object DedupSimQueries {
     // changes the physical read, never the candidate set or ranking
     "q107_ann_ivf_index" -> q50Sql,
     "q50_ann_ivf" -> q50Sql,
+    "q140_hybrid_retrieval" -> q140Sql,
     "q35_ann_bruteforce" -> q35Sql,
     // q128 oracle: the q35 and q50 oracles verbatim as nested-WITH
     // derived tables, intersected on (probe_id, neighbor_id) — the
@@ -1813,6 +1878,42 @@ object DedupSimQueries {
        |      FROM c)
        |SELECT probe_id, rk AS rank, vec_id AS neighbor_id, round(cosine, 4) AS cosine
        |FROM r WHERE rk <= $AnnK""".stripMargin
+
+  /** q140 oracle: lexical side = the shared bm25ScoreCtes chain with
+    * query terms derived in SQL from the probe docs (distinct
+    * lowercase tokens — the same tokenizer the Spark side collects
+    * through), top-(k+1) then self-excluded and re-ranked; semantic
+    * side = q50Sql nested verbatim; fusion = the RRF sum restated
+    * with CAST(1 AS DOUBLE) so DuckDB's decimal literals never enter.
+    */
+  private lazy val q140Sql: String =
+    s"""WITH q AS (SELECT DISTINCT query_id, token FROM (
+       |        SELECT doc_id AS query_id,
+       |               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |        FROM documents WHERE doc_id < $FusionProbes)),
+       |${TrainingQueries.bm25ScoreCtes},
+       |lex0 AS (SELECT query_id, doc_id, score_bp,
+       |                row_number() OVER (PARTITION BY query_id ORDER BY score_bp DESC, doc_id ASC) AS rk
+       |         FROM g),
+       |lex AS (SELECT query_id, doc_id,
+       |               row_number() OVER (PARTITION BY query_id ORDER BY score_bp DESC, doc_id ASC) AS lex_rank
+       |        FROM (SELECT * FROM lex0 WHERE rk <= ${FusionTopK + 1}) t0 WHERE doc_id <> query_id),
+       |lexk AS (SELECT query_id, doc_id, lex_rank FROM lex WHERE lex_rank <= $FusionTopK),
+       |sem0 AS ($q50Sql),
+       |sem AS (SELECT probe_id AS query_id, neighbor_id AS doc_id, rank AS sem_rank FROM sem0),
+       |f AS (SELECT coalesce(l.query_id, m.query_id) AS query_id,
+       |             coalesce(l.doc_id, m.doc_id) AS doc_id, l.lex_rank, m.sem_rank
+       |      FROM lexk l FULL OUTER JOIN sem m
+       |        ON m.query_id = l.query_id AND m.doc_id = l.doc_id),
+       |rf AS (SELECT query_id, doc_id, lex_rank, sem_rank,
+       |              round(coalesce(CAST(1 AS DOUBLE) / ($RrfK + lex_rank), 0)
+       |                    + coalesce(CAST(1 AS DOUBLE) / ($RrfK + sem_rank), 0), 6) AS rrf
+       |       FROM f),
+       |rr AS (SELECT query_id, doc_id, lex_rank, sem_rank, rrf,
+       |              row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+       |       FROM rf)
+       |SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank
+       |FROM rr WHERE rank <= $FusionTopK""".stripMargin
 
   private lazy val q50Sql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

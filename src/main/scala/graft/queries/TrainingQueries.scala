@@ -25,6 +25,29 @@ import graft.text.TextFunctions
   */
 object TrainingQueries {
 
+  /** The BM25 scoring CTE chain of the q117 oracle (postings → df →
+    * doc length → corpus stats → per-term basis points → per-(query,
+    * doc) sum), reading a caller-defined CTE `q(query_id, token)` and
+    * yielding `g(query_id, doc_id, score_bp)` — ONE definition of the
+    * oracle-side arithmetic shared with q140's hybrid fusion, the
+    * strhash2Sql twin-sharing convention.
+    */
+  private[queries] lazy val bm25ScoreCtes: String =
+    """dt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+      |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      |s AS (SELECT q.query_id, tf.doc_id,
+      |             CAST(round(((st.n_docs - dfr.df + CAST(0.5 AS DOUBLE)) / (dfr.df + CAST(0.5 AS DOUBLE)))
+      |                  * (tf.tf * CAST(2.2 AS DOUBLE))
+      |                  / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+      |                     + CAST(0.75 AS DOUBLE) * (dl.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+      |                  * 10000) AS BIGINT) AS bp
+      |      FROM q JOIN tf USING (token) JOIN dfr USING (token)
+      |      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+      |g AS (SELECT query_id, doc_id, CAST(sum(bp) AS BIGINT) AS score_bp FROM s GROUP BY 1, 2)""".stripMargin
+
   val DupRatioFlag = 0.6
   val TopRatioFlag = 0.1
   val ContamN = 5
@@ -1486,20 +1509,7 @@ object TrainingQueries {
         .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
         .mkString(", ")
       s"""WITH q(query_id, token) AS (VALUES $qvals),
-         |dt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
-         |tf AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
-         |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-         |s AS (SELECT q.query_id, tf.doc_id,
-         |             CAST(round(((st.n_docs - dfr.df + CAST(0.5 AS DOUBLE)) / (dfr.df + CAST(0.5 AS DOUBLE)))
-         |                  * (tf.tf * CAST(2.2 AS DOUBLE))
-         |                  / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-         |                     + CAST(0.75 AS DOUBLE) * (dl.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
-         |                  * 10000) AS BIGINT) AS bp
-         |      FROM q JOIN tf USING (token) JOIN dfr USING (token)
-         |      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
-         |g AS (SELECT query_id, doc_id, CAST(sum(bp) AS BIGINT) AS score_bp FROM s GROUP BY 1, 2),
+         |$bm25ScoreCtes,
          |r AS (SELECT query_id, doc_id, score_bp,
          |             row_number() OVER (PARTITION BY query_id ORDER BY score_bp DESC, doc_id ASC) AS rank
          |      FROM g)

@@ -333,6 +333,11 @@ class PlanSpec extends AnyFunSuite {
     // the k-means rounds live behind the Ipf/KMeans checkpoint
     // convention
     "q138_dedup_pipeline" -> 17,
+    // q140: the lexical side rides searchDirect's postings
+    // checkpoint (df agg + the scoring groupBy + its rank window);
+    // the semantic side is q50's own budgeted plan; the fusion join
+    // of two k·probes-row frames and the final window close it out
+    "q140_hybrid_retrieval" -> 14,
     // q139: q124's pipeline plus the widened snap contract's cost:
     // two part-frame dedups (rects, squares), the group-vertex
     // distinct, the edge×vertex collinearity join (one exchange per

@@ -82,4 +82,43 @@ class SearchSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("format version"), e.getMessage)
   }
+
+  test("q140: fused ranking is internally consistent with its two component retrievers") {
+    import graft.queries.DedupSimQueries.{FusionProbes, FusionTopK, RrfK}
+    val out = SparkEntry
+      .queries("q140_hybrid_retrieval")(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getInt(4)),
+          if (r.isNullAt(5)) None else Some(r.getInt(5)))
+      )
+    assert(out.map(_._1).distinct.length == FusionProbes, "every probe must produce results")
+    // the probe never retrieves itself on either side
+    out.foreach { case (q, _, d, _, _, _) => assert(q != d, s"probe $q returned itself") }
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      // dense fused ranks, ordered by (rrf desc, doc_id asc)
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rs.length), s"probe $q ranks not dense")
+      assert(rs.length <= FusionTopK)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3), s"probe $q fused order violated at rank ${b._2}")
+        case _ =>
+      }
+      // every fused row carries at least one component rank and the
+      // RRF value is exactly the two-addend sum of its ranks
+      rs.foreach { case (_, _, d, rrf, lr, sr) =>
+        assert(lr.isDefined || sr.isDefined, s"probe $q doc $d fused from nothing")
+        val expect = BigDecimal(
+          lr.map(r => 1.0 / (RrfK + r)).getOrElse(0.0) + sr.map(r => 1.0 / (RrfK + r)).getOrElse(0.0)
+        ).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(rrf - expect) < 1e-9, s"probe $q doc $d rrf $rrf != $expect")
+        lr.foreach(r => assert(r >= 1 && r <= FusionTopK))
+        sr.foreach(r => assert(r >= 1 && r <= FusionTopK))
+      }
+      // a doc top-ranked by BOTH retrievers must win the fusion
+      rs.find(t => t._5 == Some(1) && t._6 == Some(1)).foreach(t => assert(t._2 == 1))
+    }
+  }
 }
