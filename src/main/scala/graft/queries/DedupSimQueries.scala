@@ -805,45 +805,97 @@ object DedupSimQueries {
     // bm25ScoreCtes chain with the query terms derived in SQL from
     // the same probe docs + the q50 oracle nested verbatim + the
     // fusion arithmetic restated.
-    "q140_hybrid_retrieval" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val docs = Tables.documents(s, dir)
-      val tokenRe = graft.search.Bm25Index.TokenPattern.r
-      val probeQueries = docs
-        .filter(col("doc_id") < FusionProbes)
-        .select(col("doc_id"), col("text"))
-        .collect()
-        .sortBy(_.getLong(0))
-        .map(r => (r.getLong(0).toInt, tokenRe.findAllIn(r.getString(1).toLowerCase).toSeq.distinct))
-        .toSeq
-      val wLex = Window.partitionBy(col("query_id")).orderBy(col("score_bp").desc, col("doc_id").asc)
-      val lex = graft.search.Bm25Index
-        .searchDirect(docs, "doc_id", "text", probeQueries, FusionTopK + 1)
-        .filter(col("doc_id") =!= col("query_id"))
-        .withColumn("lex_rank", row_number().over(wLex))
-        .filter(col("lex_rank") <= FusionTopK)
-        .select(col("query_id").cast("long").as("query_id"), col("doc_id"), col("lex_rank"))
+    "q140_hybrid_retrieval" -> { (s, dir) => hybridFrames(s, dir)._3 },
+
+    // q141: retrieval EVALUATION of the hybrid stack — the q128
+    // certify-before-trusting posture extended from one index to the
+    // whole retrieval surface: ground truth = q35's exact brute-force
+    // cosine top-k per probe; each system (lexical BM25, semantic
+    // IVF, RRF-fused) reports per probe how many of its k candidates
+    // are true neighbors (hits@k) and the reciprocal rank of its
+    // FIRST true hit (the MRR summand — the metric that says "how
+    // far down must a reader scroll"). The intersections are integer
+    // equi-joins on (query, doc) over k·probes-row frames, so the
+    // eval costs what the searches cost plus nothing; rr is a single
+    // double division, 6dp-rounded.
+    "q141_retrieval_eval" -> { (s, dir) =>
+      val (lex, sem, fused) = hybridFrames(s, dir)
       val e = embDouble(s, dir)
-      val sem = Similarity
-        .ivfTopK(e, e.filter(col("vec_id") < FusionProbes), FusionTopK, IvfCells, IvfNprobe)
-        .select(col("probe_id").as("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
-      val wFuse = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id").asc)
-      lex
-        .join(sem, Seq("query_id", "doc_id"), "full_outer")
-        .withColumn(
-          "rrf",
-          round(
-            coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)),
-            6
+      val truth = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") < FusionProbes), FusionTopK)
+        .select(col("probe_id").as("query_id"), col("neighbor_id").as("doc_id"), lit(1).as("hit"))
+        .localCheckpoint()
+      def evalSys(cand: DataFrame, rankCol: String, sys: String): DataFrame =
+        cand
+          .join(broadcast(truth), Seq("query_id", "doc_id"), "left_outer")
+          .groupBy(col("query_id"))
+          .agg(
+            sum(coalesce(col("hit"), lit(0))).as("n_hits"),
+            min(when(col("hit") === 1, col(rankCol))).as("first_hit_rank")
           )
-        )
-        .withColumn("rank", row_number().over(wFuse))
-        .filter(col("rank") <= FusionTopK)
-        .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"), col("lex_rank"), col("sem_rank"))
+          .select(
+            col("query_id"),
+            lit(sys).as("system"),
+            col("n_hits"),
+            col("first_hit_rank"),
+            when(col("first_hit_rank").isNotNull, round(lit(1.0) / col("first_hit_rank"), 6))
+              .otherwise(lit(0.0))
+              .as("rr")
+          )
+      evalSys(lex, "lex_rank", "lexical")
+        .unionByName(evalSys(sem, "sem_rank", "semantic"))
+        .unionByName(evalSys(fused, "rank", "fused"))
     }
   )
+
+  /** The q140 hybrid-retrieval frames: (lexical candidates (query_id,
+    * doc_id, lex_rank), semantic candidates (query_id, doc_id,
+    * sem_rank), fused output) — one definition shared by q140 and the
+    * q141 eval. See the q140 map entry comment for the full design.
+    */
+  private def hybridFrames(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = Tables.documents(s, dir)
+    val tokenRe = graft.search.Bm25Index.TokenPattern.r
+    val probeQueries = docs
+      .filter(col("doc_id") < FusionProbes)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0).toInt, tokenRe.findAllIn(r.getString(1).toLowerCase).toSeq.distinct))
+      .toSeq
+    val wLex = Window.partitionBy(col("query_id")).orderBy(col("score_bp").desc, col("doc_id").asc)
+    val lex = graft.search.Bm25Index
+      .searchDirect(docs, "doc_id", "text", probeQueries, FusionTopK + 1)
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= FusionTopK)
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"), col("lex_rank"))
+      // k·probes rows — materialize so the fused plan and the q141
+      // eval read the candidate lists instead of re-running the search
+      .localCheckpoint()
+    val e = embDouble(s, dir)
+    val sem = Similarity
+      .ivfTopK(e, e.filter(col("vec_id") < FusionProbes), FusionTopK, IvfCells, IvfNprobe)
+      .select(col("probe_id").as("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
+      .localCheckpoint()
+    val wFuse = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id").asc)
+    val fused = lex
+      .join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn(
+        "rrf",
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)),
+          6
+        )
+      )
+      .withColumn("rank", row_number().over(wFuse))
+      .filter(col("rank") <= FusionTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"), col("lex_rank"), col("sem_rank"))
+    (lex, sem, fused)
+  }
 
   val SigIndexTable = "graft_sig_index"
   val SigIndexBuckets = 8
@@ -1680,6 +1732,7 @@ object DedupSimQueries {
     "q107_ann_ivf_index" -> q50Sql,
     "q50_ann_ivf" -> q50Sql,
     "q140_hybrid_retrieval" -> q140Sql,
+    "q141_retrieval_eval" -> q141Sql,
     "q35_ann_bruteforce" -> q35Sql,
     // q128 oracle: the q35 and q50 oracles verbatim as nested-WITH
     // derived tables, intersected on (probe_id, neighbor_id) — the
@@ -1887,7 +1940,40 @@ object DedupSimQueries {
     * with CAST(1 AS DOUBLE) so DuckDB's decimal literals never enter.
     */
   private lazy val q140Sql: String =
-    s"""WITH q AS (SELECT DISTINCT query_id, token FROM (
+    s"""WITH $q140Ctes
+       |SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank
+       |FROM rr WHERE rank <= $FusionTopK""".stripMargin
+
+  /** q141 oracle: the q140 CTE chain verbatim, ground truth = q35's
+    * brute-force oracle nested, then one hits/first-hit aggregate per
+    * system UNIONed — the same intersection-only arithmetic as the
+    * Spark side.
+    */
+  private lazy val q141Sql: String = {
+    def ev(src: String, rankCol: String, sys: String): String =
+      s"""SELECT c.query_id, '$sys' AS system,
+         |       CAST(count(t.doc_id) AS BIGINT) AS n_hits,
+         |       min(CASE WHEN t.doc_id IS NOT NULL THEN c.$rankCol END) AS first_hit_rank
+         |FROM $src c LEFT JOIN truth t
+         |  ON t.query_id = c.query_id AND t.doc_id = c.doc_id
+         |GROUP BY c.query_id""".stripMargin
+    s"""WITH $q140Ctes,
+       |truth0 AS ($q35Sql),
+       |truth AS (SELECT probe_id AS query_id, neighbor_id AS doc_id FROM truth0),
+       |fusedk AS (SELECT query_id, doc_id, rank FROM rr WHERE rank <= $FusionTopK),
+       |ev AS (${ev("lexk", "lex_rank", "lexical")}
+       |       UNION ALL
+       |       ${ev("sem", "sem_rank", "semantic")}
+       |       UNION ALL
+       |       ${ev("fusedk", "rank", "fused")})
+       |SELECT query_id, system, n_hits, first_hit_rank,
+       |       CASE WHEN first_hit_rank IS NOT NULL
+       |            THEN round(CAST(1 AS DOUBLE) / first_hit_rank, 6) ELSE 0 END AS rr
+       |FROM ev""".stripMargin
+  }
+
+  private lazy val q140Ctes: String =
+    s"""q AS (SELECT DISTINCT query_id, token FROM (
        |        SELECT doc_id AS query_id,
        |               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
        |        FROM documents WHERE doc_id < $FusionProbes)),
@@ -1911,9 +1997,7 @@ object DedupSimQueries {
        |       FROM f),
        |rr AS (SELECT query_id, doc_id, lex_rank, sem_rank, rrf,
        |              row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
-       |       FROM rf)
-       |SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank
-       |FROM rr WHERE rank <= $FusionTopK""".stripMargin
+       |       FROM rf)""".stripMargin
 
   private lazy val q50Sql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

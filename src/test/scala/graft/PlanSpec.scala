@@ -333,11 +333,15 @@ class PlanSpec extends AnyFunSuite {
     // the k-means rounds live behind the Ipf/KMeans checkpoint
     // convention
     "q138_dedup_pipeline" -> 17,
-    // q140: the lexical side rides searchDirect's postings
-    // checkpoint (df agg + the scoring groupBy + its rank window);
-    // the semantic side is q50's own budgeted plan; the fusion join
-    // of two k·probes-row frames and the final window close it out
-    "q140_hybrid_retrieval" -> 14,
+    // q140: both component candidate lists are k·probes-row
+    // localCheckpoints (the searches' own budgeted plans run behind
+    // them), so the returned plan is the fusion join of two tiny
+    // frames + the final rank window
+    "q140_hybrid_retrieval" -> 3,
+    // q141: the q140 component checkpoints + the brute-force truth
+    // checkpoint feed three broadcast-intersect aggregates (one per
+    // system) and the fused plan's join/window
+    "q141_retrieval_eval" -> 5,
     // q139: q124's pipeline plus the widened snap contract's cost:
     // two part-frame dedups (rects, squares), the group-vertex
     // distinct, the edge×vertex collinearity join (one exchange per

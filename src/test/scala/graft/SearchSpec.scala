@@ -121,4 +121,38 @@ class SearchSpec extends AnyFunSuite {
       rs.find(t => t._5 == Some(1) && t._6 == Some(1)).foreach(t => assert(t._2 == 1))
     }
   }
+
+  test("q141: per-system eval rows are well-formed and the semantic row reproduces q128's recall") {
+    import graft.queries.DedupSimQueries.{FusionProbes, FusionTopK}
+    val out = SparkEntry
+      .queries("q141_retrieval_eval")(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)), r.getDouble(4))
+      )
+    assert(out.map(_._2).distinct.sorted.toSeq == Seq("fused", "lexical", "semantic"))
+    out.foreach { case (q, sys, hits, fhr, rr) =>
+      assert(q >= 0 && q < FusionProbes)
+      assert(hits >= 0 && hits <= FusionTopK, s"$sys probe $q hits $hits")
+      fhr match {
+        case Some(r) =>
+          assert(r >= 1 && r <= FusionTopK)
+          assert(math.abs(rr - BigDecimal(1.0 / r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+          assert(hits > 0, s"$sys probe $q has a first hit but zero hits")
+        case None => assert(rr == 0.0 && hits == 0, s"$sys probe $q no hit but rr=$rr hits=$hits")
+      }
+    }
+    // the semantic system's hits@k IS q128's recall numerator — the
+    // eval must agree with the standing ANN certification
+    val q128 = SparkEntry
+      .queries("q128_ann_recall")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    val semHits = out.filter(_._2 == "semantic").map(t => t._1 -> t._3).toMap
+    q128.foreach { case (p, nHits) =>
+      assert(semHits.getOrElse(p, 0L) == nHits, s"probe $p: eval ${semHits.get(p)} != q128 $nHits")
+    }
+  }
 }
