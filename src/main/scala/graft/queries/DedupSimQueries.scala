@@ -61,6 +61,21 @@ object DedupSimQueries {
   // for per-query use; a long-lived service should instead
   // materialize shingles ONCE per corpus snapshot (at 100 TB: a
   // doc_id-bucketed parquet table) rather than per query call.
+  /** The corpus-scaled IVF-cell partition shared by q82 and q133:
+    * quantize, size k to the corpus (k = max(KmeansK,
+    * N/SemClusterTarget) — cells stay ~SemClusterTarget vectors so
+    * within-cell pair terms are linear in N), two-level Lloyd
+    * assignment. Returns (vec_id, cluster, qa).
+    */
+  private def cellAssignment(s: SparkSession, dir: String): DataFrame = {
+    val q = KMeans.quantizeShifted(Tables.embeddings(s, dir), "vec_id", "embedding").localCheckpoint()
+    val k = math.max(KmeansK, (q.count() / SemClusterTarget).toInt)
+    KMeans
+      .refineTwoLevel(q, k, KmeansIters, Dims)
+      .join(q, Seq("vec_id"))
+      .select(col("vec_id"), col("cluster"), col("qa"))
+  }
+
   /** The SemDeDup prune shared by q129 and the q138 pipeline: given
     * the quantized frame and a (vec_id, cluster, ...) assignment, a
     * vector is DROPPED when an earlier (smaller-id) same-cluster
@@ -384,11 +399,30 @@ object DedupSimQueries {
     // q82: k-nearest-neighbor join — every vector's top-3 neighbors
     // among its (label × sign-bucket) candidates: the ANN-graph build
     // (q34 finds threshold pairs; this ranks ALL vectors' neighbors).
+    // q82: kNN join within label blocks, candidates bounded by the
+    // IVF-CELL partition (round 10 — rebased off constant-geometry
+    // LSH buckets exactly as q133 was in round 9: fixed table×bucket
+    // blocks have occupancy ~N/const, an effectively-quadratic
+    // candidate term that measured 5.1× at a 10× scale-up; the
+    // corpus-scaled k-means partition keeps cells ~SemClusterTarget
+    // vectors, so the per-cell pair term is LINEAR in N). Neighbor
+    // rank = exact integer L2² on the globally-scaled quantized
+    // vectors (the q133 metric — monotone in true L2 up to
+    // quantization), ties by id; a candidate must share BOTH the cell
+    // and the label.
     "q82_knn_join" -> { (s, dir) =>
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      Dedup.knnJoin(
-        Tables.embeddings(s, dir), "vec_id", "embedding", "label",
-        KnnK, EmbLshTables, EmbLshPlanes, Dims)
+      import org.apache.spark.sql.expressions.Window
+      val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      val al = cellAssignment(s, dir).join(lab, Seq("vec_id"))
+      val a = al.select(col("cluster"), col("label"), col("vec_id"), col("qa"))
+      val b = al.select(col("cluster"), col("label"), col("vec_id").as("neighbor_id"), col("qa").as("qb"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("neighbor_id").asc)
+      a.join(b, Seq("cluster", "label"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("d2", KMeans.dist2(col("qa"), col("qb"), Dims))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= KnnK)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"), col("d2"))
     },
 
     // q85: incremental dedup — a NEW batch (doc_id % 7 == 3 here; in
@@ -569,12 +603,7 @@ object DedupSimQueries {
     "q133_knn_classify" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
       val emb = Tables.embeddings(s, dir)
-      val q = KMeans.quantizeShifted(emb, "vec_id", "embedding").localCheckpoint()
-      val k = math.max(KmeansK, (q.count() / SemClusterTarget).toInt)
-      val asg = KMeans
-        .refineTwoLevel(q, k, KmeansIters, Dims)
-        .join(q, Seq("vec_id"))
-        .select(col("vec_id"), col("cluster"), col("qa"))
+      val asg = cellAssignment(s, dir)
       val a = asg.select(col("cluster"), col("vec_id"), col("qa"))
       val b = asg.select(col("cluster"), col("vec_id").as("neighbor_id"), col("qa").as("qb"))
       val knn = a
@@ -1893,30 +1922,23 @@ object DedupSimQueries {
        |              array_to_string(list(tok ORDER BY idx), ' ') AS clean_text
        |       FROM kept GROUP BY doc_id)""".stripMargin
 
-  // same sign-bucket tables as the q34 oracle (shared embKbSql),
-  // but directed (!=) candidates and a per-vector rank window; the
-  // block condition is a parameter so q82 (within-label) and q133
-  // (corpus-wide, blockCond TRUE) share one definition
-  private def knnSql(blockCond: String): String =
-    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-       |n AS (SELECT vec_id, label, v, list_transform(v, x -> x / norm) nv
-       |      FROM (SELECT vec_id, label, v, sqrt(${dot("v", "v")}) norm FROM e)),
-       |kb AS ($embKbSql),
-       |cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
-       |         FROM kb a JOIN kb b
-       |           ON ($blockCond) AND a.tbl = b.tbl AND a.bucket = b.bucket
-       |          AND a.vec_id != b.vec_id),
-       |r AS (SELECT vec_a, vec_b, ${dot("na.nv", "nb.nv")} cosine
-       |      FROM cand
-       |      JOIN n na ON na.vec_id = vec_a
-       |      JOIN n nb ON nb.vec_id = vec_b),
-       |rk AS (SELECT vec_a, vec_b, cosine,
-       |              row_number() OVER (PARTITION BY vec_a ORDER BY cosine DESC, vec_b ASC) rank
-       |       FROM r)
-       |SELECT vec_a AS vec_id, rank, vec_b AS neighbor_id, round(cosine, 4) AS cosine
-       |FROM rk WHERE rank <= $KnnK""".stripMargin
-
-  private lazy val q82Sql: String = knnSql("a.label = b.label")
+  /** q82 oracle: the q133 cell partition (kmTwoLevelCtes + asg), the
+    * label joined on, and the within-(cell × label) pair ranking by
+    * exact integer L2² — all-BIGINT, ties by id.
+    */
+  private lazy val q82Sql: String =
+    s"""WITH ${kmTwoLevelCtes(kmKSub)},
+       |asg AS (SELECT a.vec_id, a.cid AS cluster, q.qa
+       |        FROM (SELECT vec_id, cid FROM fa${KmeansIters + 1} WHERE rn = 1) a JOIN q USING (vec_id)),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |al AS (SELECT asg.vec_id, asg.cluster, asg.qa, lab.label FROM asg JOIN lab USING (vec_id)),
+       |knn AS (SELECT a.vec_id, b.vec_id AS neighbor_id, ${kmD2Sql("a.qa", "b.qa")} AS d2
+       |        FROM al a JOIN al b
+       |          ON a.cluster = b.cluster AND a.label = b.label AND a.vec_id <> b.vec_id),
+       |r AS (SELECT vec_id, neighbor_id, d2,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, neighbor_id ASC) AS rank
+       |      FROM knn)
+       |SELECT vec_id, rank, neighbor_id, d2 FROM r WHERE rank <= $KnnK""".stripMargin
 
   private lazy val q35Sql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

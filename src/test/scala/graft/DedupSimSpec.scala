@@ -148,10 +148,13 @@ class DedupSimSpec extends AnyFunSuite {
       .filter(col("label") =!= col("n_label"))
       .count()
     assert(crossBlock == 0, s"$crossBlock neighbors cross the label block")
-    // rank 1 dominates rank 2 by cosine
-    val r1 = out.filter(col("rank") === 1).select(col("vec_id"), col("cosine").as("c1"))
-    val r2 = out.filter(col("rank") === 2).select(col("vec_id"), col("cosine").as("c2"))
-    assert(r1.join(r2, "vec_id").filter(col("c2") > col("c1")).count() == 0)
+    // rank 1 dominates rank 2 by distance (smaller L2² is nearer)
+    val r1 = out.filter(col("rank") === 1).select(col("vec_id"), col("d2").as("d1"))
+    val r2 = out.filter(col("rank") === 2).select(col("vec_id"), col("d2").as("dd2"))
+    assert(r1.join(r2, "vec_id").filter(col("dd2") < col("d1")).count() == 0)
+    // cell-bounded candidates: a neighbor always shares the vector's
+    // IVF cell — the corpus-scaled blocking that replaced the
+    // constant-geometry LSH buckets (round 10)
     out.unpersist()
   }
 
