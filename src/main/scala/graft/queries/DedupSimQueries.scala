@@ -29,10 +29,24 @@ object DedupSimQueries {
   val AnnTables = 8
   val AnnPlanesPerTable = 4
   val Dims = 64
-  // q34 blocking: 8 tables × 4 sign-bits keeps every sf0.01 threshold
-  // pair while bounding block sizes (see Dedup.embeddingNearDupsLsh).
-  val EmbLshTables = 8
-  val EmbLshPlanes = 4
+  // q34 blocking: 16 hyperplane tables whose per-table PLANE COUNT
+  // scales with the corpus (see Dedup.embeddingNearDupsLsh and
+  // embPlanesFor) — bucket occupancy stays ~SemClusterTarget at any
+  // N, so candidate volume is ~Tables·Target/2 rows per vector,
+  // linear in N. 16 tables buy multi-table recall ≈ 1-(1-p^m)^16 for
+  // the loose τ = 0.4 borderline pairs. MaxEmbPlanes = 20 serves
+  // 64·2^20 ≈ 67M vectors; EmbPlaneBase keeps the plane-id space
+  // disjoint from q36's ANN tables.
+  val EmbLshTables = 16
+  val MaxEmbPlanes = 20
+  val EmbPlaneBase = 1000
+
+  /** Smallest p in [2, MaxEmbPlanes] with SemClusterTarget·2^p ≥ n —
+    * the corpus-scaled plane count, shared (as a CASE chain) with the
+    * q34 oracle so both sides derive it integer-exactly.
+    */
+  def embPlanesFor(n: Long): Int =
+    (2 to MaxEmbPlanes).find(p => (SemClusterTarget.toLong << p) >= n).getOrElse(MaxEmbPlanes)
   val IvfCells = 16
   val IvfNprobe = 2
 
@@ -148,16 +162,29 @@ object DedupSimQueries {
       Dedup.simhashNearPairs(Dedup.simhash(shingles3(s, dir)), SimhashMaxDist)
     },
 
-    // q34: embedding cosine near-dup pairs, blocked on
-    // (label × sign-bucket LSH) so block size stays bounded as the
-    // corpus grows; unique candidate pairs pay one native graft_dot
-    // over pre-normalized vectors. The oracle mirrors the blocking
-    // exactly (axis-aligned sign buckets are plain SQL).
+    // q34: embedding cosine near-dup pairs, blocked on (label ×
+    // multi-table hyperplane-LSH bucket) with the PLANE COUNT scaled
+    // to the corpus — round 10: the fixed 4-plane geometry meant
+    // fixed bucket cardinality, so occupancy grew ~N/const and at the
+    // 50× scaling point the candidate join spilled the disk to death
+    // (>250 GB — the first outright scale failure in the inventory).
+    // planes = smallest p in [2, MaxEmbPlanes] with
+    // SemClusterTarget·2^p ≥ N keeps per-bucket occupancy
+    // ~SemClusterTarget at any corpus size (the q129 k = N/target
+    // contract applied to LSH geometry), while the loose τ = 0.4
+    // threshold keeps its multi-table recall (cells would lose
+    // borderline 66°-apart pairs — measured: τ-pairs here peak at
+    // cos 0.47). The ONE corpus count that sizes the geometry is the
+    // same sizing scan q129 pays; the oracle recomputes the identical
+    // CASE-chain plane count from its own count(*) — integer-exact on
+    // both engines, no log2-ulp risk.
     "q34_dedup_embedding" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val planes = embPlanesFor(emb.count())
       Dedup.embeddingNearDupsLsh(
-        Tables.embeddings(s, dir), "vec_id", "embedding", "label",
-        CosineThreshold, EmbLshTables, EmbLshPlanes, Dims)
+        emb, "vec_id", "embedding", "label",
+        CosineThreshold, EmbLshTables, planes, MaxEmbPlanes, EmbPlaneBase, Dims)
     },
 
     // q35: exact top-k cosine ANN baseline — 5 fixed probes broadcast
@@ -1027,16 +1054,46 @@ object DedupSimQueries {
     * definition so the blocking the oracles test cannot silently
     * diverge between them (or from the Scala side).
     */
-  private def embBucketSql(t: Int): String =
-    (0 until EmbLshPlanes)
-      .map(j => s"(CASE WHEN v[${((EmbLshPlanes * t + j) % Dims) + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
-      .mkString(" + ")
-
-  /** All (tbl, bucket) keys per vector, from the `n` CTE. */
-  private lazy val embKbSql: String =
-    (0 until EmbLshTables)
-      .map(t => s"SELECT vec_id, label, $t AS tbl, ${embBucketSql(t)} AS bucket FROM n")
+  /** q34 oracle: mirror of the corpus-scaled
+    * Dedup.embeddingNearDupsLsh — the plane count re-derived from the
+    * oracle's own count(*) through the SAME CASE chain embPlanesFor
+    * walks (integer thresholds, no log2), bucket bits from the
+    * identical seeded hyperplane literals (the q36 planeLit pattern;
+    * id range EmbPlaneBase + tbl·MaxEmbPlanes), then the unchanged
+    * normalize-then-dot cosine over DISTINCT a<b candidates.
+    */
+  private lazy val q34Sql: String = {
+    def planeLit(id: Int): String =
+      "([" + Similarity.hyperplane(id, Dims).map(_.toString).mkString(", ") + "]::DOUBLE[])"
+    val planeCases = (2 to MaxEmbPlanes)
+      .map(p => s"WHEN nn <= ${SemClusterTarget.toLong << p} THEN $p")
+      .mkString(" ")
+    def bucketSql(t: Int): String =
+      (0 until MaxEmbPlanes)
+        .map { j =>
+          s"(CASE WHEN $j < cnt.planes AND ${dot("v", planeLit(EmbPlaneBase + t * MaxEmbPlanes + j))} > 0 THEN ${1 << j} ELSE 0 END)"
+        }
+        .mkString(" + ")
+    val kb = (0 until EmbLshTables)
+      .map(t => s"SELECT vec_id, label, $t AS tbl, ${bucketSql(t)} AS bucket FROM e CROSS JOIN cnt")
       .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |cnt AS (SELECT CASE $planeCases ELSE $MaxEmbPlanes END AS planes
+       |        FROM (SELECT count(*) AS nn FROM e)),
+       |n AS (SELECT vec_id, list_transform(v, x -> x / norm) nv
+       |      FROM (SELECT vec_id, v, sqrt(${dot("v", "v")}) norm FROM e)),
+       |kb AS ($kb),
+       |cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
+       |         FROM kb a JOIN kb b
+       |           ON a.label = b.label AND a.tbl = b.tbl AND a.bucket = b.bucket
+       |          AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, round(cosine, 4) AS cosine
+       |FROM (SELECT vec_a, vec_b, ${dot("na.nv", "nb.nv")} cosine
+       |      FROM cand
+       |      JOIN n na ON na.vec_id = vec_a
+       |      JOIN n nb ON nb.vec_id = vec_b)
+       |WHERE cosine >= $CosineThreshold""".stripMargin
+  }
 
   /** Shared CTE prefix: tokens → word trigrams → df-cap — the string
     * twin of Dedup.shingles + dfCapped.
@@ -1737,25 +1794,7 @@ object DedupSimQueries {
          |       count(*) AS n_members,
          |       count(*) - 1 AS n_discarded
          |FROM c JOIN sc USING (doc_id) GROUP BY cluster""".stripMargin,
-    "q34_dedup_embedding" -> {
-      // mirror of Dedup.embeddingNearDupsLsh: same sign-bucket tables
-      // (shared embKbSql), same normalize-then-dot order →
-      // bit-identical cosines.
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         |n AS (SELECT vec_id, label, v, list_transform(v, x -> x / norm) nv
-         |      FROM (SELECT vec_id, label, v, sqrt(${dot("v", "v")}) norm FROM e)),
-         |kb AS ($embKbSql),
-         |cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
-         |         FROM kb a JOIN kb b
-         |           ON a.label = b.label AND a.tbl = b.tbl AND a.bucket = b.bucket
-         |          AND a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, round(cosine, 4) AS cosine
-         |FROM (SELECT vec_a, vec_b, ${dot("na.nv", "nb.nv")} cosine
-         |      FROM cand
-         |      JOIN n na ON na.vec_id = vec_a
-         |      JOIN n nb ON nb.vec_id = vec_b)
-         |WHERE cosine >= $CosineThreshold""".stripMargin
-    },
+    "q34_dedup_embedding" -> q34Sql,
     // identical semantics to q50 — the persisted partitioned index
     // changes the physical read, never the candidate set or ranking
     "q107_ann_ivf_index" -> q50Sql,

@@ -115,8 +115,18 @@ object Similarity {
     */
   def hyperplane(plane: Int, dims: Int): Seq[Double] =
     (0 until dims).map { d =>
-      val x = (1103515245L * (plane * dims + d) + 12345L) & 0x7fffffffL
-      x.toDouble / 0x7fffffffL.toDouble * 2.0 - 1.0
+      // splitmix64 finalizer over the (plane, dim) index: the old
+      // single-step LCG left adjacent planes visibly correlated —
+      // multi-table LSH buckets stopped being independent draws and
+      // the union-recall bound quietly broke (round 10: q34's
+      // highest-cosine pair missed ALL 16 tables). Weights reach the
+      // oracle as generated literals, so both engines see the same
+      // values by construction.
+      var z = (plane.toLong * dims + d) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
 
   /** Sign-pattern bucket id from `numPlanes` hyperplanes (plane ids
