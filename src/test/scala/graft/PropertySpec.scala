@@ -760,6 +760,44 @@ class PropertySpec extends AnyFunSuite {
     )
   }
 
+  test("corpus-scaled embedding LSH finds every planted near-parallel pair at any corpus size") {
+    import spark.implicits._
+    import graft.queries.DedupSimQueries.{embPlanesFor, CosineThreshold, Dims, EmbLshTables, EmbPlaneBase, MaxEmbPlanes}
+    val rnd = new Random(41)
+    for (n <- Seq(200, 1200)) {
+      // random unit-ish vectors plus planted near-parallel pairs
+      // (small perturbation → cosine ≥ ~0.99): the multi-table union
+      // must find ALL of them regardless of the corpus-derived plane
+      // count (geometry changes must degrade borderline-τ recall
+      // first, never near-dup recall)
+      val base = (0 until n).map { i =>
+        (i.toLong, Seq.fill(Dims)(rnd.nextGaussian()), i % 3)
+      }
+      val planted = (0 until 20).map { j =>
+        val (src, v, lab) = base(j * (n / 20))
+        (n + j.toLong, v.map(x => x + rnd.nextGaussian() * 0.02), lab, src)
+      }
+      val emb = (base.map { case (id, v, l) => (id, v, l) } ++ planted.map(p => (p._1, p._2, p._3)))
+        .toDF("vec_id", "embedding", "label")
+      val planes = embPlanesFor(emb.count())
+      val found = Dedup
+        .embeddingNearDupsLsh(
+          emb, "vec_id", "embedding", "label",
+          CosineThreshold, EmbLshTables, planes, MaxEmbPlanes, EmbPlaneBase, Dims)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      planted.foreach { case (dup, _, _, src) =>
+        assert(
+          found.contains((src, dup)) || found.contains((dup, src)),
+          s"n=$n planes=$planes: planted near-parallel pair ($src, $dup) missed"
+        )
+      }
+      // occupancy contract: plane count grows so that target·2^p ≥ N
+      assert((graft.queries.DedupSimQueries.SemClusterTarget.toLong << planes) >= n + 20)
+    }
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest
       .getInstance("MD5")
