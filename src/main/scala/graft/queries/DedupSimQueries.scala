@@ -1049,11 +1049,6 @@ object DedupSimQueries {
     "list_reduce(list_transform(range(1, len(%1$s) + 1), i -> %1$s[CAST(i AS INT)] * %2$s[CAST(i AS INT)]), (acc, x) -> acc + x)"
   private def dot(a: String, b: String) = dotSql.format(a, b)
 
-  /** Sign-bucket SQL shared by the q34 and q82 oracles — the string
-    * twin of Dedup.signTableBuckets over the raw vector `v`. ONE
-    * definition so the blocking the oracles test cannot silently
-    * diverge between them (or from the Scala side).
-    */
   /** q34 oracle: mirror of the corpus-scaled
     * Dedup.embeddingNearDupsLsh — the plane count re-derived from the
     * oracle's own count(*) through the SAME CASE chain embPlanesFor
