@@ -64,9 +64,15 @@ object DedupPipeline {
     // stage 1: exact
     val withMd5 = d.withColumn("text_md5", md5(col("text")))
     val keep = withMd5.groupBy(col("text_md5")).agg(min(col("doc_id")).as("keep_id"))
+    // stage-1 output is checkpointed: downstream reads it FOUR times
+    // (span tokenize + gram hash + the two stitch branches), and a
+    // production pipeline persists each stage's output anyway —
+    // re-running the corpus md5 join per consumer is the one cost a
+    // composed pipeline must not pay
     val st1 = withMd5
       .join(keep, Seq("text_md5"))
       .select(col("doc_id"), col("text"), (col("doc_id") =!= col("keep_id")).as("exact_dup"))
+      .localCheckpoint()
     val surv1 = st1.filter(!col("exact_dup")).select(col("doc_id"), col("text"))
     // stage 2: span surgery over the survivor corpus
     val st2 = Dedup

@@ -331,13 +331,13 @@ class PlanSpec extends AnyFunSuite {
     // agg, and the per-geoid union agg — no joins, no windows, no
     // broadcasts; n_parts is a projection over edge incidences
     "q124_polygon_dissolve" -> 3,
-    // q138: the composed pipeline's returned plan — the md5 keep
-    // join (scan-side agg + join), the span-surgery frame rides its
-    // localCheckpoint, the semantic stage's final cell assignment +
-    // prune self-join + distinct, and the three disposition stitches;
-    // the k-means rounds live behind the Ipf/KMeans checkpoint
-    // convention
-    "q138_dedup_pipeline" -> 17,
+    // q138: the composed pipeline's returned plan — stage-1 and
+    // stage-2 outputs ride their localCheckpoints (a pipeline
+    // persists its stage outputs), so the exchanges left are the
+    // semantic stage's final cell assignment + prune self-join +
+    // distinct and the disposition stitches; the k-means rounds live
+    // behind the Ipf/KMeans checkpoint convention
+    "q138_dedup_pipeline" -> 16,
     // q140: both component candidate lists are k·probes-row
     // localCheckpoints (the searches' own budgeted plans run behind
     // them), so the returned plan is the fusion join of two tiny
