@@ -137,88 +137,145 @@ object Multimodal {
 
   // --- q118: perceptual-hash near-dup over decoded payloads ---------
 
-  /** dHash strip length: 127 "luminance" bytes → 126 gradient bits,
-    * carried as TWO 63-bit BIGINT words (bit 62 is the top bit of each
-    * word, so no sign-bit arithmetic anywhere on either engine). The
-    * width is the blocking-selectivity fix for the pigeonhole Hamming
-    * join (Dedup.hammingNearPairs2): at maxDist = 8 the 9 chunks get
-    * 14 bits each — 16K bucket values per chunk instead of the 64 a
-    * 60-bit hash afforded (where ~N/64 of the corpus shared every
-    * bucket and the candidate join was effectively quadratic, the
-    * round-9 verdict's worst scaling term). 126 = 9 × 14 exactly, so
-    * no gradient bit is dead for blocking. A real dHash has gradient
-    * bits to spare — this is a 9×14 or 14×9 downscale instead of 8×8.
+  /** Near-dup Hamming radius for the dHash pigeonhole join: a
+    * re-encode variant perturbs ≤[[PhashMaxDist]]/2 strip bytes, each
+    * flipping ≤2 gradient bits, so a (original, variant) pair sits at
+    * Hamming ≤ PhashMaxDist while unrelated images sit near
+    * totalBits/2 (P[≤8 of ≥126] ≈ 1e-24: no false pairs at any
+    * plausible per-block corpus size).
     */
-  val StripBytes = 127
+  val PhashMaxDist = 8
 
-  /** Gradient bits per signature word (and the word count). */
+  /** Pigeonhole chunk count — maxDist+1 disjoint chunks guarantee a
+    * ≤ maxDist pair agrees exactly on at least one.
+    */
+  val PhashChunks: Int = PhashMaxDist + 1
+
+  /** Target chunk-bucket occupancy: the chunk width b is the smallest
+    * in [[MinPhashChunkBits]], [[MaxPhashChunkBits]]] with
+    * PhashChunkTarget·2^b ≥ N — the q34 corpus-scaled-geometry
+    * formula applied to pigeonhole blocking (SURVEY §4 round-10
+    * rule). Spurious candidates are ~PhashChunks·N²/2^b ≤
+    * PhashChunks·PhashChunkTarget·N: linear in N at any corpus size,
+    * where the round-10 FIXED 126-bit geometry (b = 14 forever) was
+    * quadratic past N ≈ 10⁵ — the 55× super-linear 50× point in
+    * SCALING_r10.
+    */
+  val PhashChunkTarget = 8
+  val MinPhashChunkBits = 14
+
+  /** Upper bound on the chunk width: b = 24 serves
+    * PhashChunkTarget·2^24 ≈ 134M images; the cap exists because the
+    * perturbation-radius contract (see [[stripFrame]]) bounds the
+    * SYNTHETIC strip length at PerturbMod·(PhashMaxDist/2) = 268
+    * bytes (b ≤ 29) — a real decoder has no such bound and would
+    * raise the cap with a wider PerturbMod-free downscale.
+    */
+  val MaxPhashChunkBits = 24
+
+  /** Smallest chunk width whose bucket cardinality keeps occupancy
+    * ~[[PhashChunkTarget]] at corpus size n (shared as a CASE chain
+    * with the q118 oracle so both sides derive it integer-exactly).
+    */
+  def phashChunkBitsFor(n: Long): Int =
+    (MinPhashChunkBits to MaxPhashChunkBits)
+      .find(b => (PhashChunkTarget.toLong << b) >= n)
+      .getOrElse(MaxPhashChunkBits)
+
+  /** Gradient bits per signature word. */
   val WordBits = 63
-  val HashBits: Int = 2 * WordBits
-
-  /** Synthetic image-id space for the re-encode corpus: doc_id % this
-    * is the underlying image, doc_id / this the re-encode variant.
-    */
-  val ReencodeImages = 250
 
   /** Perturbation modulus for the re-encode synthesis: positions
-    * j ≡ r (mod 67) over j ∈ [0, 127) hit at most TWO strip bytes
-    * (j = r and r + 67), each byte sits in two adjacent gradient
-    * comparisons, so a variant lands at Hamming ≤ 4 of its original —
-    * comfortably inside the ≤ 8 near-dup radius.
+    * j ≡ r (mod 67) over j ∈ [0, stripBytes) hit at most
+    * ⌈stripBytes/67⌉ strip bytes; each byte sits in two adjacent
+    * gradient comparisons, so a variant lands at Hamming ≤
+    * 2·⌈stripBytes/67⌉ of its original — the [[stripFrame]] require
+    * keeps that within the ≤ [[PhashMaxDist]] near-dup radius.
     */
   val PerturbMod = 67
 
   /** Deterministic decoded-luminance synthesis — the STAND-IN for a
     * real decode→grayscale→downscale stage (no codecs in container):
     * byte j of image `img` comes from md5(img ":" j/16) (16 bytes per
-    * md5 call, 8 calls per strip), and a re-encode variant (v > 0)
-    * perturbs the ≤2 strip positions where (j + 11·v + 3·doc_id) ≡ 0
-    * (mod [[PerturbMod]]) by +16 — the "same picture, slightly
-    * different pixels" signature a lossy re-encode leaves. Every byte
-    * is an engine-portable integer expression, so the DuckDB oracle
-    * rebuilds the identical strip.
+    * md5 call), and a re-encode variant perturbs the strip positions
+    * where (j + 11·v + 3·doc_id) ≡ 0 (mod [[PerturbMod]]) by +16 —
+    * the "same picture, slightly different pixels" signature a lossy
+    * re-encode leaves. Every byte is an engine-portable integer
+    * expression, so the DuckDB oracle rebuilds the identical strip.
+    *
+    * FAMILY STRUCTURE (round 11): img = doc_id div 2, v = doc_id % 2
+    * — every image appears exactly TWICE (original + one re-encode),
+    * so the planted duplicate-family size is a CONSTANT independent
+    * of N. The round-10 synthesis (img = doc_id % 250) tied family
+    * size to N/250: at the 50× scaling point each image had 1000
+    * variants and the TRUE pair set alone was ~1.25e8 rows — an
+    * output-sized quadratic no blocking geometry can fix, and
+    * exactly the degenerate-replication pathology ScaleUp's fairness
+    * transform exists to avoid (its 1e9 key stride is ≡ 0 mod 250,
+    * so replicas cloned the same 250 images). A real re-encode corpus
+    * (LAION-shape, 10⁹ images) keeps bounded family sizes as it
+    * grows; div-2 pairing is immune to key-shifted replication by
+    * construction.
     */
-  def lumaStrip(docId: Column): Seq[Column] = {
-    val img = docId % ReencodeImages
-    // Column `/` is DOUBLE division — floor back to the integral
-    // variant index (the oracle's `//`)
-    val v = floor(docId / ReencodeImages).cast("long")
-    (0 until StripBytes).map { j =>
-      val h = md5(concat(img.cast("string"), lit(":"), lit(j / 16)))
-      val raw = conv(substring(h, 2 * (j % 16) + 1, 1), 16, 10).cast("long") * 16 +
-        conv(substring(h, 2 * (j % 16) + 2, 1), 16, 10).cast("long")
-      when(v > 0 && (lit(j) + lit(11) * v + docId * 3) % PerturbMod === 0, (raw + 16) % 256)
-        .otherwise(raw)
-    }
+  def stripFrame(docs: DataFrame, idCol: String, stripBytes: Int): DataFrame = {
+    require(
+      2 * ((stripBytes + PerturbMod - 1) / PerturbMod) <= PhashMaxDist,
+      s"strip of $stripBytes bytes can perturb ${(stripBytes + PerturbMod - 1) / PerturbMod} positions " +
+        s"(> ${PhashMaxDist / 2}) — planted variants would exceed the Hamming radius $PhashMaxDist; " +
+        "widen PerturbMod with the strip"
+    )
+    val docId = col(idCol)
+    // shiftright/bitwiseAND, not `/` and `%` through doubles: doc_id
+    // is non-negative, so these are exact integer div-2/mod-2 at any
+    // id magnitude (the oracle's `//` and `%`)
+    val img = shiftright(docId, 1)
+    val v = docId.bitwiseAND(1)
+    val nHashes = (stripBytes + 15) / 16
+    // the whole strip's hex: ⌈stripBytes/16⌉ md5 blocks, each computed
+    // ONCE, concatenated — byte j is hex pair [2j, 2j+2). The
+    // round-10 shape (a flat 2·stripBytes-expression projection
+    // re-deriving the md5 chain per nibble) blew the generated method
+    // past janino's limits (ERROR CodeGenerator → interpreted
+    // fallback, re-evaluating each md5 32×); a single `transform`
+    // lambda keeps the tree tiny and does one conv per byte.
+    val hs = concat((0 until nHashes).map(c => md5(concat(img.cast("string"), lit(":"), lit(c)))): _*)
+    val bytes = transform(
+      sequence(lit(0), lit(stripBytes - 1)),
+      j => {
+        val raw = conv(hs.substr(j * 2 + 1, lit(2)), 16, 10).cast("long")
+        when(v > 0 && (j.cast("long") + lit(11) * v + docId * 3) % PerturbMod === 0, (raw + 16) % 256)
+          .otherwise(raw)
+      }
+    )
+    docs.select(docId.as(idCol), bytes.as("sa"))
   }
 
-  /** 126-bit dHash as two 63-bit words: gradient bit i = strip[i] >
-    * strip[i+1] (the gradient-sign hash real image pipelines use on
-    * downscaled luminance rows); bits 0-62 fold into word 0, bits
-    * 63-125 into word 1 — each a flat codegen'd expression tree of
-    * distinct powers of two, so the sum IS the bit-OR and bit 62 is
-    * the top bit of each word (no sign-bit arithmetic on either
-    * engine). A re-encode's k perturbed bytes flip at most 2k bits
-    * (each byte sits in two adjacent comparisons), which is what makes
-    * Hamming ≤ 8 the right near-dup radius for the ≤2-byte
-    * perturbation above.
+  /** totalBits-wide dHash as ⌈totalBits/63⌉ 63-bit words: gradient
+    * bit i = strip[i] > strip[i+1] (the gradient-sign hash real image
+    * pipelines use on downscaled luminance rows); bits 63w..63w+62
+    * fold into word w — each word a flat codegen'd expression tree of
+    * distinct powers of two, so the sum IS the bit-OR and no word
+    * touches its sign bit on either engine. The width is the
+    * CORPUS-SCALED [[PhashChunks]]·[[phashChunkBitsFor]] — a real
+    * dHash has gradient bits to spare (this is a
+    * PhashChunks×chunkBits downscale instead of 8×8).
     *
     * Input is a MATERIALIZED strip array column: folding the synthesis
-    * exprs directly into the 126 comparisons lets Catalyst's
+    * exprs directly into the comparisons lets Catalyst's
     * CollapseProject + SimplifyExtractValueOps re-inline each md5+conv
-    * byte chain at every bit that references it (~250 copies — the
-    * 60-bit ancestor measured 11.9 s cold at 500 rows). Computing the
-    * strip ONCE into an array behind a lineage cut and hashing via
+    * byte chain at every bit that references it (~2 copies per byte —
+    * the 60-bit ancestor measured 11.9 s cold at 500 rows). Computing
+    * the strip ONCE into an array behind a lineage cut and hashing via
     * element_at keeps the comparisons interpretation-trivial.
     */
-  def dhash126FromArray(strip: Column): Seq[Column] =
-    (0 until 2).map { w =>
-      (0 until WordBits)
-        .map(b => w * WordBits + b)
-        .filter(_ < StripBytes - 1)
+  def dhashWordsFromArray(strip: Column, totalBits: Int): Seq[Column] = {
+    val nWords = (totalBits + WordBits - 1) / WordBits
+    (0 until nWords).map { w =>
+      (w * WordBits until math.min((w + 1) * WordBits, totalBits))
         .map(i => when(element_at(strip, i + 1) > element_at(strip, i + 2), lit(1L << (i - w * WordBits))).otherwise(lit(0L)))
         .reduce(_ + _)
     }
+  }
 
   /** Partition-batched decode. A real implementation would initialize
     * a codec once per partition and decode each payload; the decode

@@ -16,38 +16,43 @@ import graft.sources.Tables
   */
 object MultimodalQueries {
 
-  // q118: near-dup radius for the dHash pigeonhole join — a re-encode
-  // variant perturbs ≤2 strip bytes, each flipping ≤2 gradient bits,
-  // so a (variant, variant) pair sits at Hamming ≤ 8 while unrelated
-  // images sit near 63 of 126 (P[≤8] ≈ 1e-24: no false pairs at any
-  // plausible corpus size per block).
-  val PhashMaxDist = 8
+  /** q118's near-dup radius — geometry lives with the synthesis in
+    * [[Multimodal]] (re-exported for the spec's convenience).
+    */
+  val PhashMaxDist: Int = Multimodal.PhashMaxDist
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q118: perceptual-hash near-duplicate detection over DECODED
-    // media (the LAION-shape image dedup): a 126-bit gradient dHash
-    // per payload as a pure codegen'd Column tree over two 63-bit
-    // BIGINT words (decode stands in as deterministic luminance
-    // synthesis — no codecs in container), then Hamming ≤ 8 pairs via
-    // the two-word pigeonhole chunk equi-join (Dedup.
-    // hammingNearPairs2): 9 chunks × 14 bits = 16K bucket values per
-    // chunk — the round-9 fix for the 60-bit geometry whose 64-value
-    // chunk keys made ~14% of all pairs candidates. Hashes travel as
-    // two BIGINTs, never an all-pairs scan. Oracle rebuilds the
-    // identical strip bytes and compares ALL pairs — the pigeonhole
-    // join must lose nothing.
+    // media (the LAION-shape image dedup, ~10⁹ images in production):
+    // a gradient dHash per payload as a pure codegen'd Column tree
+    // over ⌈9b/63⌉ 63-bit BIGINT words (decode stands in as
+    // deterministic luminance synthesis — no codecs in container),
+    // then Hamming ≤ 8 pairs via the pigeonhole chunk equi-join
+    // (Dedup.hammingNearPairsWide) whose chunk width b is
+    // CORPUS-SCALED (round 11): b = smallest width with 8·2^b ≥ N
+    // (Multimodal.phashChunkBitsFor — the q34 plane-count formula),
+    // so chunk-bucket occupancy stays ~8 and spurious candidates stay
+    // ~9·8·N at any corpus size. The round-10 FIXED 126-bit geometry
+    // kept b = 14 forever — its 9·N²/16K candidate term went
+    // super-linear at the 50× scaling point (55.45×, the only one in
+    // SCALING_r10). The ONE corpus count that sizes the geometry is
+    // the same sizing scan q34/q129 pay; the oracle re-derives b from
+    // its own count(*) via the identical integer CASE chain, then
+    // compares ALL pairs at the gradient-BYTE level (word-agnostic) —
+    // the pigeonhole join must lose nothing.
     "q118_phash_neardup" -> { (s, dir) =>
       import org.apache.spark.sql.functions.{array, col}
+      val docs = Tables.documents(s, dir)
+      val chunkBits = Multimodal.phashChunkBitsFor(docs.count())
+      val totalBits = Multimodal.PhashChunks * chunkBits
       // strip materialized ONCE behind a lineage cut — see
-      // Multimodal.dhash126FromArray for why inlining is 17× slower
-      val strips = Tables
-        .documents(s, dir)
-        .select(col("doc_id"), array(Multimodal.lumaStrip(col("doc_id")): _*).as("sa"))
-        .localCheckpoint()
-      val words = Multimodal.dhash126FromArray(col("sa"))
-      val sigs = strips.select(col("doc_id"), words(0).as("h0"), words(1).as("h1"))
+      // Multimodal.dhashWordsFromArray for why inlining is 17× slower
+      val strips = Multimodal.stripFrame(docs, "doc_id", totalBits + 1).localCheckpoint()
+      val words = Multimodal.dhashWordsFromArray(col("sa"), totalBits)
+      val sigs =
+        strips.select(col("doc_id") +: words.zipWithIndex.map { case (w, i) => w.as(s"h$i") }: _*)
       graft.dedup.Dedup
-        .hammingNearPairs2(sigs, PhashMaxDist, Multimodal.WordBits)
+        .hammingNearPairsWide(sigs, PhashMaxDist, totalBits, Multimodal.WordBits)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
     },
     "q40_multimodal_meta" -> { (s, dir) =>
@@ -66,10 +71,20 @@ object MultimodalQueries {
   )
 
   def oracle: Map[String, String] = Map(
-    "q118_phash_neardup" ->
-      s"""WITH d AS (SELECT doc_id, doc_id % ${Multimodal.ReencodeImages} AS img,
-         |                  doc_id // ${Multimodal.ReencodeImages} AS v FROM documents),
-         |js AS (SELECT unnest(range(0, ${Multimodal.StripBytes})) AS j),
+    // chunk width b re-derived from the oracle's own count(*) via the
+    // same integer thresholds phashChunkBitsFor walks; the all-pairs
+    // compare runs at the gradient-BYTE level (a.gb != b.gb summed
+    // over j < 9·b), which is word-decomposition-agnostic — identical
+    // to the engine's multi-word bit_count by construction.
+    "q118_phash_neardup" -> {
+      val bitCases = (Multimodal.MinPhashChunkBits to Multimodal.MaxPhashChunkBits)
+        .map(b => s"WHEN n <= ${Multimodal.PhashChunkTarget.toLong << b} THEN $b")
+        .mkString(" ")
+      s"""WITH geo AS (SELECT CASE $bitCases ELSE ${Multimodal.MaxPhashChunkBits} END
+         |                    * ${Multimodal.PhashChunks} AS totalbits
+         |             FROM (SELECT count(*) AS n FROM documents)),
+         |d AS (SELECT doc_id, doc_id // 2 AS img, doc_id % 2 AS v FROM documents),
+         |js AS (SELECT unnest(range(0, (SELECT totalbits + 1 FROM geo))) AS j),
          |b AS (SELECT d.doc_id, d.v, js.j,
          |             (strpos('0123456789abcdef', substring(md5(d.img || ':' || (js.j // 16)),
          |                     CAST(2 * (js.j % 16) + 1 AS INT), 1)) - 1) * 16
@@ -80,20 +95,16 @@ object MultimodalQueries {
          |             CASE WHEN v > 0 AND (j + 11 * v + doc_id * 3) % ${Multimodal.PerturbMod} = 0
          |                  THEN (raw + 16) % 256 ELSE raw END AS byte
          |      FROM b),
-         |n AS (SELECT doc_id, j, byte,
-         |             lead(byte) OVER (PARTITION BY doc_id ORDER BY j) AS nb FROM p),
-         |h AS (SELECT doc_id,
-         |             CAST(sum(CASE WHEN byte > nb AND j < ${Multimodal.WordBits}
-         |                           THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-         |                           ELSE 0 END) AS BIGINT) AS h0,
-         |             CAST(sum(CASE WHEN byte > nb AND j >= ${Multimodal.WordBits}
-         |                           THEN (CAST(1 AS BIGINT) << CAST(j - ${Multimodal.WordBits} AS INT))
-         |                           ELSE 0 END) AS BIGINT) AS h1
-         |      FROM n WHERE j < ${Multimodal.StripBytes - 1} GROUP BY doc_id)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS INT) AS hamming
-         |FROM h a JOIN h b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= $PhashMaxDist""".stripMargin,
+         |n2 AS (SELECT doc_id, j, byte,
+         |              lead(byte) OVER (PARTITION BY doc_id ORDER BY j) AS nb FROM p),
+         |g AS (SELECT doc_id, j, CASE WHEN byte > nb THEN 1 ELSE 0 END AS gb
+         |      FROM n2 WHERE j < (SELECT totalbits FROM geo)),
+         |h AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             CAST(sum(CASE WHEN a.gb != b.gb THEN 1 ELSE 0 END) AS INT) AS hamming
+         |      FROM g a JOIN g b ON a.j = b.j AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= $PhashMaxDist""".stripMargin
+    },
     "q40_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -62,34 +62,81 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** Collected (doc_id, word vector) hashes for the sf corpus at a
+    * given chunk width.
+    */
+  private def collectHashes(chunkBits: Int): Seq[(Long, Seq[Long])] = {
+    val totalBits = Multimodal.PhashChunks * chunkBits
+    val words = Multimodal.dhashWordsFromArray(col("sa"), totalBits)
+    Multimodal
+      .stripFrame(Tables.documents(spark, sf), "doc_id", totalBits + 1)
+      // same lineage cut as the query: without it Catalyst collapses
+      // the strip synthesis into every gradient comparison (huge
+      // generated method -> janino gives up, interpreted fallback)
+      .localCheckpoint()
+      .select(col("doc_id") +: words.zipWithIndex.map { case (w, i) => w.as(s"h$i") }: _*)
+      .collect()
+      .map(r => (r.getLong(0), (1 until r.length).map(r.getLong)))
+      .toSeq
+  }
+
+  private def bruteForce(hashes: Seq[(Long, Seq[Long])], maxDist: Int): Set[(Long, Long, Int)] =
+    (for {
+      (a, aw) <- hashes; (b, bw) <- hashes if a < b
+      d = aw.zip(bw).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum if d <= maxDist
+    } yield (a, b, d)).toSet
+
   test("q118: pigeonhole dHash pairs equal brute-force all-pairs Hamming, and every planted re-encode pair is found") {
     import graft.queries.MultimodalQueries.PhashMaxDist
-    val words = Multimodal.dhash126FromArray(col("sa"))
-    val hashes = Tables
-      .documents(spark, sf)
-      .select(col("doc_id"), array(Multimodal.lumaStrip(col("doc_id")): _*).as("sa"))
-      .select(col("doc_id"), words(0).as("h0"), words(1).as("h1"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // brute-force ground truth over the collected two-word 126-bit hashes
-    val brute = (for {
-      (a, a0, a1) <- hashes; (b, b0, b1) <- hashes if a < b
-      d = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1) if d <= PhashMaxDist
-    } yield (a, b, d)).toSet
+    val nDocs = Tables.documents(spark, sf).count()
+    val hashes = collectHashes(Multimodal.phashChunkBitsFor(nDocs))
+    val brute = bruteForce(hashes, PhashMaxDist)
     val got = SparkEntry
       .queries("q118_phash_neardup")(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       .toSet
     assert(got == brute, s"pigeonhole join diverges: missing=${brute -- got} extra=${got -- brute}")
-    // every image with a re-encode variant pairs with its original:
-    // a variant perturbs <=2 strip bytes -> <=4 flipped bits <= radius
-    val nDocs = hashes.length
-    val planted = (0L until (nDocs - Multimodal.ReencodeImages).toLong)
-      .map(i => (i, i + Multimodal.ReencodeImages))
-      .toSet
+    // every (original, re-encode) family pairs up: img = doc_id div 2,
+    // so the planted pairs are exactly (2i, 2i+1) — a variant perturbs
+    // <= 2 strip bytes -> <= 4 flipped bits <= radius
+    val planted = (0L until nDocs / 2).map(i => (2 * i, 2 * i + 1)).toSet
     val gotPairs = got.map { case (a, b, _) => (a, b) }
     assert(planted.subsetOf(gotPairs), s"missing planted pairs: ${planted -- gotPairs}")
+  }
+
+  test("q118: the corpus-scaled chunk width follows the occupancy formula and the WIDE (3-word) geometry loses nothing") {
+    import graft.queries.MultimodalQueries.PhashMaxDist
+    // formula: smallest b with target·2^b >= n, clamped to the bounds
+    assert(Multimodal.phashChunkBitsFor(1) == Multimodal.MinPhashChunkBits)
+    assert(Multimodal.phashChunkBitsFor(8L << 14) == 14)
+    assert(Multimodal.phashChunkBitsFor((8L << 14) + 1) == 15)
+    assert(Multimodal.phashChunkBitsFor(250000) == 15) // the 50x scaling point runs 3 words live
+    assert(Multimodal.phashChunkBitsFor(8L << 24) == 24)
+    assert(Multimodal.phashChunkBitsFor(Long.MaxValue) == Multimodal.MaxPhashChunkBits)
+    (1 to 20).foreach { e =>
+      assert(Multimodal.phashChunkBitsFor(1L << e) <= Multimodal.phashChunkBitsFor(1L << (e + 1)))
+    }
+    // run the b=15 geometry (135 bits, 3 words — what a 250k corpus
+    // gets) on the sf corpus: pigeonhole must still equal brute force
+    val chunkBits = 15
+    val totalBits = Multimodal.PhashChunks * chunkBits
+    val hashes = collectHashes(chunkBits)
+    assert(hashes.head._2.length == 3, "135 bits should pack into 3 words")
+    val brute = bruteForce(hashes, PhashMaxDist)
+    val sigs = {
+      val words = Multimodal.dhashWordsFromArray(col("sa"), totalBits)
+      Multimodal
+        .stripFrame(Tables.documents(spark, sf), "doc_id", totalBits + 1)
+        .localCheckpoint()
+        .select(col("doc_id") +: words.zipWithIndex.map { case (w, i) => w.as(s"h$i") }: _*)
+    }
+    val got = graft.dedup.Dedup
+      .hammingNearPairsWide(sigs, PhashMaxDist, totalBits, Multimodal.WordBits)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+      .toSet
+    assert(got == brute, s"wide pigeonhole diverges: missing=${brute -- got} extra=${got -- brute}")
   }
 
   test("ingest manifest partitions the corpus and has stable hashes") {
