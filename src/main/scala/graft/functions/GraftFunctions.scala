@@ -100,6 +100,17 @@ object GraftFunctions {
         require(children.size == 2, s"graft_sigmatch(a, b) takes 2 arguments, got ${children.size}")
         SigMatch(children.head, children(1))
       }
+    ),
+    (
+      FunctionIdentifier("graft_lshbuckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lshbuckets"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 3,
+          s"graft_lshbuckets(v, planes, planesPerTable) takes 3 arguments, got ${children.size}"
+        )
+        LshBuckets(children.head, children(1), lit(children(2)))
+      }
     )
   )
 
@@ -145,5 +156,17 @@ object GraftFunctions {
       h,
       org.apache.spark.sql.functions.lit(depth),
       org.apache.spark.sql.functions.lit(width)
+    )
+
+  /** All LSH table buckets of `v` from a constant plane matrix (rows
+    * in table-major order: table t's planes occupy rows
+    * t·planesPerTable until (t+1)·planesPerTable).
+    */
+  def lshBuckets(v: Column, planes: Seq[Seq[Double]], planesPerTable: Int): Column =
+    call_function(
+      "graft_lshbuckets",
+      v,
+      org.apache.spark.sql.functions.typedlit(planes),
+      org.apache.spark.sql.functions.lit(planesPerTable)
     )
 }

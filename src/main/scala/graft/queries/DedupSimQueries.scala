@@ -27,7 +27,28 @@ object DedupSimQueries {
   val SimhashMaxDist = 3
   val AnnK = 10
   val AnnTables = 8
-  val AnnPlanesPerTable = 4
+  // q36 plane count per table is CORPUS-SCALED (round 11, the q34
+  // formula on the ANN side): p = smallest with AnnBucketTarget·2^p ≥
+  // N keeps per-table bucket occupancy ~AnnBucketTarget at any corpus
+  // size — fixed 4-plane tables had occupancy ~N/16 and trended 17.65×
+  // at the 50× scaling point (the next decade would cross linear
+  // exactly as q34's fixed geometry did). AnnBucketTarget = 32 keeps
+  // p = 4 at the spec's recall SF (N = 500), so the measured
+  // recall-vs-q35 contract is unchanged there; at larger N recall per
+  // table decays (the declared LSH trade — holding recall while
+  // occupancy stays bounded needs table count growing ~N^ρ, which is
+  // why the engine's ANN scale path is the IVF family q50/q107/q125,
+  // with q36 the LSH baseline beside it). MaxAnnPlanes strides the
+  // per-table plane-id ranges (ids t·20..t·20+p-1 < 160, disjoint
+  // from q34's EmbPlaneBase = 1000 space).
+  val AnnBucketTarget = 32
+  val MaxAnnPlanes = 20
+
+  /** Smallest p in [2, MaxAnnPlanes] with AnnBucketTarget·2^p ≥ n —
+    * shared (as a CASE chain) with the q36 oracle.
+    */
+  def annPlanesFor(n: Long): Int =
+    (2 to MaxAnnPlanes).find(p => (AnnBucketTarget.toLong << p) >= n).getOrElse(MaxAnnPlanes)
   val Dims = 64
   // q34 blocking: 16 hyperplane tables whose per-table PLANE COUNT
   // scales with the corpus (see Dedup.embeddingNearDupsLsh and
@@ -196,13 +217,17 @@ object DedupSimQueries {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), AnnK)
     },
 
-    // q36: multi-table random-hyperplane LSH ANN (8 tables x 4 planes)
-    // — probes meet the union of their per-table bucket contents;
-    // recall vs q35 measured in DedupSimSpec.
+    // q36: multi-table random-hyperplane LSH ANN (8 tables, plane
+    // count corpus-scaled via annPlanesFor — see AnnBucketTarget) —
+    // probes meet the union of their per-table bucket contents;
+    // recall vs q35 measured in DedupSimSpec. The ONE corpus count
+    // that sizes the geometry is the q34/q129 sizing scan; the oracle
+    // re-derives p from its own count(*) via the identical CASE chain.
     "q36_ann_lsh" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
       val e = embDouble(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), AnnK, AnnTables, AnnPlanesPerTable, Dims)
+      val planes = annPlanesFor(e.count())
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), AnnK, AnnTables, planes, Dims, MaxAnnPlanes)
     },
 
     // q50: IVF-cell ANN — the data-adaptive scale path complementary
@@ -1274,16 +1299,24 @@ object DedupSimQueries {
   private lazy val q36Sql: String = {
     def planeLit(p: Int): String =
       "([" + Similarity.hyperplane(p, Dims).map(_.toString).mkString(", ") + "]::DOUBLE[])"
+    // plane count re-derived from the oracle's own count(*) (the q34
+    // CASE-chain pattern); plane j of table t only contributes while
+    // j < planes, over the MaxAnnPlanes-strided id space
+    val planeCases = (2 to MaxAnnPlanes)
+      .map(p => s"WHEN nn <= ${AnnBucketTarget.toLong << p} THEN $p")
+      .mkString(" ")
     def bucketSql(t: Int): String =
-      (0 until AnnPlanesPerTable)
+      (0 until MaxAnnPlanes)
         .map { j =>
-          s"(CASE WHEN ${dot("v", planeLit(t * AnnPlanesPerTable + j))} > 0 THEN ${1 << j} ELSE 0 END)"
+          s"(CASE WHEN $j < cnt.planes AND ${dot("v", planeLit(t * MaxAnnPlanes + j))} > 0 THEN ${1 << j} ELSE 0 END)"
         }
         .mkString(" + ")
     val kb = (0 until AnnTables)
-      .map(t => s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bucket FROM n")
+      .map(t => s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bucket FROM n CROSS JOIN cnt")
       .mkString("\nUNION ALL\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |cnt AS (SELECT CASE $planeCases ELSE $MaxAnnPlanes END AS planes
+       |        FROM (SELECT count(*) AS nn FROM e)),
        |n AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) norm FROM e),
        |kb AS ($kb),
        |pb AS (SELECT vec_id AS probe_id, tbl, bucket FROM kb WHERE vec_id < 5),

@@ -143,14 +143,29 @@ object Similarity {
 
   /** All `numTables` (table_id, bucket) assignments of a vector, each
     * table using its own `planesPerTable` independent hyperplanes.
+    * `planeStride` spaces the per-table plane-id ranges: a stride
+    * LARGER than planesPerTable keeps table t's plane ids stable when
+    * the plane count is corpus-scaled (the q34 convention — ids
+    * t·stride .. t·stride+planesPerTable-1), so growing a corpus
+    * EXTENDS each table's plane set instead of reshuffling every
+    * table's geometry.
     */
-  def lshTableBuckets(v: Column, numTables: Int, planesPerTable: Int, dims: Int): Column =
+  def lshTableBuckets(
+      v: Column,
+      numTables: Int,
+      planesPerTable: Int,
+      dims: Int,
+      planeStride: Int = -1
+  ): Column = {
+    val stride = if (planeStride < 0) planesPerTable else planeStride
+    require(stride >= planesPerTable, s"planeStride $stride < planesPerTable $planesPerTable")
     array((0 until numTables).map { t =>
       struct(
         lit(t).as("tbl"),
-        lshBucket(v, planesPerTable, dims, planeOffset = t * planesPerTable).as("bucket")
+        lshBucket(v, planesPerTable, dims, planeOffset = t * stride).as("bucket")
       )
     }: _*)
+  }
 
   /** Multi-table LSH ANN: L independent hash tables of m planes each;
     * a probe meets the union of its L buckets' corpus vectors. A
@@ -289,14 +304,30 @@ object Similarity {
   ): DataFrame =
     ivfRank(spark.read.parquet(path), ivfProbeCells(cents, probes, nprobe), k)
 
+  /** The table-major plane matrix for `numTables` tables of
+    * `planesPerTable` planes each, table t's plane ids at
+    * t·stride .. t·stride+planesPerTable-1 — the constant literal
+    * [[graft.functions.GraftFunctions.lshBuckets]] hashes against in
+    * one native loop (see LshBuckets for why the per-plane graft_dot
+    * fold had to go: corpus-scaled plane counts pushed its generated
+    * method past HotSpot's JIT threshold — a measured 25× cliff).
+    */
+  def lshPlaneMatrix(numTables: Int, planesPerTable: Int, dims: Int, planeStride: Int): Seq[Seq[Double]] = {
+    val stride = if (planeStride < 0) planesPerTable else planeStride
+    require(stride >= planesPerTable, s"planeStride $stride < planesPerTable $planesPerTable")
+    for { t <- 0 until numTables; j <- 0 until planesPerTable } yield hyperplane(t * stride + j, dims)
+  }
+
   def lshTopK(
       corpus: DataFrame,
       probes: DataFrame,
       k: Int,
       numTables: Int,
       planesPerTable: Int,
-      dims: Int
+      dims: Int,
+      planeStride: Int = -1
   ): DataFrame = {
+    val mat = lshPlaneMatrix(numTables, planesPerTable, dims, planeStride)
     val c = corpus
       .select(col("vec_id"), col("v"))
       .withColumn("norm", sqrt(GraftFunctions.dot(col("v"), col("v"))))
@@ -304,9 +335,8 @@ object Similarity {
         col("vec_id"),
         col("v"),
         col("norm"),
-        explode(lshTableBuckets(col("v"), numTables, planesPerTable, dims)).as("tb")
+        posexplode(GraftFunctions.lshBuckets(col("v"), mat, planesPerTable)).as(Seq("tbl", "bucket"))
       )
-      .select(col("vec_id"), col("v"), col("norm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val p = probes
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
       .withColumn("pnorm", sqrt(GraftFunctions.dot(col("pv"), col("pv"))))
@@ -314,9 +344,8 @@ object Similarity {
         col("probe_id"),
         col("pv"),
         col("pnorm"),
-        explode(lshTableBuckets(col("pv"), numTables, planesPerTable, dims)).as("tb")
+        posexplode(GraftFunctions.lshBuckets(col("pv"), mat, planesPerTable)).as(Seq("tbl", "bucket"))
       )
-      .select(col("probe_id"), col("pv"), col("pnorm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     c.join(broadcast(p), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
