@@ -56,12 +56,42 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
     val passTimes = Array.fill(passes)(scala.collection.mutable.LinkedHashMap[String, Double]())
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-query resource telemetry (round 11 — the spill-vs-algorithm
+    // adjudication the scaling artifact needs): task-level
+    // memory/disk spill sums and the max per-task peak execution
+    // memory, accumulated by a listener and snapshotted around each
+    // query. The listener bus is asynchronous; the short drain sleep
+    // bounds attribution error to ms-scale stragglers (telemetry, not
+    // a gate).
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    val peakMem = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          memSpilled.addAndGet(m.memoryBytesSpilled)
+          diskSpilled.addAndGet(m.diskBytesSpilled)
+          peakMem.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+        }
+      }
+    })
+    case class Resources(memSpill: Long, diskSpill: Long, peakMem: Long)
+    val resources = scala.collection.mutable.LinkedHashMap[String, Resources]()
     for (p <- 0 until passes; name <- names if !failed.contains(name)) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
+      val (m0, d0) = (memSpilled.get(), diskSpilled.get())
+      peakMem.set(0L)
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         passTimes(p)(name) = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(150) // let the listener bus drain this query's task events
+        val r = Resources(memSpilled.get() - m0, diskSpilled.get() - d0, peakMem.get())
+        // keep the pass with the larger spill — the honest resource
+        // footprint (min-time passes can ride caches the first filled)
+        if (!resources.get(name).exists(o => o.diskSpill + o.memSpill >= r.diskSpill + r.memSpill))
+          resources(name) = r
       } catch {
         case e: Throwable =>
           failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
@@ -104,6 +134,18 @@ object Bench {
       "q125_ivfpq_topk"
     ).filter(timings.contains)
     val ib = indexBuilders.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
+    // these queries READ the shared persisted cell partition
+    // (CellIndex.ensure — built ONCE per corpus by whichever consumer
+    // runs first, pass 1; later passes and queries read): their min
+    // times are the read-path cost, the one-off training cost shows in
+    // the first consumer's pass-1 number
+    val cellConsumers = Seq(
+      "q82_knn_join",
+      "q129_semantic_dedup",
+      "q133_knn_classify",
+      "q138_dedup_pipeline"
+    ).filter(timings.contains)
+    val cc = cellConsumers.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
     // THE WHOLE ARTIFACT GOES TO A FILE (round 11): the driver's
     // stdout capture window is ~2000 chars, and 141 queries × ~28
     // chars can never fit it — BENCH_r10 lost the per-query numbers
@@ -118,7 +160,14 @@ object Bench {
       s"""{"metric":"total","unit":"sec","passes":$passes,"sf":"$sfDir",
          |"failed":$fs,"n_failed":${failed.size},
          |"includes_index_build":$ib,
+         |"uses_shared_cell_index":$cc,
          |$passObjs,
+         |"resources":${resources
+          .filterNot { case (n, _) => failed.contains(n) }
+          .map { case (n, r) =>
+            s""""${esc(n)}":{"mem_spill":${r.memSpill},"disk_spill":${r.diskSpill},"peak_exec_mem":${r.peakMem}}"""
+          }
+          .mkString("{", ",", "}")},
          |"queries":${obj(timings)},
          |"value":$total}""".stripMargin
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileJson)

@@ -26,6 +26,16 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // accept SUBSET co-partitioning for joins: a table bucketed by
+      // its block key (CellIndex's `cluster`) must serve joins whose
+      // keys are a superset (cluster + a promoted equality like
+      // q82's label) without re-shuffling both sides — the stored
+      // bucketing IS the partitioning we paid for at ingest. The
+      // default (true) insists every join key be a partition key,
+      // which re-shuffles the bucketed table for no correctness gain;
+      // the trade (coarser parallelism = bucket count) is exactly the
+      // bucketing design decision.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // events.parquet carries TIMESTAMP(NANOS), which Spark has no
       // native type for; read as nanos-since-epoch long (exact).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -22,14 +22,20 @@ import graft.operators.KMeans
   *      running a pipeline instead of independent passes. Docs whose
   *      every token was covered come back empty and are dropped
   *      (`span_empty`);
-  *   3. SEMANTIC — the SemDeDup cluster-then-prune over the docs'
-  *      PRECOMPUTED embeddings (the embed-once-then-filter posture:
-  *      embeddings are an upstream model artifact keyed by doc id),
-  *      restricted to the remaining ids. Clustering is the two-level
-  *      corpus-scaled k-means with RANK seeding
-  *      ([[KMeans.refineTwoLevelRankSeeded]]) because stages 1-2
-  *      leave holes in the id space the dense-id seeding contract
-  *      would (loudly) reject.
+  *   3. SEMANTIC — the SemDeDup prune over the docs' PRECOMPUTED
+  *      embeddings (the embed-once-then-filter posture: embeddings
+  *      are an upstream model artifact keyed by doc id), restricted
+  *      to the remaining ids. The CLUSTER PARTITION is likewise a
+  *      precomputed FULL-CORPUS artifact (round 11 — the persisted
+  *      [[graft.operators.CellIndex]] the standalone SemDeDup/kNN
+  *      consumers share): Abbas et al. cluster once over the corpus
+  *      and prune within clusters, and an ingest-time partition
+  *      doesn't re-train because an upstream stage filtered rows —
+  *      the prune simply runs among the SURVIVORS of each cluster.
+  *      (Round 10 re-clustered the survivor set per run with rank
+  *      seeding — [[KMeans.refineTwoLevelRankSeeded]] remains the
+  *      standalone path for sparse id spaces with no ingest
+  *      artifact.)
   *
   * Returns one row per input doc: (id, stage, n_tokens, kept_tokens,
   * cluster) where stage ∈ {exact, span_empty, semantic, kept};
@@ -45,17 +51,16 @@ import graft.operators.KMeans
   */
 object DedupPipeline {
 
+  /** The production form: stage 3 consumes a PRECOMPUTED full-corpus
+    * cell assignment (vec_id, cluster, qa) — the persisted CellIndex
+    * — restricted to the surviving ids.
+    */
   def run(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      emb: DataFrame,
-      embIdCol: String,
-      vecCol: String,
+      cellAsg: DataFrame,
       gramLen: Int,
-      kMin: Int,
-      clusterTarget: Int,
-      iters: Int,
       dims: Int,
       tauNum: Long,
       tauDen: Long
@@ -80,13 +85,18 @@ object DedupPipeline {
       .select(col("doc_id"), col("n_tokens"), col("kept_tokens"))
       .localCheckpoint()
     val surv2 = st2.filter(col("kept_tokens") > 0).select(col("doc_id"))
-    // stage 3: SemDeDup over the remaining docs' precomputed embeddings
-    val e = emb
-      .select(col(embIdCol).as("vec_id"), col(vecCol).as("__v"))
+    // stage 3: SemDeDup among the survivors, within the ingest-time
+    // clusters
+    val asgSurv = cellAsg
+      .select(col("vec_id"), col("cluster"), col("qa"))
       .join(surv2.select(col("doc_id").as("vec_id")), Seq("vec_id"))
-    val q = KMeans.quantizeShifted(e, "vec_id", "__v").localCheckpoint()
-    val k = math.max(kMin, (q.count() / clusterTarget).toInt)
-    val sem = semDedup(q, KMeans.refineTwoLevelRankSeeded(q, k, iters, dims), dims, tauNum, tauDen)
+    val sem = semDedup(
+      asgSurv.select(col("vec_id"), col("qa")),
+      asgSurv.select(col("vec_id"), col("cluster")),
+      dims,
+      tauNum,
+      tauDen
+    )
     st1
       .select(col("doc_id"), col("exact_dup"))
       .join(st2, Seq("doc_id"), "left_outer")
@@ -106,6 +116,35 @@ object DedupPipeline {
         col("kept_tokens"),
         col("cluster")
       )
+  }
+
+  /** Self-contained form: trains the full-corpus two-level partition
+    * in place (k = max(kMin, N/clusterTarget), the CellIndex
+    * geometry) and delegates — what a one-shot run without a
+    * persisted ingest artifact does, and the form the spec drives.
+    */
+  def run(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      emb: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      gramLen: Int,
+      kMin: Int,
+      clusterTarget: Int,
+      iters: Int,
+      dims: Int,
+      tauNum: Long,
+      tauDen: Long
+  ): DataFrame = {
+    val q = KMeans.quantizeShifted(emb, embIdCol, vecCol).localCheckpoint()
+    val k = math.max(kMin, (q.count() / clusterTarget).toInt)
+    val asg = KMeans
+      .refineTwoLevel(q, k, iters, dims)
+      .select(col("vec_id"), col("cluster"))
+      .join(q, Seq("vec_id"))
+    run(docs, idCol, textCol, asg, gramLen, dims, tauNum, tauDen)
   }
 
   /** The SemDeDup prune (shared by q129 and the pipeline): given the

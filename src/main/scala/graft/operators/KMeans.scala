@@ -120,6 +120,20 @@ object KMeans {
     * cluster, dist2), cluster ∈ [0, k), all-BIGINT exact.
     */
   def refineTwoLevel(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame =
+    refineTwoLevelState(q, k, iters, dims).assignment
+
+  /** [[refineTwoLevel]] returning the TRAINED STATE alongside the
+    * assignment — what a persisted ingest artifact stores
+    * ([[CellIndex]]): `fine` is the (cid, cell, ca) fine-centroid
+    * frame after the Lloyd rounds, `activeCoarse` the (cid, ca)
+    * coarse centroids of cells holding ≥1 fine seed. Together they
+    * let NEW vectors be assigned under frozen geometry (coarse-assign
+    * against activeCoarse, fine-assign within the cell) without
+    * re-training — the append path.
+    */
+  case class TwoLevelState(assignment: DataFrame, fine: DataFrame, activeCoarse: DataFrame)
+
+  def refineTwoLevelState(q: DataFrame, k: Int, iters: Int, dims: Int): TwoLevelState =
     refineTwoLevelImpl(q, k, iters, dims, m => q.filter(col("vec_id") < m))
 
   /** [[refineTwoLevel]] for SPARSE id spaces: seeds are the k
@@ -142,7 +156,7 @@ object KMeans {
       iters,
       dims,
       m => q.join(broadcast(ids.orderBy(col("vec_id")).limit(m)), Seq("vec_id"))
-    )
+    ).assignment
   }
 
   /** Shared two-level body: `seedsOf(m)` returns the m seed rows
@@ -155,7 +169,7 @@ object KMeans {
       iters: Int,
       dims: Int,
       seedsOf: Int => DataFrame
-  ): DataFrame = {
+  ): TwoLevelState = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val nc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val coarse = refineCentroidsFrom(q, seedsOf(nc), nc, iters, dims)
@@ -199,7 +213,31 @@ object KMeans {
         .select(col("cid"), col("cell"), coalesce(col("nca"), col("ca")).as("ca"))
         .localCheckpoint()
     }
-    fineAssign(fine).select(col("vec_id"), col("cluster"), col("d2").as("dist2"))
+    TwoLevelState(
+      fineAssign(fine).select(col("vec_id"), col("cluster"), col("d2").as("dist2")),
+      fine,
+      activeCents.localCheckpoint()
+    )
+  }
+
+  /** Assign NEW vectors under a FROZEN two-level geometry (the stored
+    * `fine`/`activeCoarse` frames of a [[TwoLevelState]]): each vector
+    * coarse-assigns once against the active cells, then fine-assigns
+    * against its own cell's centroids — exactly the fineAssign the
+    * training run ends with, so a vector appended today lands where
+    * the build would have put it had the centroids been given. No
+    * Lloyd update runs (appends must not move anyone else's cluster).
+    * Returns (vec_id, cluster, qa).
+    */
+  def assignFrozen(q: DataFrame, fine: DataFrame, activeCoarse: DataFrame, dims: Int): DataFrame = {
+    val vcell = assign(q, activeCoarse.select(col("cid"), col("ca")), dims)
+      .select(col("vec_id"), col("qa"), col("cluster").as("cell"))
+    vcell
+      .join(fine, Seq("cell"))
+      .withColumn("d2", dist2(col("qa"), col("ca"), dims))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("qa")).as("qa"))
+      .select(col("vec_id"), col("m.cid").as("cluster"), col("qa"))
   }
 
   /** The refined centroid frame (cid, ca) after T Lloyd rounds — the

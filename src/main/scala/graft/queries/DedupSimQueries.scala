@@ -96,20 +96,44 @@ object DedupSimQueries {
   // for per-query use; a long-lived service should instead
   // materialize shingles ONCE per corpus snapshot (at 100 TB: a
   // doc_id-bucketed parquet table) rather than per query call.
-  /** The corpus-scaled IVF-cell partition shared by q82 and q133:
-    * quantize, size k to the corpus (k = max(KmeansK,
-    * N/SemClusterTarget) — cells stay ~SemClusterTarget vectors so
-    * within-cell pair terms are linear in N), two-level Lloyd
-    * assignment. Returns (vec_id, cluster, qa).
+  /** Stable per-corpus warehouse table name for the persisted cell
+    * partition (different SF dirs must never share an index; the
+    * content fingerprint additionally guards same-path regeneration).
     */
-  private def cellAssignment(s: SparkSession, dir: String): DataFrame = {
-    val q = KMeans.quantizeShifted(Tables.embeddings(s, dir), "vec_id", "embedding").localCheckpoint()
-    val k = math.max(KmeansK, (q.count() / SemClusterTarget).toInt)
-    KMeans
-      .refineTwoLevel(q, k, KmeansIters, Dims)
-      .join(q, Seq("vec_id"))
-      .select(col("vec_id"), col("cluster"), col("qa"))
+  private[graft] def cellIndexTable(dir: String): String = {
+    val h = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+      .take(10)
+    s"graft_cell_index_$h"
   }
+
+  /** The corpus-scaled IVF-cell partition shared by q82/q129/q133 and
+    * the q138 pipeline's semantic stage — READ FROM THE PERSISTED
+    * INGEST ARTIFACT (round 11, operators/CellIndex.scala): k =
+    * max(KmeansK, N/SemClusterTarget) so cells stay ~SemClusterTarget
+    * vectors and within-cell pair terms are linear in N; the
+    * two-level Lloyd training runs ONCE per corpus (first consumer
+    * builds, everyone else — including later sessions — reads the
+    * cluster-bucketed table; stamps detect corpus/geometry drift and
+    * rebuild). Round 10 re-trained this partition inside every
+    * consumer — 4 duplicated clustering runs per sweep. Returns
+    * (vec_id, cluster, qa, label).
+    */
+  private def cellAssignment(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CellIndex.ensure(
+      Tables.embeddings(s, dir),
+      "vec_id",
+      "embedding",
+      Some("label"),
+      KmeansK,
+      SemClusterTarget,
+      KmeansIters,
+      Dims,
+      cellIndexTable(dir)
+    )
 
   /** The SemDeDup prune shared by q129 and the q138 pipeline: given
     * the quantized frame and a (vec_id, cluster, ...) assignment, a
@@ -464,10 +488,21 @@ object DedupSimQueries {
     // and the label.
     "q82_knn_join" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
-      val al = cellAssignment(s, dir).join(lab, Seq("vec_id"))
+      // label rides IN the persisted index, so both sides of the
+      // (cluster × label) block join read the cluster-bucketed table
+      // directly — no vec_id-keyed side join to destroy the stored
+      // partitioning, and subset co-partitioning (GraftSession:
+      // requireAllClusterKeysForCoPartition=false) lets the bucket
+      // key serve the wider join without re-shuffling either side
+      // (PlanSpec asserts zero exchange on both).
+      val al = cellAssignment(s, dir)
       val a = al.select(col("cluster"), col("label"), col("vec_id"), col("qa"))
-      val b = al.select(col("cluster"), col("label"), col("vec_id").as("neighbor_id"), col("qa").as("qb"))
+      val b = al.select(
+        col("cluster"),
+        col("label"),
+        col("vec_id").as("neighbor_id"),
+        col("qa").as("qb")
+      )
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("neighbor_id").asc)
       a.join(b, Seq("cluster", "label"))
         .filter(col("vec_id") =!= col("neighbor_id"))
@@ -658,6 +693,10 @@ object DedupSimQueries {
       val asg = cellAssignment(s, dir)
       val a = asg.select(col("cluster"), col("vec_id"), col("qa"))
       val b = asg.select(col("cluster"), col("vec_id").as("neighbor_id"), col("qa").as("qb"))
+      // (neighbor labels could also ride the index; the vote joins the
+      // raw label dim to keep the output row set — ALL labeled
+      // vectors, including any the quantizer's degenerate-vector
+      // filter excluded from the index — byte-identical to the oracle)
       val knn = a
         .join(b, Seq("cluster"))
         .filter(col("vec_id") =!= col("neighbor_id"))
@@ -715,9 +754,12 @@ object DedupSimQueries {
     // broadcast centroids stop being literal-codegen-able at 1e8+
     // vectors. The prune stage is shape-identical either way.
     "q129_semantic_dedup" -> { (s, dir) =>
-      val q = KMeans.quantizeShifted(Tables.embeddings(s, dir), "vec_id", "embedding").localCheckpoint()
-      val k = math.max(KmeansK, (q.count() / SemClusterTarget).toInt)
-      semDedupOutput(q, KMeans.refineTwoLevel(q, k, KmeansIters, Dims))
+      // the partition comes from the persisted ingest artifact (built
+      // once per corpus — see cellAssignment); the index row IS the
+      // quantized vector + its cluster, so the prune needs no
+      // re-quantization pass
+      val idx = cellAssignment(s, dir)
+      semDedupOutput(idx.select(col("vec_id"), col("qa")), idx.select(col("vec_id"), col("cluster")))
     },
 
     // q128: ANN recall@k evaluation — the harness that certifies an
@@ -852,17 +894,18 @@ object DedupSimQueries {
     // monotonically; nothing is re-tokenized (stage 2 tokenizes once)
     // and nothing re-scans a previous stage's full input.
     "q138_dedup_pipeline" -> { (s, dir) =>
+      // stage 3 reads the SAME persisted full-corpus cell partition as
+      // q82/q129/q133 (round 11): the ingest-time clustering is a
+      // shared artifact, and the semantic prune runs among each
+      // cluster's stage-1/2 survivors — no per-pipeline re-training
+      // (the round-10 rank-seeded survivor re-clustering is retained
+      // as the standalone no-artifact path; see DedupPipeline)
       graft.dedup.DedupPipeline.run(
         Tables.documents(s, dir),
         "doc_id",
         "text",
-        Tables.embeddings(s, dir),
-        "vec_id",
-        "embedding",
+        cellAssignment(s, dir),
         SubstrGramLen,
-        KmeansK,
-        SemClusterTarget,
-        KmeansIters,
         Dims,
         SemDedupTauNum,
         SemDedupTauDen
@@ -1491,14 +1534,30 @@ object DedupSimQueries {
     */
   /** The SemDeDup prune CTEs shared by q129 and q138: final fine
     * assignment → centered norms (asg) → the τ-drop pair rule
-    * (dropped) — the SQL twin of semDedupOutput.
+    * (dropped) — the SQL twin of semDedupOutput. `survSrc` (q138)
+    * restricts the PAIR SET to a survivor id list first (`sasg` —
+    * the pipeline prunes within the ingest-time full-corpus clusters
+    * but only among docs its earlier stages kept); the drop rule
+    * itself is identical.
     */
-  private lazy val semAsgDropCtes: String =
-    s"""asg AS (SELECT a.vec_id, a.cid AS cluster, q.qa,
-       |               CAST(list_sum(list_transform(q.qa, x -> (x - ${KMeans.Shift}) * (x - ${KMeans.Shift}))) AS BIGINT) AS n2
-       |        FROM (SELECT vec_id, cid FROM fa${KmeansIters + 1} WHERE rn = 1) a JOIN q USING (vec_id)),
+  private def semAsgDropCtes(survSrc: Option[String] = None): String = {
+    val asg =
+      s"""asg AS (SELECT a.vec_id, a.cid AS cluster, q.qa,
+         |               CAST(list_sum(list_transform(q.qa, x -> (x - ${KMeans.Shift}) * (x - ${KMeans.Shift}))) AS BIGINT) AS n2
+         |        FROM (SELECT vec_id, cid FROM fa${KmeansIters + 1} WHERE rn = 1) a JOIN q USING (vec_id))""".stripMargin
+    val (pairSrc, filterCte) = survSrc match {
+      case None => ("asg", "")
+      case Some(sv) =>
+        (
+          "sasg",
+          s""",
+             |sasg AS (SELECT a.vec_id, a.cluster, a.qa, a.n2
+             |         FROM asg a JOIN $sv s ON s.doc_id = a.vec_id)""".stripMargin
+        )
+    }
+    s"""$asg$filterCte,
        |dropped AS (SELECT DISTINCT b.vec_id
-       |            FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |            FROM $pairSrc a JOIN $pairSrc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
        |            WHERE CAST(list_sum(list_transform(list_zip(a.qa, b.qa),
        |                    z -> (z[1] - ${KMeans.Shift}) * (z[2] - ${KMeans.Shift}))) AS BIGINT) > 0
        |              AND ${SemDedupTauDen * SemDedupTauDen} *
@@ -1507,10 +1566,11 @@ object DedupSimQueries {
        |                  CAST(list_sum(list_transform(list_zip(a.qa, b.qa),
        |                    z -> (z[1] - ${KMeans.Shift}) * (z[2] - ${KMeans.Shift}))) AS BIGINT)
        |                  >= ${SemDedupTauNum * SemDedupTauNum} * a.n2 * b.n2)""".stripMargin
+  }
 
   private lazy val q129Sql: String =
     s"""WITH ${kmTwoLevelCtes(kmKSub)},
-       |$semAsgDropCtes
+       |${semAsgDropCtes()}
        |SELECT asg.vec_id, asg.cluster, (d.vec_id IS NULL) AS kept
        |FROM asg LEFT JOIN dropped d ON d.vec_id = asg.vec_id""".stripMargin
 
@@ -1926,11 +1986,14 @@ object DedupSimQueries {
          |FROM b LEFT JOIN cl USING (doc_id)""".stripMargin,
     // q138 oracle: the three stage oracles NESTED in composition
     // order — q30's md5 keep rule (m/kp/s1), the q130 span-surgery
-    // CTEs over the survivor corpus (substrCleanCtes("surv1")), the
-    // two-level k-means chain over the embeddings of what's left with
-    // RANK seeding (the Spark twin of refineTwoLevelRankSeeded), and
-    // q129's τ-prune; the final stitch assigns each input doc its
-    // terminal stage exactly as the Spark CASE does.
+    // CTEs over the survivor corpus (substrCleanCtes("surv1")), then
+    // q129's FULL-CORPUS two-level k-means chain (the shared
+    // ingest-time partition — identical CTEs to q129's oracle) with
+    // the τ-prune pair set restricted to the stage-1/2 survivors
+    // (semAsgDropCtes(Some("surv2")) → sasg); the final stitch
+    // assigns each input doc its terminal stage exactly as the Spark
+    // CASE does, with clusters reported only for stage-3
+    // participants.
     "q138_dedup_pipeline" ->
       s"""WITH m AS (SELECT doc_id, md5(text) AS text_md5, text FROM documents),
          |kp AS (SELECT text_md5, min(doc_id) AS keep_id FROM m GROUP BY text_md5),
@@ -1942,10 +2005,8 @@ object DedupSimQueries {
          |               CAST(coalesce(cl.kept_tokens, 0) AS BIGINT) AS kept_tokens
          |        FROM b LEFT JOIN cl USING (doc_id)),
          |surv2 AS (SELECT doc_id FROM st2 WHERE kept_tokens > 0),
-         |semsrc AS (SELECT e.vec_id, e.embedding
-         |           FROM embeddings e JOIN surv2 s ON s.doc_id = e.vec_id),
-         |${kmTwoLevelCtes(kmKSub, "semsrc", rankSeeded = true)},
-         |$semAsgDropCtes
+         |${kmTwoLevelCtes(kmKSub)},
+         |${semAsgDropCtes(Some("surv2"))}
          |SELECT stage1.doc_id,
          |       CASE WHEN stage1.exact_dup THEN 'exact'
          |            WHEN st2.kept_tokens = 0 THEN 'span_empty'
@@ -1953,7 +2014,7 @@ object DedupSimQueries {
          |            ELSE 'kept' END AS stage,
          |       st2.n_tokens, st2.kept_tokens, a.cluster
          |FROM stage1 LEFT JOIN st2 USING (doc_id)
-         |        LEFT JOIN asg a ON a.vec_id = stage1.doc_id
+         |        LEFT JOIN sasg a ON a.vec_id = stage1.doc_id
          |        LEFT JOIN dropped dr ON dr.vec_id = stage1.doc_id""".stripMargin
   )
 

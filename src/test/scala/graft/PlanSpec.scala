@@ -194,12 +194,11 @@ class PlanSpec extends AnyFunSuite {
     "q79_histogram" -> 1,
     "q80_column_profile" -> 2,
     "q81_embed_quantize" -> 0,
-    // q82 (re-measured after the round-10 IVF-cell rebase): the
-    // final cell assignment join/agg pair behind the k-means round
-    // checkpoints, the qa/label re-joins, the within-(cell × label)
-    // pair join and the kNN rank window — the q133 plan minus the
-    // vote aggregates
-    "q82_knn_join" -> 9,
+    // q82 (round 11: reads the PERSISTED cell index — label and qa
+    // ride the cluster-bucketed table, so the only exchange left is
+    // the kNN rank window's vec_id partitioning; the block self-join
+    // reads stored buckets, the clustering ran once at ingest)
+    "q82_knn_join" -> 1,
     // q83: the threshold producer is localCheckpointed out of the plan;
     // what remains is scan + broadcast label + one aggregate shuffle
     "q83_quantile_bucket" -> 1,
@@ -333,11 +332,11 @@ class PlanSpec extends AnyFunSuite {
     "q124_polygon_dissolve" -> 3,
     // q138: the composed pipeline's returned plan — stage-1 and
     // stage-2 outputs ride their localCheckpoints (a pipeline
-    // persists its stage outputs), so the exchanges left are the
-    // semantic stage's final cell assignment + prune self-join +
-    // distinct and the disposition stitches; the k-means rounds live
-    // behind the Ipf/KMeans checkpoint convention
-    "q138_dedup_pipeline" -> 16,
+    // persists its stage outputs), and the semantic stage reads the
+    // PERSISTED cell index (round 11 — no in-plan clustering): the
+    // exchanges left are the survivor restriction joins, the prune
+    // self-join + distinct, and the disposition stitches
+    "q138_dedup_pipeline" -> 10,
     // q140: both component candidate lists are k·probes-row
     // localCheckpoints (the searches' own budgeted plans run behind
     // them), so the returned plan is the fusion join of two tiny
@@ -372,15 +371,12 @@ class PlanSpec extends AnyFunSuite {
     // brute-force side is checkpointed and both stitch joins
     // broadcast k·probes-row frames
     "q128_ann_recall" -> 8,
-    // q129: the two-level final assignment (cell equi-join of the
-    // checkpointed vcell/fine frames + argmin agg — the N·√k shape
-    // that replaced flat broadcast-k's N·k) + vector re-join + pair
-    // join on cluster + dropped-set distinct + the kept stitch. More
-    // exchanges than the flat plan (12 vs 6) but every added one
-    // carries (id, cell/cluster, qa) rows keyed on bounded-occupancy
-    // cells — the flat plan's fewer exchanges hid an N·k compute term
-    // and a k-row broadcast that stops codegen-ing at 1e8 vectors
-    "q129_semantic_dedup" -> 12,
+    // q129 (round 11: reads the PERSISTED cell index — the 12
+    // exchanges of the in-plan two-level clustering moved to the
+    // once-per-corpus ingest build): the pair self-join reads stored
+    // cluster buckets, leaving the dropped-set distinct + the kept
+    // stitch
+    "q129_semantic_dedup" -> 2,
     // q130: the gram-hash occurrence agg + the covered-index distinct
     // + the per-doc reassembly agg; the anti-join and the final doc
     // stitch ride those exchanges
@@ -392,12 +388,11 @@ class PlanSpec extends AnyFunSuite {
     // q132: the returned plan is a projection over the checkpointed
     // vocabulary; the pair election ran as a driver-side 1-row action
     "q132_bpe_apply" -> 0,
-    // q133: the two-level final assignment (cell equi-join + argmin
-    // agg, q129's budget note) + vector re-join + the within-cell
-    // pair join + the kNN rank window + the vote and winner aggs;
-    // cell-bounded candidates keep every exchange linear in N (the
-    // LSH-bucket first cut measured 16.9× at a 10× scale-up)
-    "q133_knn_classify" -> 10,
+    // q133 (round 11: persisted cell index — clustering exchanges
+    // moved to ingest): the within-cell pair join reads stored
+    // buckets; what remains is the kNN rank window + the vote/winner
+    // aggregate pair (AQE broadcasts the label dim)
+    "q133_knn_classify" -> 2,
     // q134: post-checkpoint plan over the two pair frames — the
     // intersection join + three 1-row count aggregates (pair sets
     // are unbounded at scale, so no broadcast hint)
@@ -518,6 +513,57 @@ class PlanSpec extends AnyFunSuite {
       savedBroadcast match {
         case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
         case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("q82: the persisted cell index self-joins with zero exchange on BOTH sides") {
+    // the point of bucketing the cell partition by cluster at ingest:
+    // every consumer's within-cluster self-join (kNN candidates, the
+    // SemDeDup pair prune) must read stored buckets on both sides.
+    // Broadcast + AQE off so the planner can't sidestep the bucketed
+    // path on the tiny test input; the (cluster, label) join must be
+    // a sort-merge join whose BOTH subtrees contain the bucketed
+    // index scan and no shuffle exchange (HashPartitioning(cluster)
+    // satisfies the (cluster, label) clustering — bucket keys are a
+    // subset of the join keys).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val idxTable = graft.queries.DedupSimQueries.cellIndexTable(sf)
+    val savedBroadcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the join keys (cluster, label) are a SUPERSET of the bucket key,
+    // which DisableUnnecessaryBucketedScan mis-scores as "no benefit"
+    // under AQE-off planning (the AQE path the real session runs keeps
+    // the bucketed scan — the shuffle census shows 1 data exchange);
+    // pin the bucketed read so the structural assertion sees the
+    // production shape
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q82_knn_join")(spark, sf).queryExecution.executedPlan
+      def hasIndexScan(side: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        side.collect {
+          case s: FileSourceScanExec if s.tableIdentifier.exists(_.table == idxTable) => s
+        }.nonEmpty
+      val clusterJoins = p.collect {
+        case j: SortMergeJoinExec if j.leftKeys.exists(_.references.exists(_.name == "cluster")) => j
+      }
+      assert(clusterJoins.nonEmpty, s"no sort-merge join on cluster in:\n$p")
+      val sides = clusterJoins.flatMap(j => Seq(j.left, j.right))
+      assert(sides.forall(hasIndexScan), s"cluster join does not read the bucketed index on both sides:\n$p")
+      sides.foreach { side =>
+        val shuffles = side.collect { case e: ShuffleExchangeLike => e }
+        assert(shuffles.isEmpty, s"bucketed cell-index side still shuffles:\n$side")
+        assert(side.toString.contains("Bucketed: true"), s"cell-index scan not bucketed:\n$side")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      savedBroadcast match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }
   }
