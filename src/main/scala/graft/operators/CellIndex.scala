@@ -185,6 +185,11 @@ object CellIndex {
       s"cell index '$table' has format version ${v.getOrElse("<unstamped>")}, " +
         s"current is $FormatVersion — rebuild the index"
     )
+    // appends may land from ANOTHER session (a streaming micro-batch
+    // clone's foreachBatch): this session's relation cache would keep
+    // serving the pre-append file list. Refresh costs one directory
+    // re-listing — correctness over a cached listing.
+    spark.catalog.refreshTable(table)
     spark.table(table)
   }
 

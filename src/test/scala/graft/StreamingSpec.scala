@@ -911,4 +911,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(dupStream == dupBatch, "the dup-window mark set diverged")
     assert(dupBatch.nonEmpty, "corpus must contain duplicate windows for the twin to mean anything")
   }
+
+  test("streaming cell-index vector ingest maintains the persisted partition under frozen geometry") {
+    // the maintenance path for the k-means family's ingest artifact
+    // (CellIndex): vectors arriving as a stream append per micro-batch
+    // through the same CellIndex.append the batch path uses
+    // (foreachBatch — the bucketed-table sink bridge). Every streamed
+    // vector must land exactly where the frozen-geometry assignment
+    // puts it (stored centroids + stored quantization scale — no
+    // Lloyd update, no one else's cluster moves), the bucket layout
+    // must survive every micro-batch, and the additive corpus stamp
+    // must account for the whole stream so a later ensure() validates
+    // instead of rebuilding.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{CellIndex, KMeans}
+    import graft.queries.DedupSimQueries.{Dims, KmeansIters, KmeansK, SemClusterTarget}
+    val tbl = "graft_cell_stream_spec"
+    val emb = Tables.embeddings(spark, sf)
+    // day-0 build over the dense id prefix; the stream delivers the rest
+    val base = emb.filter(col("vec_id") < 400)
+    val tail = emb
+      .filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .as[(Long, Seq[Float], Int)]
+      .collect()
+      .toSeq
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    CellIndex.invalidateMemo(tbl)
+    CellIndex.ensure(base, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, tbl)
+    val stream = MemoryStream[(Long, Seq[Float], Int)]
+    val query = stream
+      .toDF()
+      .toDF("vec_id", "embedding", "label")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CellIndex.append(batch, "vec_id", "embedding", Some("label"), tbl)
+      }
+      .start()
+    try {
+      tail.grouped(math.max(tail.size / 3, 1)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    // every streamed vector sits at its frozen-geometry assignment
+    val cents = spark.table(s"${tbl}_cents").localCheckpoint()
+    val scale = java.lang.Double.longBitsToDouble(
+      cents.filter(col("level") === "scale").select(col("cid")).head().getLong(0)
+    )
+    val qTail = emb
+      .filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(
+        col("vec_id"),
+        expr(s"transform(v, x -> CAST(round(127 * x / ${java.lang.Double.toString(scale)}, 0) AS BIGINT) + ${KMeans.Shift})")
+          .as("qa")
+      )
+    val expect = KMeans
+      .assignFrozen(
+        qTail,
+        cents.filter(col("level") === "fine").select(col("cid"), col("cell"), col("ca")),
+        cents.filter(col("level") === "coarse").select(col("cid"), col("ca")),
+        Dims
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val stored = CellIndex.read(spark, tbl).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored.size == 500, s"index must cover the whole corpus, has ${stored.size}")
+    expect.foreach { case (id, c) =>
+      assert(stored.get(id).contains(c), s"streamed vec $id: stored ${stored.get(id)}, frozen-assign $c")
+    }
+    // layout survived every micro-batch append
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+    assert(meta.bucketSpec.exists(_.numBuckets == CellIndex.Buckets), "append changed the bucket layout")
+    // the additive stamp accounts for the whole corpus: a fresh
+    // session's ensure() over base+stream must validate, not rebuild
+    // (geometry is count-stable here: k = max(8, 500/64) = max(8, 400/64))
+    CellIndex.invalidateMemo(tbl)
+    val revalidated =
+      CellIndex.ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, tbl)
+    assert(revalidated.count() == 500, "post-stream ensure() should validate the appended stamps")
+  }
 }
