@@ -65,6 +65,7 @@ object DedupPipeline {
       tauNum: Long,
       tauDen: Long
   ): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession) // graft_doti in the prune
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // stage 1: exact
     val withMd5 = d.withColumn("text_md5", md5(col("text")))
@@ -156,13 +157,20 @@ object DedupPipeline {
     * kept).
     */
   def semDedup(q: DataFrame, assignment: DataFrame, dims: Int, tauNum: Long, tauDen: Long): DataFrame = {
-    val centered = (c: String, i: Int) => element_at(col(c), i) - KMeans.Shift
+    val _ = dims
+    // centered dot/norm via the native graft_doti loop (round 11):
+    // the unrolled 64-term trees here — three per pair-join row —
+    // generated ~900 codegen references (each ANSI element_at carries
+    // an error branch + query context) and janino refused the
+    // enclosing aggregate, silently interpreting the prune's hottest
+    // path. Integer sums are order-free exact: answer-invisible.
+    import graft.functions.GraftFunctions.dotiShifted
     val asg = assignment
       .join(q, Seq("vec_id"))
-      .withColumn("n2", (1 to dims).map(i => centered("qa", i) * centered("qa", i)).reduce(_ + _))
+      .withColumn("n2", dotiShifted(col("qa"), col("qa"), KMeans.Shift))
     val a = asg.select(col("cluster"), col("vec_id").as("ia"), col("qa").as("va"), col("n2").as("na2"))
     val b = asg.select(col("cluster"), col("vec_id").as("ib"), col("qa").as("vb"), col("n2").as("nb2"))
-    val dot = (1 to dims).map(i => centered("va", i) * centered("vb", i)).reduce(_ + _)
+    val dot = dotiShifted(col("va"), col("vb"), KMeans.Shift)
     val dropped = a
       .join(b, Seq("cluster"))
       .filter(col("ia") < col("ib"))

@@ -102,6 +102,22 @@ object GraftFunctions {
       }
     ),
     (
+      FunctionIdentifier("graft_doti"),
+      new ExpressionInfo(classOf[DotShifted].getName, "graft_doti"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, s"graft_doti(a, b, shift) takes 3 arguments, got ${children.size}")
+        DotShifted(children.head, children(1), lit(children(2)))
+      }
+    ),
+    (
+      FunctionIdentifier("graft_dist2i"),
+      new ExpressionInfo(classOf[Dist2Long].getName, "graft_dist2i"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_dist2i(a, b) takes 2 arguments, got ${children.size}")
+        Dist2Long(children.head, children(1))
+      }
+    ),
+    (
       FunctionIdentifier("graft_lshbuckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lshbuckets"),
       (children: Seq[Expression]) => {
@@ -157,6 +173,13 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(depth),
       org.apache.spark.sql.functions.lit(width)
     )
+
+  /** Centered integer dot Σ (a_i−shift)(b_i−shift) over array<bigint>. */
+  def dotiShifted(a: Column, b: Column, shift: Int): Column =
+    call_function("graft_doti", a, b, org.apache.spark.sql.functions.lit(shift))
+
+  /** Integer squared L2 distance Σ (a_i−b_i)² over array<bigint>. */
+  def dist2i(a: Column, b: Column): Column = call_function("graft_dist2i", a, b)
 
   /** All LSH table buckets of `v` from a constant plane matrix (rows
     * in table-major order: table t's planes occupy rows

@@ -99,6 +99,7 @@ object CellIndex {
       table: String
   ): DataFrame = synchronized {
     val spark = emb.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark) // graft_dist2i in the assignment path
     if (!validated.contains(table)) {
       val (n, fp) = fingerprintOf(emb, idCol, vecCol)
       val k = math.max(kMin, (n / target).toInt)

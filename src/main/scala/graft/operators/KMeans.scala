@@ -63,15 +63,19 @@ object KMeans {
       )
   }
 
-  /** Unrolled integer L2²: a flat codegen'd expression tree (the
-    * dotUnrolled rationale — no per-row array allocation in the hot
-    * K·N comparison loop).
+  /** Integer L2² via the native graft_dist2i loop (round 11 — the
+    * unrolled 64-term element_at tree this was carried ~2 ANSI error
+    * branches + a query-context reference PER TERM; three such
+    * kernels in one pair join overflowed janino and the hottest
+    * SemDeDup/kNN aggregates fell back to interpreted evaluation).
+    * Integer sums are order-free exact, so the swap is
+    * answer-invisible; `dims` is kept for signature stability (the
+    * loop reads the runtime array length).
     */
-  def dist2(a: Column, b: Column, dims: Int): Column =
-    (1 to dims).map { i =>
-      val d = element_at(a, i) - element_at(b, i)
-      d * d
-    }.reduce(_ + _)
+  def dist2(a: Column, b: Column, dims: Int): Column = {
+    val _ = dims
+    graft.functions.GraftFunctions.dist2i(a, b)
+  }
 
   private def assign(q: DataFrame, cents: DataFrame, dims: Int): DataFrame =
     q.crossJoin(broadcast(cents))
