@@ -143,7 +143,8 @@ object Bench {
       "q82_knn_join",
       "q129_semantic_dedup",
       "q133_knn_classify",
-      "q138_dedup_pipeline"
+      "q138_dedup_pipeline",
+      "q142_cell_occupancy"
     ).filter(timings.contains)
     val cc = cellConsumers.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
     // THE WHOLE ARTIFACT GOES TO A FILE (round 11): the driver's

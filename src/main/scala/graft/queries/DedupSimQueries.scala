@@ -874,6 +874,31 @@ object DedupSimQueries {
       Dedup.substringClean(Tables.documents(s, dir), "doc_id", "text", SubstrGramLen)
     },
 
+    // q142: occupancy health of the PERSISTED cell partition — the
+    // operational monitor that closes the round-11 CellIndex loop
+    // (build → consume → MONITOR, the q96/q109 drift posture applied
+    // to the index itself): per cluster, its member count and the
+    // occupancy-vs-SemClusterTarget ratio in basis points (integer
+    // div — exact), plus the over-2×-target flag. The corpus-scaled
+    // contract says occupancy stays ~target; clusters drifting past
+    // 2× are the re-train signal (data distribution moved, or
+    // appends outgrew the frozen geometry — every within-cluster
+    // consumer's pair term degrades with the square of the
+    // overshoot). Scale shape: the aggregate groups by the table's
+    // OWN bucket key, so the plan is scan + partial/final agg with
+    // ZERO exchange (the stored layout serving its own monitoring).
+    "q142_cell_occupancy" -> { (s, dir) =>
+      cellAssignment(s, dir)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .select(
+          col("cluster"),
+          col("n_vecs"),
+          expr(s"(n_vecs * 10000) div $SemClusterTarget").as("occ_bp"),
+          (col("n_vecs") > 2 * SemClusterTarget).as("over_2x_target")
+        )
+    },
+
     // q138: the dedup PIPELINE capstone — the granularity ladder run
     // as one composed job instead of independent queries (the q56
     // pattern applied to dedup): exact whole-doc (q30's md5 rule,
@@ -1925,6 +1950,17 @@ object DedupSimQueries {
          |WHERE round(dot / (na.nrm * nb.nrm), 4) >= $TfidfCosThreshold""".stripMargin,
     "q101_cms_est" -> q101Sql,
     "q129_semantic_dedup" -> q129Sql,
+    // q142: the full-corpus two-level chain (the same partition the
+    // engine reads from the persisted CellIndex) + per-cluster
+    // occupancy arithmetic in integer basis points
+    "q142_cell_occupancy" ->
+      s"""WITH ${kmTwoLevelCtes(kmKSub)},
+         |asg AS (SELECT vec_id, cid FROM fa${KmeansIters + 1} WHERE rn = 1)
+         |SELECT cid AS cluster,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       (CAST(count(*) AS BIGINT) * 10000) // $SemClusterTarget AS occ_bp,
+         |       CAST(count(*) AS BIGINT) > ${2 * SemClusterTarget} AS over_2x_target
+         |FROM asg GROUP BY cid""".stripMargin,
     // q137 oracle: the shared quantize CTE, per-(cohort, dim) integer
     // means via the q119 updateCte pattern, global means the same
     // way, L2² between the centroid lists.

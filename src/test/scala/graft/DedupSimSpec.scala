@@ -624,6 +624,33 @@ class DedupSimSpec extends AnyFunSuite {
     assert(expectedDropped.nonEmpty, "the near-dup corpus must drop at least one vector")
   }
 
+  test("q142: occupancy report accounts for every indexed vector and flags exactly the over-2x clusters") {
+    import graft.queries.DedupSimQueries.SemClusterTarget
+    val rows = SparkEntry
+      .queries("q142_cell_occupancy")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // completeness: cluster counts sum to the index population (every
+    // vector is monitored exactly once)
+    val idxSize = graft.operators.CellIndex
+      .ensure(
+        graft.sources.Tables.embeddings(spark, sf),
+        "vec_id", "embedding", Some("label"),
+        graft.queries.DedupSimQueries.KmeansK,
+        SemClusterTarget,
+        graft.queries.DedupSimQueries.KmeansIters,
+        graft.queries.DedupSimQueries.Dims,
+        graft.queries.DedupSimQueries.cellIndexTable(sf)
+      )
+      .count()
+    assert(rows.map(_._2).sum == idxSize, "occupancy must sum to the index population")
+    rows.foreach { case (c, n, bp, over) =>
+      assert(bp == n * 10000 / SemClusterTarget, s"cluster $c: occ_bp $bp != ${n * 10000 / SemClusterTarget}")
+      assert(over == (n > 2 * SemClusterTarget), s"cluster $c: over_2x_target flag wrong for n=$n")
+    }
+  }
+
   test("q138: the composed pipeline routes a planted corpus through every stage") {
     import spark.implicits._
     import graft.dedup.DedupPipeline

@@ -346,6 +346,10 @@ class PlanSpec extends AnyFunSuite {
     // checkpoint feed three broadcast-intersect aggregates (one per
     // system) and the fused plan's join/window
     "q141_retrieval_eval" -> 5,
+    // q142: per-cluster count over the cell index — the groupBy key
+    // IS the table's bucket key, so the aggregate rides the stored
+    // partitioning with zero exchange (the layout monitoring itself)
+    "q142_cell_occupancy" -> 0,
     // q139: q124's pipeline plus the widened snap contract's cost:
     // two part-frame dedups (rects, squares), the group-vertex
     // distinct, the edge×vertex collinearity join (one exchange per
