@@ -34,6 +34,93 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_lshbuckets equals the per-plane sign fold bit-exactly, and nulls drop the vector") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val dims = 64
+    val tables = 8
+    val planes = 12
+    val stride = 20
+    val mat = graft.sim.Similarity.lshPlaneMatrix(tables, planes, dims, stride)
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, (0 until dims).map(d => math.cos(i * dims + d) * 2.3))
+    }
+    val df = vecs.toDF("id", "v").withColumn("v", col("v").cast("array<double>"))
+    // reference: the round-10 Column fold (per-plane graft_dot + when)
+    val foldBuckets = (0 until tables).map { t =>
+      (0 until planes)
+        .map { j =>
+          val w = lit(graft.sim.Similarity.hyperplane(t * stride + j, dims).toArray)
+          when(GraftFunctions.dot(col("v"), w) > 0, shiftleft(lit(1), j)).otherwise(lit(0))
+        }
+        .reduce((a, b) => a.bitwiseOR(b))
+        .cast("long")
+        .as(s"f$t")
+    }
+    val rows = df
+      .select(col("id") +: GraftFunctions.lshBuckets(col("v"), mat, planes).as("nb") +: foldBuckets: _*)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val native = r.getSeq[Long](1)
+      (0 until tables).foreach { t =>
+        assert(native(t) == r.getLong(2 + t), s"id ${r.getLong(0)} table $t: ${native(t)} != ${r.getLong(2 + t)}")
+      }
+    }
+    // a null element / length mismatch yields a NULL array (the
+    // declared contract: degenerates drop from the index instead of
+    // colliding into bucket 0 of every table)
+    val degen = Seq(
+      (0L, Seq[java.lang.Double](1.0, null)),
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0))
+    ).toDF("id", "v").withColumn("v", col("v").cast("array<double>"))
+    val out = degen.select(GraftFunctions.lshBuckets(col("v"), mat, planes).as("b")).collect()
+    assert(out.forall(_.isNullAt(0)), "degenerate vectors must yield NULL bucket arrays")
+  }
+
+  test("graft_dist2i / graft_doti equal the unrolled integer trees exactly (incl. null/mismatch contracts)") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val dims = 64
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(dims)(rnd.nextInt(255).toLong)))
+    val df = vecs.toDF("id", "q")
+    val cross = df
+      .select(col("id"), col("q"))
+      .as("a")
+      .join(df.select(col("id").as("id2"), col("q").as("q2")).as("b"), col("id") < col("id2") && col("id2") < col("id") + 4)
+    val unrolledD2 = (1 to dims).map { i =>
+      val d = element_at(col("q"), i) - element_at(col("q2"), i)
+      d * d
+    }.reduce(_ + _)
+    val shift = graft.operators.KMeans.Shift
+    val unrolledDot = (1 to dims)
+      .map(i => (element_at(col("q"), i) - shift) * (element_at(col("q2"), i) - shift))
+      .reduce(_ + _)
+    val rows = cross
+      .select(
+        GraftFunctions.dist2i(col("q"), col("q2")).as("nd2"),
+        unrolledD2.as("ud2"),
+        GraftFunctions.dotiShifted(col("q"), col("q2"), shift).as("ndot"),
+        unrolledDot.as("udot")
+      )
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"dist2: ${r.getLong(0)} != ${r.getLong(1)}")
+      assert(r.getLong(2) == r.getLong(3), s"doti: ${r.getLong(2)} != ${r.getLong(3)}")
+    }
+    // null element / length mismatch → NULL (the DotProduct contract)
+    val degen = Seq(
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L)),
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](1L, 2L))
+    ).toDF("a", "b")
+    val d = degen
+      .select(GraftFunctions.dist2i(col("a"), col("b")).as("x"), GraftFunctions.dotiShifted(col("a"), col("b"), 0).as("y"))
+      .collect()
+    assert(d.forall(r => r.isNullAt(0) && r.isNullAt(1)), "degenerate inputs must yield NULL")
+  }
+
   test("the optimizer rewrites aggregate(zip_with(...)) dot products to graft_dot") {
     // non-literal input: a foldable source would be constant-folded
     // into a LocalRelation before the rewrite can be observed
