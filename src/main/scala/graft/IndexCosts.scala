@@ -135,11 +135,17 @@ object IndexCosts {
             IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, IvfPqNprobe, IvfPqRerank, AnnK, Dims))
       }
       dropPath(P)
-      val base = q.filter(col("vec_id") % mod =!= 0)
+      // id-RANGE split, not mod: centroids/codebooks seed from the
+      // FIRST vec_ids (the deterministic-centroid convention), so the
+      // base corpus must keep its dense id prefix — the newest 1/mod
+      // of the id space arrives as the batch
+      val maxId = q.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = maxId - (maxId + 1) / mod
+      val base = q.filter(col("vec_id") <= cut)
       Similarity.writeIvfPqIndex(base, IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, P)
       val append = timed {
         Similarity.appendIvfPqIndex(
-          base, q.filter(col("vec_id") % mod === 0), IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, P)
+          base, q.filter(col("vec_id") > cut), IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, P)
       }
       dropPath(P)
       Phases(rebuild, append, query)

@@ -101,8 +101,9 @@ object KMeans {
     *   1. a COARSE Voronoi partition of nc = ceil(√k) centroids is
     *      Lloyd-trained with [[refineCentroids]] (N·√k per round, and
     *      nc stays broadcast-sized for any feasible corpus);
-    *   2. the k fine seeds (first k vectors — the flat seeding
-    *      convention) are PINNED each to its coarse cell, the
+    *   2. the k fine seeds (the k smallest vec_ids present — dense
+    *      prefix ≡ first k on a dense corpus) are PINNED each to its
+    *      coarse cell, the
     *      FAISS-IVF fixed-coarse-quantizer posture; cells holding no
     *      seed are dropped from the vector assignment (every vector
     *      must land in a cell with fine candidates), so each vector
@@ -137,21 +138,20 @@ object KMeans {
     */
   case class TwoLevelState(assignment: DataFrame, fine: DataFrame, activeCoarse: DataFrame)
 
-  def refineTwoLevelState(q: DataFrame, k: Int, iters: Int, dims: Int): TwoLevelState =
-    refineTwoLevelImpl(q, k, iters, dims, m => q.filter(col("vec_id") < m))
-
-  /** [[refineTwoLevel]] for SPARSE id spaces: seeds are the k
-    * SMALLEST vec_ids PRESENT in `q` rather than literally 0..k-1 —
-    * the seeding a pipeline stage needs when its input has already
-    * dropped rows (exact/span dedup upstream leaves holes in the id
-    * space, so the dense-id contract would raise). On a dense-from-0
-    * corpus the two are identical (KMeansSpec pins this). The seed
-    * list is a k-row TakeOrdered (the same k-row frame the fine
-    * centroid state is anyway), broadcast back onto `q` — a 100 TB
-    * run would persist the choice at ingest exactly like the IVF
-    * layout it pins.
+  /** Seeds are the k SMALLEST vec_ids PRESENT in `q` (round 12 —
+    * previously the dense-id filter `vec_id < k`, which is the same
+    * set on a dense-from-0 corpus, KMeansSpec-pinned, but RAISES on
+    * any corpus whose dense prefix is shorter than the corpus-scaled
+    * k: upstream dedup holes, and the 100× ScaleUp point, where the
+    * replica stride leaves only the base corpus's 2000 ids dense
+    * while k = N/target reaches 3125 — the new-decade constant the
+    * r11 verdict predicted). The seed list is a k-row TakeOrdered
+    * (the same k-row scale as the fine centroid state the training
+    * materializes anyway), broadcast back onto `q`; a 100 TB ingest
+    * would compute the k-th-smallest-id cutoff distributed and
+    * persist the choice alongside the layout it pins.
     */
-  def refineTwoLevelRankSeeded(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
+  def refineTwoLevelState(q: DataFrame, k: Int, iters: Int, dims: Int): TwoLevelState = {
     require(k > 0, s"need k > 0; got k=$k")
     val ids = q.select(col("vec_id")).orderBy(col("vec_id")).limit(k).localCheckpoint()
     refineTwoLevelImpl(
@@ -160,8 +160,16 @@ object KMeans {
       iters,
       dims,
       m => q.join(broadcast(ids.orderBy(col("vec_id")).limit(m)), Seq("vec_id"))
-    ).assignment
+    )
   }
+
+  /** [[refineTwoLevel]] under the explicit rank-seeded name (the
+    * sparse-id entry point q138's standalone pipeline stage uses;
+    * since round 12 the state path above seeds identically, so this
+    * is the same computation returning only the assignment).
+    */
+  def refineTwoLevelRankSeeded(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame =
+    refineTwoLevelState(q, k, iters, dims).assignment
 
   /** Shared two-level body: `seedsOf(m)` returns the m seed rows
     * (vec_id, qa, ...) of `q` — the dense-id filter for the default

@@ -229,24 +229,28 @@ class KMeansSpec extends AnyFunSuite {
     assert(ranked == two, "rank-seeded diverges from dense-id seeding on a dense corpus")
   }
 
-  test("rank-seeded two-level k-means works on a SPARSE id space (dense seeding raises)") {
+  test("two-level k-means works on a SPARSE id space (rank seeding is the default since round 12)") {
     import spark.implicits._
-    // ids 100, 205, 310, ... — nothing below k, so the dense-id
-    // contract must fail loudly while rank seeding proceeds
+    // ids 100, 205, 310, ... — nothing below k. The pre-r12 dense-id
+    // contract (`vec_id < k` seeds) RAISED here, which the 100×
+    // scaling point hit for real: ScaleUp's replica stride leaves
+    // only the base corpus's ids dense while the corpus-scaled
+    // k = N/target grows past them. Seeds are now the k smallest ids
+    // PRESENT on every path (identical on dense corpora — pinned in
+    // the previous test), so sparse spaces train instead of raising.
     val rows = (0 until 60).map { i =>
       (100L + 105L * i, Seq.tabulate(4)(d => if (d == i % 2) 50.0 + i else (i % 3).toDouble))
     }
     val q = KMeans
       .quantizeShifted(rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
       .localCheckpoint()
-    val dense = intercept[IllegalArgumentException] {
-      KMeans.refineTwoLevel(q, 4, 1, 4).collect()
-    }
-    assert(dense.getMessage.contains("seed"), dense.getMessage)
-    val got = KMeans.refineTwoLevelRankSeeded(q, 4, 1, 4).collect()
+    val got = KMeans.refineTwoLevel(q, 4, 1, 4).collect()
     assert(got.length == 60, "every vector must be assigned")
     // cluster ids are the 4 smallest vec_ids (the rank seeds)
     val seedIds = rows.map(_._1).sorted.take(4).toSet
     assert(got.map(_.getLong(1)).toSet.subsetOf(seedIds))
+    // the explicit rank-seeded entry point is the same computation
+    val ranked = KMeans.refineTwoLevelRankSeeded(q, 4, 1, 4).collect()
+    assert(ranked.map(r => (r.getLong(0), r.getLong(1))).toSet == got.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 }
