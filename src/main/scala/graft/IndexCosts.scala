@@ -151,10 +151,45 @@ object IndexCosts {
       Phases(rebuild, append, query)
     }
 
+    // the shared cell partition (q82/q129/q133/q138/q142): rebuild =
+    // drop + ensure (two-level training + bucketed write + stamps);
+    // append = the newest id-range batch under frozen geometry; query
+    // = the q142 occupancy read off the stored buckets. Bench prices
+    // the rebuild as cell_index_build_sec; this adds the append and
+    // pure-read phases beside it.
+    def cellOnce(): Phases = {
+      val T = "graft_cell_index_costs"
+      import DedupSimQueries.{Dims, KmeansIters, KmeansK, SemClusterTarget}
+      val emb = Tables.embeddings(spark, sfDir)
+      graft.operators.CellIndex.drop(spark, T)
+      val rebuild = timed {
+        graft.operators.CellIndex
+          .ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, T)
+      }
+      val query = timed {
+        noop(
+          graft.operators.CellIndex
+            .read(spark, T)
+            .groupBy(col("cluster"))
+            .agg(count(lit(1)).as("n_vecs")))
+      }
+      graft.operators.CellIndex.drop(spark, T)
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = maxId - (maxId + 1) / mod
+      graft.operators.CellIndex
+        .ensure(emb.filter(col("vec_id") <= cut), "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, T)
+      val append = timed {
+        graft.operators.CellIndex.append(emb.filter(col("vec_id") > cut), "vec_id", "embedding", Some("label"), T)
+      }
+      graft.operators.CellIndex.drop(spark, T)
+      Phases(rebuild, append, query)
+    }
+
     val builders = Seq(
       "q104_pagerank_delta" -> (() => pagerankOnce()),
       "q117_bm25_index" -> (() => bm25Once()),
-      "q125_ivfpq_topk" -> (() => ivfpqOnce())
+      "q125_ivfpq_topk" -> (() => ivfpqOnce()),
+      "cell_index" -> (() => cellOnce())
     )
     val results = builders.map { case (name, run) =>
       name -> (1 to passes).map(_ => run()).reduce(_ min _)

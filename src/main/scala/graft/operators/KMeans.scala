@@ -145,21 +145,26 @@ object KMeans {
     * k: upstream dedup holes, and the 100× ScaleUp point, where the
     * replica stride leaves only the base corpus's 2000 ids dense
     * while k = N/target reaches 3125 — the new-decade constant the
-    * r11 verdict predicted). The seed list is a k-row TakeOrdered
-    * (the same k-row scale as the fine centroid state the training
-    * materializes anyway), broadcast back onto `q`; a 100 TB ingest
-    * would compute the k-th-smallest-id cutoff distributed and
-    * persist the choice alongside the layout it pins.
+    * r11 verdict predicted). The m-seed prefix materializes as
+    * `vec_id <= (m-th smallest id)` with the cutoff found by
+    * [[OrderStatistic.kthSmallest]] — a distributed histogram
+    * narrowing whose driver state is a 4096-row histogram, NOT a
+    * k-row TakeOrdered heap (k = N/target is ~10⁹ at warehouse
+    * scale; a cutoff is 8 bytes). The filter pushes to the scan and
+    * the seed frame needs no broadcast join.
     */
   def refineTwoLevelState(q: DataFrame, k: Int, iters: Int, dims: Int): TwoLevelState = {
     require(k > 0, s"need k > 0; got k=$k")
-    val ids = q.select(col("vec_id")).orderBy(col("vec_id")).limit(k).localCheckpoint()
+    val cuts = scala.collection.mutable.Map[Int, Long]()
     refineTwoLevelImpl(
       q,
       k,
       iters,
       dims,
-      m => q.join(broadcast(ids.orderBy(col("vec_id")).limit(m)), Seq("vec_id"))
+      m => {
+        val cut = cuts.getOrElseUpdate(m, OrderStatistic.kthSmallest(q, "vec_id", m))
+        q.filter(col("vec_id") <= cut)
+      }
     )
   }
 
