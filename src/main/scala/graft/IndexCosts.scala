@@ -185,12 +185,15 @@ object IndexCosts {
       Phases(rebuild, append, query)
     }
 
+    // SPARK_GRAFT_COSTS_ONLY=cell_index restricts the run (scaling
+    // adjudications isolate one builder in a fresh JVM)
+    val only = sys.env.get("SPARK_GRAFT_COSTS_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val builders = Seq(
       "q104_pagerank_delta" -> (() => pagerankOnce()),
       "q117_bm25_index" -> (() => bm25Once()),
       "q125_ivfpq_topk" -> (() => ivfpqOnce()),
       "cell_index" -> (() => cellOnce())
-    )
+    ).filter(b => only.forall(_.contains(b._1)))
     val results = builders.map { case (name, run) =>
       name -> (1 to passes).map(_ => run()).reduce(_ min _)
     }

@@ -38,10 +38,23 @@ object OrderStatistic {
 
   /** The exact k-th smallest (1-indexed, multiset rank) value of
     * `column` in `df`. Requires 1 ≤ k ≤ count and a non-null column;
-    * raises loudly otherwise.
+    * raises loudly otherwise. `buckets`/`collectCap` are the test
+    * hooks that force multi-round narrowing on small inputs — the
+    * production defaults only enter the loop past 65536 rows, which
+    * is exactly how the double-typed bucket id (Spark's `/` on longs
+    * is DOUBLE division) survived a spec that never left the
+    * collect-everything fast path and detonated first at the 128×
+    * scaling point.
     */
-  def kthSmallest(df: DataFrame, column: String, k: Long): Long = {
+  def kthSmallest(
+      df: DataFrame,
+      column: String,
+      k: Long,
+      buckets: Long = Buckets,
+      collectCap: Long = CollectCap
+  ): Long = {
     require(k >= 1, s"order statistic needs k >= 1; got $k")
+    require(buckets >= 2 && collectCap >= 1, s"need buckets >= 2, collectCap >= 1; got $buckets/$collectCap")
     val v = df.select(col(column).cast("long").as("v"))
     val head = v.agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi")).head()
     val n = head.getLong(0)
@@ -57,11 +70,14 @@ object OrderStatistic {
     )
     var rank = k
     var inRange = n
-    while (inRange > CollectCap && hi > lo) {
-      val width = (hi - lo) / Buckets + 1
+    while (inRange > collectCap && hi > lo) {
+      val width = (hi - lo) / buckets + 1
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and
+      // doubles lose exactness past 2^53 — bucket ids must be exact
+      // integral quotients at any id magnitude
       val hist = v
         .filter(col("v") >= lo && col("v") <= hi)
-        .groupBy(((col("v") - lo) / width).as("b"))
+        .groupBy(expr(s"(v - (${lo}L)) div ${width}L").as("b")) // v >= lo in-range, so div == floor
         .agg(count(lit(1)).as("c"))
         .collect()
         .map(r => r.getLong(0) -> r.getLong(1))

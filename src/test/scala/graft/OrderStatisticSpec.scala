@@ -20,6 +20,12 @@ class OrderStatisticSpec extends AnyFunSuite {
     ks.foreach { k =>
       val got = OrderStatistic.kthSmallest(df, "id", k)
       assert(got == sorted((k - 1).toInt), s"k=$k over ${values.size} values: got $got, want ${sorted((k - 1).toInt)}")
+      // and again with caps tiny enough to FORCE multi-round histogram
+      // narrowing (the production caps only enter the loop past 65536
+      // rows — the fast path hid a double-typed bucket id that first
+      // detonated at the 128× scaling point; never again)
+      val narrowed = OrderStatistic.kthSmallest(df, "id", k, buckets = 16L, collectCap = 32L)
+      assert(narrowed == sorted((k - 1).toInt), s"narrowed k=$k: got $narrowed, want ${sorted((k - 1).toInt)}")
     }
   }
 
@@ -39,6 +45,18 @@ class OrderStatisticSpec extends AnyFunSuite {
     // random longs (non-negative, full spread)
     val rand = Seq.fill(4000)(math.abs(rnd.nextLong()) % (Long.MaxValue / 8))
     check(rand, Seq(1L, 7L, 1234L, 4000L))
+  }
+
+  test("production caps: the histogram loop actually runs past 65536 rows") {
+    // the 128× shape at production Buckets/CollectCap — the loop the
+    // small-input tests skip must run and agree with the local sort
+    val ids = (0 until 5).flatMap(r => (0L until 40000L).map(_ * 3L + r * 1000000000L))
+    val df = ids.toDF("id")
+    val sorted = ids.sorted
+    Seq(1L, 64000L, 128001L, ids.size.toLong).foreach { k =>
+      val got = OrderStatistic.kthSmallest(df, "id", k)
+      assert(got == sorted((k - 1).toInt), s"k=$k: got $got, want ${sorted((k - 1).toInt)}")
+    }
   }
 
   test("narrowing terminates below the collect cap and rejects bad ranks loudly") {
