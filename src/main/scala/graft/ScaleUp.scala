@@ -35,6 +35,25 @@ object ScaleUp {
 
   val KeyStride = 1000000000L
 
+  private def splitmix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** The per-epoch ±1 diagonal of the embedding transform (epoch 0 =
+    * identity; epoch ≥1 = a splitmix bit per dimension, forced
+    * non-identity). Exposed for the spec that pins epochs pairwise
+    * distinct — a repeated mask would recreate the exact-duplicate
+    * pathology the rotation cap used to guard against.
+    */
+  private[graft] def signMask(s: Int, dims: Int): Array[Float] = {
+    val m = Array.tabulate(dims)(d => if (s == 0 || (splitmix(s.toLong * 7919L + d) & 1L) == 0L) 1f else -1f)
+    if (s > 0 && !m.contains(-1f)) m((s - 1) % dims) = -1f // never the identity off epoch 0
+    m
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/root/repo/target/sf1-derived"
@@ -119,17 +138,6 @@ object ScaleUp {
     // cosines decorrelate. Epoch 0 is the identity mask — replicas
     // 0..dims-1 are bit-identical to what earlier rounds measured.
     val dims = spark.read.parquet(s"$src/embeddings.parquet").select(size(col("embedding"))).head.getInt(0)
-    def splitmix(x0: Long): Long = {
-      var x = x0 + 0x9E3779B97F4A7C15L
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      x ^ (x >>> 31)
-    }
-    def signMask(s: Int): Array[Float] = {
-      val m = Array.tabulate(dims)(d => if (s == 0 || (splitmix(s.toLong * 7919L + d) & 1L) == 0L) 1f else -1f)
-      if (s > 0 && !m.contains(-1f)) m((s - 1) % dims) = -1f // never the identity off epoch 0
-      m
-    }
     replicate(
       "embeddings",
       Seq("vec_id"),
@@ -148,7 +156,7 @@ object ScaleUp {
           }
         if (epoch == 0) rotated
         else {
-          val mask = array(signMask(epoch).map(v => lit(v)): _*)
+          val mask = array(signMask(epoch, dims).map(v => lit(v)): _*)
           rotated.withColumn("embedding", zip_with(col("embedding"), mask, (x, m) => x * m))
         }
       }

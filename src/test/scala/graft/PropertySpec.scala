@@ -798,6 +798,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cell-index corpus fingerprint changes under every content perturbation that preserves the count") {
+    // the r11-advice hardening: the stamp is (n, Σ centered-xxhash64
+    // high halves, Σ centered low halves) — order-free and additive,
+    // but a perturbation must never cancel BOTH sums at once. The
+    // dangerous class is count-preserving edits (n can't catch them):
+    // value nudges, vector swaps between ids, duplicate-one/drop-one.
+    import graft.operators.CellIndex
+    import spark.implicits._
+    val rnd = new Random(1312)
+    def fp(rows: Seq[(Long, Seq[Float])]) = {
+      val f = CellIndex.fingerprintOf(rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      (f.n, f.fp, f.fp2)
+    }
+    (1 to 20).foreach { trial =>
+      val n = 50 + rnd.nextInt(100)
+      val base = (0 until n).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat())))
+      val reference = fp(base)
+      // order invariance (the additive design's contract)
+      assert(fp(rnd.shuffle(base)) == reference, s"trial $trial: stamp is order-sensitive")
+      val i = rnd.nextInt(n)
+      val j = (i + 1 + rnd.nextInt(n - 1)) % n
+      // swap two ids' vectors
+      val swapped = base.updated(i, (base(i)._1, base(j)._2)).updated(j, (base(j)._1, base(i)._2))
+      assert(fp(swapped) != reference, s"trial $trial: vector swap cancelled the stamp")
+      // nudge one element of one vector
+      val nudged = base.updated(i, (base(i)._1, base(i)._2.updated(0, base(i)._2.head + 0.25f)))
+      assert(fp(nudged) != reference, s"trial $trial: value nudge cancelled the stamp")
+      // duplicate one row's content over another (count unchanged)
+      val overwritten = base.updated(i, (base(i)._1, base(j)._2))
+      assert(fp(overwritten) != reference, s"trial $trial: content overwrite cancelled the stamp")
+    }
+  }
+
+  test("ScaleUp sign-flip epochs are pairwise distinct and never the identity off epoch 0") {
+    // a repeated ±1 diagonal would hand two epochs bit-identical
+    // vectors — the exact-duplicate pathology the old 64-replica
+    // rotation cap existed to prevent
+    val dims = 64
+    val masks = (0 to 16).map(s => ScaleUp.signMask(s, dims).toSeq)
+    assert(masks.head.forall(_ == 1f), "epoch 0 must be the identity (prior rounds' data must not change)")
+    masks.zipWithIndex.drop(1).foreach { case (m, s) =>
+      assert(m.contains(-1f), s"epoch $s mask is the identity")
+      assert(m.forall(v => v == 1f || v == -1f), s"epoch $s mask is not a ±1 diagonal")
+    }
+    assert(masks.distinct.size == masks.size, "two epochs share a mask")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest
       .getInstance("MD5")
