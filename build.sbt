@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's ONE-line JSON straight off stdout; sbt's
+// default logged output strategy prefixes every forked-child line
+// with "[info] ", which breaks a whole-line parse (BENCH "parsed":
+// null through r12). StdoutOutput forwards the child's stdout
+// verbatim, so the line lands as bare JSON at column 0. Scoped to
+// run — runMain shares Compile / run / runner, so both are covered;
+// test output keeps the logged strategy.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

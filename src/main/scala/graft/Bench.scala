@@ -63,8 +63,21 @@ object Bench {
     // the sweep's consumers then read the warm index in BOTH passes,
     // so their rows are purely the read path. Skippable for derived-SF
     // sweeps that restrict to non-cell queries.
+    // auto-skip when the (restricted) sweep contains no consumer of
+    // the shared cell index — a derived-SF run timing only non-cell
+    // queries shouldn't pay (or need an extra env var to avoid) a
+    // training run nothing will read. SPARK_GRAFT_BENCH_CELL_BUILD=1
+    // forces the build anyway, =0 forces the skip.
+    val cellConsumerNames = Set(
+      "q82_knn_join",
+      "q129_semantic_dedup",
+      "q133_knn_classify",
+      "q138_dedup_pipeline",
+      "q142_cell_occupancy"
+    )
     val cellBuildSec: Option[Double] =
       if (sys.env.get("SPARK_GRAFT_BENCH_CELL_BUILD").contains("0")) None
+      else if (!sys.env.get("SPARK_GRAFT_BENCH_CELL_BUILD").contains("1") && !names.exists(cellConsumerNames)) None
       else {
         graft.queries.DedupSimQueries.cellIndexDrop(spark, sfDir)
         val t0 = System.nanoTime()
@@ -158,13 +171,7 @@ object Bench {
     // runs first, pass 1; later passes and queries read): their min
     // times are the read-path cost, the one-off training cost shows in
     // the first consumer's pass-1 number
-    val cellConsumers = Seq(
-      "q82_knn_join",
-      "q129_semantic_dedup",
-      "q133_knn_classify",
-      "q138_dedup_pipeline",
-      "q142_cell_occupancy"
-    ).filter(timings.contains)
+    val cellConsumers = cellConsumerNames.toSeq.sorted.filter(timings.contains)
     val cc = cellConsumers.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
     // THE WHOLE ARTIFACT GOES TO A FILE (round 11): the driver's
     // stdout capture window is ~2000 chars, and 141 queries × ~28

@@ -185,11 +185,86 @@ object IndexCosts {
       Phases(rebuild, append, query)
     }
 
+    // q87: the bucketed MinHash signature band index. Each phase pays
+    // its own shingle→minhash signature computation (a real ingest
+    // batch does — the signatures are derived from the arriving docs,
+    // not a free-floating artifact): rebuild = sign + bucketed band
+    // write of the whole corpus; append = the newest 1/DeltaMod of
+    // docs signed + band rows appended under the frozen bucket
+    // layout; query = the recurring band join — a probe batch's
+    // candidates against the warm index, exchange-free on the index
+    // side (PlanSpec).
+    def sigIndexOnce(): Phases = {
+      import DedupSimQueries.{MaxShingleDf, NumPerms, RowsPerBand, SigIndexBuckets}
+      val T = "graft_sig_index_costs"
+      val docs = Tables.documents(spark, sfDir)
+      def sigsFor(d: org.apache.spark.sql.DataFrame) =
+        graft.dedup.Dedup.minhashSignatures(
+          graft.dedup.Dedup.dfCapped(graft.dedup.Dedup.shingles(d, "doc_id", "text", 3), MaxShingleDf),
+          NumPerms)
+      dropTable(T)
+      val rebuild = timed {
+        graft.dedup.Dedup.writeSignatureIndex(sigsFor(docs), T, NumPerms, RowsPerBand, SigIndexBuckets)
+      }
+      val query = timed {
+        noop(
+          graft.dedup.Dedup.lshCandidatesAgainstIndex(
+            sigsFor(docs.filter(col("doc_id") % 7 === 3)),
+            graft.dedup.Dedup.readSignatureIndex(spark, T),
+            NumPerms,
+            RowsPerBand))
+      }
+      dropTable(T)
+      graft.dedup.Dedup.writeSignatureIndex(
+        sigsFor(docs.filter(col("doc_id") % mod =!= 0)), T, NumPerms, RowsPerBand, SigIndexBuckets)
+      val append = timed {
+        graft.dedup.Dedup.appendSignatureIndex(sigsFor(docs.filter(col("doc_id") % mod === 0)), T, NumPerms, RowsPerBand)
+      }
+      dropTable(T)
+      Phases(rebuild, append, query)
+    }
+
+    // q107: the cent_id-partitioned IVF directories. rebuild =
+    // centroid derivation + nearest-cell assignment + partitioned
+    // write of the whole corpus; append = the newest id-range batch
+    // assigned under the BASE corpus's centroids (ivfCentroids seeds
+    // from the first vec_ids, so the dense id prefix stays with the
+    // base — the q125 convention) into the same directories; query =
+    // the DPP-pruned probe over the warm index.
+    def ivfOnce(): Phases = {
+      import DedupSimQueries.{AnnK, IvfCells, IvfNprobe}
+      val P = "target/graft_ivf_index_costs"
+      val e = Tables
+        .embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      dropPath(P)
+      val rebuild = timed {
+        Similarity.writeIvfIndex(Similarity.ivfCentroids(e, IvfCells), e, P)
+      }
+      val cents = Similarity.ivfCentroids(e, IvfCells)
+      val query = timed {
+        noop(Similarity.ivfTopKFromIndex(spark, P, cents, e.filter(col("vec_id") < 5), AnnK, IvfNprobe))
+      }
+      dropPath(P)
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = maxId - (maxId + 1) / mod
+      val base = e.filter(col("vec_id") <= cut)
+      val baseCents = Similarity.ivfCentroids(base, IvfCells)
+      Similarity.writeIvfIndex(baseCents, base, P)
+      val append = timed {
+        Similarity.appendIvfIndex(baseCents, e.filter(col("vec_id") > cut), P)
+      }
+      dropPath(P)
+      Phases(rebuild, append, query)
+    }
+
     // SPARK_GRAFT_COSTS_ONLY=cell_index restricts the run (scaling
     // adjudications isolate one builder in a fresh JVM)
     val only = sys.env.get("SPARK_GRAFT_COSTS_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val builders = Seq(
+      "q87_bucketed_index_dedup" -> (() => sigIndexOnce()),
       "q104_pagerank_delta" -> (() => pagerankOnce()),
+      "q107_ann_ivf_index" -> (() => ivfOnce()),
       "q117_bm25_index" -> (() => bm25Once()),
       "q125_ivfpq_topk" -> (() => ivfpqOnce()),
       "cell_index" -> (() => cellOnce())

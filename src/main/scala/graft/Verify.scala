@@ -5,6 +5,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // a leaked scaling-adjudication pin would make the engine disagree
+    // with the oracle's corpus-scaled CASE chain BY DESIGN — refuse,
+    // don't let the round's correctness silently fail (r12 advice)
+    require(
+      sys.env.get("SPARK_GRAFT_PIN_EMB_PLANES").isEmpty,
+      "SPARK_GRAFT_PIN_EMB_PLANES is set — the q34 plane pin is for scaling adjudication only " +
+        "and breaks the oracle compare; unset it before running Verify"
+    )
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

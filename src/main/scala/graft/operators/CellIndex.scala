@@ -40,10 +40,11 @@ import graft.sources.Formats
   *      scan, its identity is the file listing itself — (path, size,
   *      modificationTime) of every file, hashed order-free. That
   *      listing comes from the driver's file index (no data read, no
-  *      Spark job). If it equals the stamped [[SourceProp]] and the
-  *      stored geometry matches what the caller would derive from the
-  *      stamped row count, the index is served with ZERO touches of
-  *      the corpus (asserted in CellIndexSpec via the
+  *      Spark job). If it equals the stamped [[SourceProp]], the
+  *      stamped column mapping equals the requested one, and the
+  *      stored geometry is ACCEPTABLE for the stamped row count (see
+  *      the hysteresis band below), the index is served with ZERO
+  *      touches of the corpus (asserted in CellIndexSpec via the
   *      [[fingerprintScans]] counter).
   *   2. CONTENT fingerprint slow path: anything else — an opaque
   *      frame (filter/union/in-memory), a drifted file set (another
@@ -54,11 +55,29 @@ import graft.sources.Formats
   *      the fast path again. [[revalidate]] exposes this scan
   *      explicitly for audits.
   *
-  * Version/geometry/corpus stamps are TABLE PROPERTIES (metadata-only
-  * checks, the Dedup.writeSignatureIndex convention): a format bump,
-  * a geometry change (k/target/iters/dims), or a corpus change is
-  * detected at read time and triggers a rebuild in [[ensure]] instead
-  * of silently serving a stale partition. The content fingerprint is
+  * Geometry HYSTERESIS (round 13 — before this, [[ensure]] re-derived
+  * k = max(kMin, n/target) from the stamped count and demanded an
+  * EXACT [[GeomProp]] match, so any append moving the corpus across a
+  * multiple of `target` rows — 64! — stepped k and forced the next
+  * consumer to re-train the full corpus: at production scale
+  * essentially every ingest batch defeated the frozen-append
+  * amortization the index exists for). A stored geometry is now
+  * ACCEPTED while its mean occupancy stays inside the band:
+  * `n / storedK ≤ [[EnsureOverFactor]] × target` (and storedK ≥ kMin,
+  * and target/iters/dims match EXACTLY — those change the assignment
+  * arithmetic and DO invalidate). Past the band, [[ensure]] rebuilds
+  * under the re-derived k — the same 2× calibration as
+  * [[retrainIfOvergrown]], which watches MAX cluster occupancy (skew)
+  * where the band watches the MEAN (growth); mean ≤ max, so the
+  * monitor always fires at or before the band on a skewed corpus and
+  * the two policies agree on when re-training is worth a corpus pass.
+  *
+  * Version/geometry/corpus/column stamps are TABLE PROPERTIES
+  * (metadata-only checks, the Dedup.writeSignatureIndex convention):
+  * a format bump, an out-of-band geometry, a corpus change, or a
+  * different (id, vector, label) column mapping is detected at read
+  * time and triggers a rebuild in [[ensure]] instead of silently
+  * serving a stale partition. The content fingerprint is
   * an ORDER-FREE pair of sums of xxhash64 halves, so it is
   * append-additive: appending a batch advances the stored stamp by
   * the batch's own fingerprint and [[ensure]] over the grown corpus
@@ -74,7 +93,18 @@ import graft.sources.Formats
   * writer by contract — the ingest/maintenance job owns the table;
   * concurrent appends from two JVMs would lose one batch's stamp
   * advance (detected later as a content-fingerprint mismatch →
-  * rebuild, never silently served).
+  * rebuild, never silently served — spec-pinned in CellIndexSpec's
+  * lost-update case).
+  *
+  * Identity granularity caveat: the tier-1 source identity trusts
+  * (path, length, modificationTime). An in-place rewrite that
+  * preserves every file's size AND lands inside the same mtime
+  * granule (coarse-mtime filesystems, deterministic rewriters) is
+  * invisible to it and would serve a stale index without a content
+  * check — a corpus maintained by rewrite-in-place jobs should
+  * schedule a periodic [[revalidate]] audit (one content scan) or
+  * write new files per snapshot (the append/ingest convention, which
+  * this identity covers exactly).
   *
   * At 100 TB this table is written once per corpus snapshot by the
   * ingest job and every similarity/dedup consumer joins it by
@@ -86,18 +116,59 @@ import graft.sources.Formats
 object CellIndex {
 
   /** Bump on any change to the assignment/quantization arithmetic OR
-    * the stamp format. 2 = round-12 two-reduction xxhash64 corpus
-    * fingerprint (v1 tables re-stamp via one rebuild).
+    * the stamp format. 3 = round-13 column-mapping stamp ([[ColsProp]]
+    * — v2 tables carry no record of which id/vector/label columns they
+    * index, so they re-stamp via one rebuild); 2 = round-12
+    * two-reduction xxhash64 corpus fingerprint.
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
   val VersionProp = "graft.cell_format_version"
   val GeomProp = "graft.cell_geometry"
   val CorpusProp = "graft.cell_corpus"
   val SourceProp = "graft.cell_source"
+  val ColsProp = "graft.cell_columns"
   val Buckets = 16
+
+  /** The ensure()-side geometry hysteresis: a stored geometry is
+    * accepted while mean occupancy n/storedK ≤ this × target. Matches
+    * [[retrainIfOvergrown]]'s default `overFactor` — see the class
+    * doc's hysteresis paragraph for the mean-vs-max relationship.
+    */
+  val EnsureOverFactor = 2.0
 
   private def geomString(k: Int, target: Int, iters: Int, dims: Int): String =
     s"k=$k,target=$target,iters=$iters,dims=$dims"
+
+  private def colsString(idCol: String, vecCol: String, labelCol: Option[String]): String =
+    s"id=$idCol,vec=$vecCol,label=${labelCol.getOrElse("")}"
+
+  private def parseGeom(s: String): Map[String, Int] =
+    s.split(",").map(_.split("=", 2)).map(a => a(0) -> a(1).toInt).toMap
+
+  /** The hysteresis-band acceptance test shared by both freshness
+    * tiers: the stored geometry serves a corpus of `n` live rows iff
+    * target/iters/dims match the request EXACTLY (they change the
+    * assignment arithmetic), storedK ≥ kMin, and the mean occupancy
+    * sits inside the band. The exact-match case (storedK == the
+    * re-derived k) always falls inside: a fresh build's occupancy is
+    * ≤ target by construction.
+    */
+  private def geomAcceptable(
+      stored: String,
+      n: Long,
+      kMin: Int,
+      target: Int,
+      iters: Int,
+      dims: Int
+  ): Boolean = {
+    val g = parseGeom(stored)
+    g.get("target").contains(target) &&
+    g.get("iters").contains(iters) &&
+    g.get("dims").contains(dims) &&
+    g.get("k").exists { storedK =>
+      storedK >= kMin && n.toDouble / storedK <= EnsureOverFactor * target
+    }
+  }
 
   /** Order-free content identity: (row count, sum of centered high
     * halves, sum of centered low halves) of xxhash64 over id + vector.
@@ -208,34 +279,47 @@ object CellIndex {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark) // graft_dist2i in the assignment path
     val srcId = sourceIdentityOf(emb)
-    val memoKey = srcId.map(id => s"$table|kMin=$kMin,target=$target,iters=$iters,dims=$dims|$id")
+    val cols = colsString(idCol, vecCol, labelCol)
+    // r12 advice: the memo (and the tier-1 stamp check below) must key
+    // on the COLUMN MAPPING too — a bare-scan frame asking for
+    // different id/vector/label columns is a different index request,
+    // not a revalidation of this one.
+    val memoKey = srcId.map(id => s"$table|kMin=$kMin,target=$target,iters=$iters,dims=$dims|$cols|$id")
     if (!memoKey.exists(validated.contains)) {
       val props = if (tableExists(spark, table)) Some(tableProps(spark, table)) else None
       // TIER 1 — metadata-only: byte-identical file set ⇒ the stamped
-      // row count IS the live count; re-derive the geometry the caller
-      // would request from it and compare. No corpus touch.
+      // row count IS the live count; accept the stored geometry while
+      // it sits inside the hysteresis band for that count (class doc —
+      // an exact re-derived-k match is NOT required, or every k-step
+      // append would force a full corpus re-train). No corpus touch.
       val fastOk = srcId.isDefined && props.exists { p =>
         p.get(VersionProp).contains(FormatVersion.toString) &&
-        p.get(SourceProp) == srcId && {
-          val n = parseCorpus(p(CorpusProp)).n
-          val k = math.max(kMin, (n / target).toInt)
-          p.get(GeomProp).contains(geomString(k, target, iters, dims))
-        }
+        p.get(SourceProp) == srcId &&
+        p.get(ColsProp).contains(cols) &&
+        p.get(GeomProp).exists(g => geomAcceptable(g, parseCorpus(p(CorpusProp)).n, kMin, target, iters, dims))
       }
       if (!fastOk) {
         // TIER 2 — content: full order-free fingerprint vs the
-        // additive stamp; rebuild on mismatch, re-anchor the source
-        // stamp on success so later sessions take tier 1.
+        // additive stamp, same band acceptance on the live count;
+        // rebuild on mismatch, re-anchor the source stamp on success
+        // so later sessions take tier 1.
         val live = fingerprintOf(emb, idCol, vecCol)
-        val k = math.max(kMin, (live.n / target).toInt)
-        val geom = geomString(k, target, iters, dims)
         val fresh = props.exists { p =>
           p.get(VersionProp).contains(FormatVersion.toString) &&
-          p.get(GeomProp).contains(geom) &&
-          p.get(CorpusProp).contains(live.stamp)
+          p.get(ColsProp).contains(cols) &&
+          p.get(CorpusProp).contains(live.stamp) &&
+          p.get(GeomProp).exists(g => geomAcceptable(g, live.n, kMin, target, iters, dims))
         }
-        if (!fresh) build(emb, idCol, vecCol, labelCol, k, target, iters, dims, live, table, srcId)
-        else stampSource(spark, table, srcId)
+        if (!fresh) {
+          val k = math.max(kMin, (live.n / target).toInt)
+          build(emb, idCol, vecCol, labelCol, k, target, iters, dims, live, table, srcId)
+        } else if (srcId.isDefined) {
+          // re-anchor ONLY from a bare-scan frame: an opaque frame has
+          // no listing identity, and unsetting an existing anchor here
+          // would push every later bare-scan session back onto a full
+          // corpus scan the files never earned (r12 advice).
+          stampSource(spark, table, srcId)
+        }
       }
       memoKey.foreach(validated += _)
     }
@@ -312,6 +396,7 @@ object CellIndex {
       s"ALTER TABLE $table SET TBLPROPERTIES (" +
         s"'$VersionProp' = '$FormatVersion', " +
         s"'$GeomProp' = '${geomString(k, target, iters, dims)}', " +
+        s"'$ColsProp' = '${colsString(idCol, vecCol, labelCol)}', " +
         s"'$CorpusProp' = '${corpus.stamp}')"
     )
     stampSource(spark, table, source)
@@ -339,11 +424,12 @@ object CellIndex {
     * (stored centroids + stored quantization scale — no Lloyd update,
     * no one else's cluster moves), preserving the bucket layout and
     * advancing the additive corpus stamp. The maintenance path
-    * between geometry re-trains; a corpus grown past its geometry's
-    * occupancy target is re-trained by the next [[ensure]] (the
-    * stored k no longer matches the recomputed one). Serialized with
-    * [[ensure]] on the class monitor; single-writer across JVMs by
-    * contract (see the class doc).
+    * between geometry re-trains: appends accumulate until the corpus
+    * leaves the hysteresis band (mean occupancy > [[EnsureOverFactor]]
+    * × target — the next [[ensure]] then rebuilds) or the q142
+    * monitor's [[retrainIfOvergrown]] flags a skewed cluster first.
+    * Serialized with [[ensure]] on the class monitor; single-writer
+    * across JVMs by contract (see the class doc).
     */
   def append(newEmb: DataFrame, idCol: String, vecCol: String, labelCol: Option[String], table: String): Unit =
     synchronized {
@@ -398,6 +484,37 @@ object CellIndex {
       // same-JVM consumers must not ride a pre-append validation
       invalidateMemo(table)
     }
+
+  /** The maintenance cadence as ONE entry point (closes r12 verdict
+    * #6 — [[retrainIfOvergrown]] existed but nothing outside specs
+    * called it): the ingest/maintenance job's per-batch step. Appends
+    * the batch under the frozen geometry, then runs the q142
+    * occupancy monitor over the index it just grew — one aggregate
+    * over the index table, zero corpus reads while healthy — and
+    * re-trains in place only when a cluster has overgrown
+    * `overFactor × target`. `corpus` is the FULL post-append corpus
+    * frame (what a re-train must cover); `newEmb` is the batch.
+    * Returns true iff the monitor re-trained. Runbook: call this per
+    * ingest batch and nothing else — consumers' [[ensure]] stays
+    * metadata-only inside the hysteresis band, and the monitor is the
+    * one place that decides a corpus pass is worth paying.
+    */
+  def appendAndMaintain(
+      newEmb: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: Option[String],
+      kMin: Int,
+      target: Int,
+      iters: Int,
+      dims: Int,
+      table: String,
+      overFactor: Double = 2.0
+  ): Boolean = synchronized {
+    append(newEmb, idCol, vecCol, labelCol, table)
+    retrainIfOvergrown(corpus, idCol, vecCol, labelCol, kMin, target, iters, dims, table, overFactor)
+  }
 
   /** Drop the persisted partition (assignment + centroids + files) and
     * forget its in-JVM validations — the explicit re-train surface

@@ -62,19 +62,33 @@ object DedupSimQueries {
   val MaxEmbPlanes = 20
   val EmbPlaneBase = 1000
 
+  /** SPARK_GRAFT_PIN_EMB_PLANES, read ONCE at class load (r12 advice:
+    * a per-call env read could silently flip mid-run and nothing
+    * surfaced a leaked adjudication variable). Pinning is for SCALING
+    * ADJUDICATION ONLY — a pinned engine disagrees with the oracle's
+    * corpus-scaled CASE chain by design — so it announces itself
+    * loudly on stderr, and [[graft.Verify]] refuses to run with it
+    * set.
+    */
+  val PinnedEmbPlanes: Option[Int] = {
+    val p = sys.env.get("SPARK_GRAFT_PIN_EMB_PLANES").map(_.toInt)
+    p.foreach { v =>
+      System.err.println(
+        s"[graft] WARNING: SPARK_GRAFT_PIN_EMB_PLANES=$v — q34's per-table plane count is PINNED " +
+          "for scaling adjudication. Results WILL disagree with the oracle's corpus-scaled CASE " +
+          "chain; never set this in driver/oracle runs."
+      )
+    }
+    p
+  }
+
   /** Smallest p in [2, MaxEmbPlanes] with SemClusterTarget·2^p ≥ n —
     * the corpus-scaled plane count, shared (as a CASE chain) with the
-    * q34 oracle so both sides derive it integer-exactly.
-    *
-    * SPARK_GRAFT_PIN_EMB_PLANES overrides the derivation for SCALING
-    * ADJUDICATION ONLY (the r11 verdict's #4: split the plane-count
-    * staircase term from residual candidate volume by re-measuring a
-    * scale point under the previous point's geometry). Never set in
-    * driver/oracle runs — a pinned engine disagrees with the oracle's
-    * CASE chain by design.
+    * q34 oracle so both sides derive it integer-exactly (unless
+    * pinned — see [[PinnedEmbPlanes]]).
     */
   def embPlanesFor(n: Long): Int =
-    sys.env.get("SPARK_GRAFT_PIN_EMB_PLANES").map(_.toInt).getOrElse(
+    PinnedEmbPlanes.getOrElse(
       (2 to MaxEmbPlanes).find(p => (SemClusterTarget.toLong << p) >= n).getOrElse(MaxEmbPlanes)
     )
   val IvfCells = 16

@@ -232,6 +232,184 @@ class CellIndexSpec extends AnyFunSuite {
     assert(CellIndex.fingerprintScans.get() == scans0, "retrained index must validate metadata-only")
   }
 
+  private def geomOf(t: String): String = spark.sessionState.catalog
+    .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+    .properties(CellIndex.GeomProp)
+
+  private def propsOf(t: String): Map[String, String] = spark.sessionState.catalog
+    .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+    .properties
+
+  test("geometry hysteresis: appends crossing MANY k-steps validate without a rebuild; past the band ensure() retrains") {
+    // the r12 verdict's one real defect: ensure() re-derived k from
+    // the stamped count and demanded an exact GeomProp match, so any
+    // append crossing a multiple of `target` rows forced a full
+    // corpus re-train. This test lives in the regime every earlier
+    // test avoided — target TINY (2) so n/target dominates kMin and
+    // k steps on every other appended row.
+    val Th = s"${T}_hyst"
+    val kMin = 2; val target = 2
+    spark.sql(s"DROP TABLE IF EXISTS $Th")
+    // the corpus as a GROWING FILE SET (the production ingest shape):
+    // bare-scan frames so the metadata-only tier is in play
+    val dir = java.nio.file.Files.createTempDirectory("graft_cell_hyst").toString
+    emb.filter(col("vec_id") < 128).write.mode("append").parquet(dir)
+    CellIndex.ensure(
+      spark.read.parquet(dir), "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, Th)
+    val g1 = geomOf(Th)
+    assert(g1.startsWith("k=64,"), s"build geometry should be k=max(2,128/2)=64, got $g1")
+    // append 100 rows -> crosses 50 k-steps (128/2=64 -> 228/2=114),
+    // but mean occupancy 228/64 = 3.56 stays inside the 2x band (<= 4)
+    CellIndex.append(
+      emb.filter(col("vec_id") >= 128 && col("vec_id") < 228), "vec_id", "embedding", Some("label"), Th)
+    emb.filter(col("vec_id") >= 128 && col("vec_id") < 228).write.mode("append").parquet(dir)
+    CellIndex.invalidateMemo(Th)
+    val scans0 = CellIndex.fingerprintScans.get()
+    val served = CellIndex.ensure(
+      spark.read.parquet(dir), "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, Th)
+    assert(served.count() == 228)
+    assert(geomOf(Th) == g1, "an in-band k-step append must NOT re-train (geometry changed => rebuild ran)")
+    assert(
+      CellIndex.fingerprintScans.get() == scans0 + 1,
+      "post-append ensure() pays exactly ONE content validation (the append cleared the source anchor)"
+    )
+    // ...and the successful validation re-anchored: the next fresh
+    // session is METADATA-ONLY despite the crossed k-steps
+    CellIndex.invalidateMemo(Th)
+    CellIndex.ensure(
+      spark.read.parquet(dir), "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, Th)
+    assert(
+      CellIndex.fingerprintScans.get() == scans0 + 1,
+      "in-band geometry must serve metadata-only in the steady state"
+    )
+    // grow past the band: n=500, mean occupancy 500/64 = 7.8 > 2x2 —
+    // NOW a corpus pass is worth paying and ensure() must re-train
+    CellIndex.append(emb.filter(col("vec_id") >= 228), "vec_id", "embedding", Some("label"), Th)
+    emb.filter(col("vec_id") >= 228).write.mode("append").parquet(dir)
+    CellIndex.invalidateMemo(Th)
+    val rebuilt = CellIndex.ensure(
+      spark.read.parquet(dir), "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, Th)
+    assert(rebuilt.count() == 500)
+    assert(geomOf(Th).startsWith("k=250,"), s"past the band ensure() must re-train under the re-derived k, got ${geomOf(Th)}")
+    spark.sql(s"DROP TABLE IF EXISTS $Th")
+  }
+
+  test("cross-JVM lost-update race: a stamp that lost an append's advance is rebuilt, never silently served") {
+    // the class doc's concurrency claim, spec-pinned (r12 verdict #2):
+    // two JVMs appending concurrently would interleave the stamp
+    // read-modify-write and one batch's advance would be clobbered —
+    // the table then holds MORE rows than the stamp describes.
+    // Simulate the torn state directly: append, then ALTER the corpus
+    // stamp back to its pre-append value (the lost update).
+    val Tl = s"${T}_lost"
+    spark.sql(s"DROP TABLE IF EXISTS $Tl")
+    val base = emb.filter(col("vec_id") < 250)
+    CellIndex.ensure(base, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, Tl)
+    val staleStamp = propsOf(Tl)(CellIndex.CorpusProp)
+    CellIndex.append(emb.filter(col("vec_id") >= 250), "vec_id", "embedding", Some("label"), Tl)
+    spark.sql(s"ALTER TABLE $Tl SET TBLPROPERTIES ('${CellIndex.CorpusProp}' = '$staleStamp')")
+    CellIndex.invalidateMemo(Tl)
+    val healed = CellIndex.ensure(
+      emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, Tl)
+    val expect = CellIndex.fingerprintOf(emb, "vec_id", "embedding").stamp
+    assert(
+      propsOf(Tl)(CellIndex.CorpusProp) == expect,
+      "the torn stamp must be detected by content and the index rebuilt over the full corpus"
+    )
+    assert(healed.count() == emb.count(), "the healed index must cover every live row")
+    spark.sql(s"DROP TABLE IF EXISTS $Tl")
+  }
+
+  test("a different (id, vector, label) column mapping never rides the memo or the metadata fast path") {
+    // r12 advice (medium): the tier-1 fast path and the memo keyed on
+    // (table, geometry, source) but not the column mapping — a
+    // bare-scan ensure() with different columns was silently served
+    // an index keyed on the wrong ones. The mapping is now stamped
+    // (ColsProp) and in the memo key.
+    val Tc = s"${T}_cols"
+    spark.sql(s"DROP TABLE IF EXISTS $Tc")
+    CellIndex.ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, Tc)
+    assert(spark.table(Tc).columns.contains("label"))
+    // same session, same files, DIFFERENT mapping (no label): the
+    // memo must not serve the labeled index
+    CellIndex.ensure(emb, "vec_id", "embedding", None, KmeansK, SemClusterTarget, KmeansIters, Dims, Tc)
+    assert(
+      !spark.table(Tc).columns.contains("label"),
+      "a label-mapping change was served the old index from the memo/stamp"
+    )
+    // fresh session, bare scan, mapping changed back: tier 1 must
+    // refuse (ColsProp mismatch) and rebuild the labeled index
+    CellIndex.invalidateMemo(Tc)
+    CellIndex.ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, Tc)
+    assert(spark.table(Tc).columns.contains("label"), "tier-1 served an index with the wrong column mapping")
+    spark.sql(s"DROP TABLE IF EXISTS $Tc")
+  }
+
+  test("an opaque-frame validation preserves an existing source anchor (no steady-state degradation)") {
+    // r12 advice (low): tier-2 success used to stampSource(None) for
+    // opaque frames, UNSETTING a valid anchor and forcing every later
+    // bare-scan session back onto a full corpus scan.
+    val To = s"${T}_opaque"
+    spark.sql(s"DROP TABLE IF EXISTS $To")
+    CellIndex.ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, To)
+    assert(propsOf(To).contains(CellIndex.SourceProp), "bare-scan build must anchor the source")
+    // an opaque consumer (filter node) over the same content: pays one
+    // content validation, must NOT touch the anchor
+    CellIndex.invalidateMemo(To)
+    val scans0 = CellIndex.fingerprintScans.get()
+    CellIndex.ensure(
+      emb.filter(col("vec_id") >= 0), "vec_id", "embedding", Some("label"),
+      KmeansK, SemClusterTarget, KmeansIters, Dims, To)
+    assert(CellIndex.fingerprintScans.get() == scans0 + 1, "opaque frames validate by content")
+    assert(
+      propsOf(To).contains(CellIndex.SourceProp),
+      "an opaque-frame validation unset the bare-scan sessions' source anchor"
+    )
+    // and the bare-scan steady state is still metadata-only
+    CellIndex.invalidateMemo(To)
+    CellIndex.ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, To)
+    assert(CellIndex.fingerprintScans.get() == scans0 + 1, "anchor survived, so this session must not scan")
+    spark.sql(s"DROP TABLE IF EXISTS $To")
+  }
+
+  test("appendAndMaintain is the cadence contract: frozen appends while healthy, monitor-triggered retrain when overgrown") {
+    // r12 verdict #6: retrainIfOvergrown existed but nothing wired it
+    // into the maintenance path. appendAndMaintain = append + monitor
+    // in one entry point; same tiny-target regime as the hysteresis
+    // test so the trigger arithmetic is deterministic.
+    val Tm = s"${T}_maint"
+    val kMin = 2; val target = 2
+    spark.sql(s"DROP TABLE IF EXISTS $Tm")
+    CellIndex.ensure(
+      emb.filter(col("vec_id") < 128), "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, Tm)
+    val g1 = geomOf(Tm)
+    // batch 1: monitor disarmed (overFactor huge) -> append only
+    val retrained1 = CellIndex.appendAndMaintain(
+      emb.filter(col("vec_id") >= 128 && col("vec_id") < 228),
+      emb.filter(col("vec_id") < 228),
+      "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, Tm, overFactor = 1e9)
+    assert(!retrained1, "a disarmed monitor must not retrain")
+    assert(geomOf(Tm) == g1, "append-only maintenance must keep the frozen geometry")
+    assert(CellIndex.read(spark, Tm).count() == 228)
+    // batch 2: n=500 into k=64 -> max occupancy >= mean 7.8 > 2x2 at
+    // the default overFactor, so the monitor MUST fire and the
+    // retrained index must equal a from-scratch build
+    val retrained2 = CellIndex.appendAndMaintain(
+      emb.filter(col("vec_id") >= 228), emb,
+      "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, Tm)
+    assert(retrained2, "an overgrown index must trigger the monitor's retrain")
+    val Tf = s"${Tm}_fresh"
+    spark.sql(s"DROP TABLE IF EXISTS $Tf")
+    CellIndex.ensure(emb, "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, Tf)
+    def snap(t: String): Map[Long, (Long, Seq[Long], Int)] =
+      spark.table(t).collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray.toSeq, r.getInt(3)))).toMap
+    val maintained = snap(Tm)
+    val fresh = snap(Tf)
+    assert(maintained.keySet == fresh.keySet)
+    maintained.foreach { case (id, row) => assert(row == fresh(id), s"vec $id differs after monitor retrain") }
+    spark.sql(s"DROP TABLE IF EXISTS $Tm"); spark.sql(s"DROP TABLE IF EXISTS $Tf")
+  }
+
   test("revalidate() audits the stamp by content and detects drift") {
     val Tr = s"${T}_reval"
     spark.sql(s"DROP TABLE IF EXISTS $Tr")

@@ -1086,4 +1086,81 @@ class StreamingSpec extends AnyFunSuite {
     )
     assert(CellIndex.fingerprintScans.get() == scans0, "post-retrain validation should be metadata-only")
   }
+
+  test("streaming appends across MANY k-steps stay inside the geometry hysteresis band (no per-batch retrain)") {
+    // the r12 defect's streaming face, in the regime every earlier
+    // twin avoided (they lived where kMin dominates, so k never
+    // stepped): target TINY (4) so k = n/target steps on every
+    // micro-batch — before the hysteresis band, EACH batch would have
+    // handed the next consumer's ensure() a full corpus re-train.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CellIndex
+    import graft.queries.DedupSimQueries.{Dims, KmeansIters}
+    val tbl = "graft_cell_kstep_stream_spec"
+    val kMin = 2; val target = 4
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 200) // k = 200/4 = 50; band: n <= 2*4*50 = 400
+    def tailRange(lo: Int, hi: Int) = emb
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .as[(Long, Seq[Float], Int)]
+      .collect()
+      .toSeq
+      .sortBy(_._1)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    CellIndex.invalidateMemo(tbl)
+    CellIndex.ensure(base, "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, tbl)
+    def geomOf: String = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+      .properties(CellIndex.GeomProp)
+    val g1 = geomOf
+    assert(g1.startsWith("k=50,"), s"build geometry should be k=200/4=50, got $g1")
+    val stream = MemoryStream[(Long, Seq[Float], Int)]
+    val query = stream
+      .toDF()
+      .toDF("vec_id", "embedding", "label")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CellIndex.append(batch, "vec_id", "embedding", Some("label"), tbl)
+      }
+      .start()
+    try {
+      // 184 rows in 3 micro-batches: k would step 50 -> 96, but
+      // n=384 keeps mean occupancy 384/50 = 7.68 inside the 2x4 band
+      tailRange(200, 384).grouped(62).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    CellIndex.invalidateMemo(tbl)
+    val inBand = CellIndex.ensure(
+      emb.filter(col("vec_id") < 384), "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, tbl)
+    assert(inBand.count() == 384, "the streamed appends must all be served")
+    assert(geomOf == g1, "in-band streamed k-steps must NOT retrain — the stored geometry serves")
+    // ...and once the stream pushes the corpus past the band (n=500 >
+    // 400), the next consumer's ensure() pays the corpus pass ONCE.
+    // A FRESH MemoryStream: a new query over the first one would
+    // replay its batches from offset 0 and double-append.
+    val stream2 = MemoryStream[(Long, Seq[Float], Int)]
+    val query2 = stream2
+      .toDF()
+      .toDF("vec_id", "embedding", "label")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CellIndex.append(batch, "vec_id", "embedding", Some("label"), tbl)
+      }
+      .start()
+    try {
+      tailRange(384, 500).grouped(58).foreach { b =>
+        stream2.addData(b)
+        query2.processAllAvailable()
+      }
+    } finally query2.stop()
+    CellIndex.invalidateMemo(tbl)
+    val rebuilt = CellIndex.ensure(
+      emb, "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, tbl)
+    assert(rebuilt.count() == 500)
+    assert(geomOf.startsWith("k=125,"), s"past the band the ensure() must retrain under k=500/4, got $geomOf")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
