@@ -24,6 +24,28 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Partition count must TRACK data size, not the static default:
+      // plan every shuffle at 8x the baseline and let AQE coalesce
+      // back down by measured bytes. At the small-SF floor the result
+      // is identical tasking (AQE merges to ~the old 32); at the 256x
+      // decade the wide self-join sorts run 8-way finer instead of
+      // going allocation-bound at 32 (measured 43.8 s -> ~10 s on
+      // q34). On a real cluster the same knob scales with executor
+      // count. SPARK_GRAFT_AQE_INITIAL_FACTOR / _PARALLELISM_FIRST
+      // exist for A/B adjudication runs only — defaults are the
+      // product setting.
+      .config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (shufflePartitions * sys.env.getOrElse("SPARK_GRAFT_AQE_INITIAL_FACTOR", "8").toInt).toString
+      )
+      .config(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true")
+      )
+      .config(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        s"${sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_MB", "64")}m"
+      )
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // accept SUBSET co-partitioning for joins: a table bucketed by

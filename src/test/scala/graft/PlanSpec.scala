@@ -636,6 +636,40 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q34 scores candidates inline in the self-join stage — no pair back-joins") {
+    // the round-13 256× lesson: the old "dedup candidate pairs, then
+    // join the vectors back" shape shuffled pair-proportional
+    // intermediates twice (41M rows × ~530 B at 256×, GC-bound,
+    // 85–167 s); inline scoring shuffles only the N·L exploded
+    // payload and runs the same point in ~19 s. The structural
+    // difference is the join census: exactly ONE join (the bucket
+    // self-join) — a second join means the back-join shape crept
+    // back in. The threshold filter rides below the survivor
+    // distinct automatically (grouping-column predicate pushdown),
+    // so the join count is the one property the optimizer cannot
+    // restore on its own.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q34_dedup_embedding")(spark, sf).queryExecution.executedPlan
+      val joins = p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+      assert(joins.size == 1, s"q34 must contain exactly the bucket self-join, found ${joins.size}:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("the session plans shuffles fine (8x) and lets AQE coalesce by measured bytes") {
+    // partition count must TRACK data size: initialPartitionNum seeds
+    // every shuffle at 8x the session baseline, AQE merges back down
+    // at small SF (identical tasking) and keeps the fan-out at the
+    // 256x decade (q34's 43.8 s -> 18.9 s). A lost knob re-binds
+    // shuffle width to the static default — the exact failure the
+    // 256x probe diagnosed.
+    val expected = (spark.conf.get("spark.sql.shuffle.partitions").toInt * 8).toString
+    assert(
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum") == expected,
+      "AQE initialPartitionNum must seed at 8x spark.sql.shuffle.partitions"
+    )
+  }
+
   test("whole-stage codegen covers the dedup hot path") {
     // adaptive plans only materialize codegen stages lazily; disable
     // AQE for the assertion so the wrappers render in the plan string
