@@ -467,7 +467,12 @@ object CellIndex {
       val numBuckets = meta.bucketSpec
         .map(_.numBuckets)
         .getOrElse(throw new IllegalStateException(s"cell index '$table' is not bucketed"))
-      rows.write
+      // one file per bucket per append batch (see Formats.writeBucketed
+      // — the persisted layout must not inherit the session's shuffle
+      // width)
+      rows
+        .repartition(numBuckets, col("cluster"))
+        .write
         .mode(SaveMode.Append)
         .format("parquet")
         .bucketBy(numBuckets, "cluster")

@@ -288,7 +288,10 @@ object Similarity {
     graft.sources.Formats.writePartitioned(ivfAssignments(cents, corpus), path, Seq("cent_id"))
 
   def appendIvfIndex(cents: DataFrame, newVecs: DataFrame, path: String): Unit =
-    ivfAssignments(cents, newVecs).write
+    // one file per cell per append batch (see Formats.writePartitioned)
+    ivfAssignments(cents, newVecs)
+      .repartition(col("cent_id"))
+      .write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cent_id")
       .parquet(path)
@@ -608,7 +611,10 @@ object Similarity {
     val withCell = newVecs.withColumn("cell", cellExpr(cents, col("qa")))
     val codes = pqEncodeWith(withCell, base.filter(col("vec_id") < kw), m, subDim, carry = Seq("cell"))
       .drop("recon_d2")
-    codes.write
+    // one file per cell per append batch (see Formats.writePartitioned)
+    codes
+      .repartition(col("cell"))
+      .write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cell")
       .parquet(path)

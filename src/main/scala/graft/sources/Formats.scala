@@ -53,8 +53,22 @@ object Formats {
     * up as `PartitionFilters` in the scan (asserted in SourcesSpec),
     * meaning non-matching directories are never opened.
     */
+  /** Directory-partitioned parquet. The pre-write repartition hashes
+    * rows by the partition columns so each partition value is written
+    * by exactly ONE task → one file per directory, regardless of the
+    * session's shuffle width. Without it the file count is
+    * write-tasks × values-touched — a session-level knob (AQE's
+    * initialPartitionNum) silently multiplying a PERSISTED artifact's
+    * file count, which every later reader pays in listing + footer
+    * overhead. Layout of a stored index is a contract, not a
+    * runtime-tuning side effect.
+    */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -70,7 +84,15 @@ object Formats {
     * memory (numBuckets ≈ data size / 128-256 MB).
     */
   def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
-    df.write
+    // repartition to EXACTLY numBuckets on the bucket key: Spark's
+    // bucket id and HashPartitioning use the same hash, so partition i
+    // holds exactly bucket i and each bucket lands in ONE file. A
+    // bucketed scan schedules one task per bucket either way — extra
+    // files per bucket (write-tasks × buckets without this) buy no
+    // parallelism, only listing/footer overhead on every read, and let
+    // session shuffle knobs leak into the persisted layout.
+    df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+      .write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, key)

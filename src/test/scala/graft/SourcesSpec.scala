@@ -95,6 +95,36 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted layouts pin files-per-key: one file per bucket / per partition dir") {
+    // a stored index's file count is a CONTRACT — it must not inherit
+    // the session's shuffle width (AQE initialPartitionNum plans 8x
+    // fine). Feed a deliberately over-partitioned frame and assert the
+    // layout collapses to one file per bucket (bucketBy) and one file
+    // per directory (partitionBy).
+    spark.sql("DROP TABLE IF EXISTS bk_layout")
+    val loc = new java.io.File("spark-warehouse/bk_layout")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    val wide = spark.range(1000).toDF("id").withColumn("v", col("id") * 2).repartition(23)
+    Formats.writeBucketed(wide, "bk_layout", "id", 4)
+    val bucketFiles = new java.io.File("spark-warehouse/bk_layout")
+      .listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    assert(bucketFiles.length == 4, s"expected 1 file per bucket (4), got ${bucketFiles.length}")
+    assert(spark.table("bk_layout").count() == 1000)
+
+    val dir = tmpDir("graft_layout_part")
+    Formats.writePartitioned(wide.withColumn("g", col("id") % 3), dir, Seq("g"))
+    (0 until 3).foreach { g =>
+      val files = new java.io.File(s"$dir/g=$g")
+        .listFiles()
+        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      assert(files.length == 1, s"expected 1 file in g=$g, got ${files.length}")
+    }
+  }
+
   test("partitioned parquet writes prune partitions on read") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity", "l_returnflag")
     val dir = tmpDir("graft_part")
