@@ -52,6 +52,13 @@ class DedupSimSpec extends AnyFunSuite {
   }
 
   test("LSH-blocked embedding near-dups are a high-recall subset of the exact label-blocked pairs") {
+    // the 0.8 floor is the recall LAW at test-scale geometry, not a
+    // scale-free promise: R(c) = 1-(1-q^m)^L gives ~0.99 even for
+    // borderline c = 0.4 at m = 3 (500 vectors). At corpus-scaled m
+    // the borderline bands decay by design while high-cosine bands
+    // hold — the banded certification lives in SCALING_r13.json
+    // (q34_banded_recall_at_100x) and the law in the
+    // embeddingNearDupsLsh Scaladoc.
     import graft.dedup.Dedup
     import graft.sources.Tables
     val exact = Dedup
