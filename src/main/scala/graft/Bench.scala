@@ -25,6 +25,19 @@ package graft
   * from `queries`/total) — a broken query must not look fast.
   */
 object Bench {
+
+  /** Minimal JSON string escaping for the hand-built artifact lines
+    * (shared with CellDecadeProbe — r13 advice: an interpolated path
+    * containing a quote/backslash made the probe's line unparseable).
+    */
+  def esc(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -136,13 +149,6 @@ object Bench {
     names.filterNot(failed.contains).foreach { n =>
       timings(n) = passTimes.flatMap(_.get(n)).min
     }
-    def esc(s: String): String =
-      s.flatMap {
-        case '\\' => "\\\\"
-        case '"' => "\\\""
-        case c if c < ' ' => " "
-        case c => c.toString
-      }
     // millisecond precision: full doubles would bloat the line ~2×
     // and push more of the authoritative tail out of the driver's
     // 2000-char capture window
@@ -166,11 +172,10 @@ object Bench {
       "q125_ivfpq_topk"
     ).filter(timings.contains)
     val ib = indexBuilders.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
-    // these queries READ the shared persisted cell partition
-    // (CellIndex.ensure — built ONCE per corpus by whichever consumer
-    // runs first, pass 1; later passes and queries read): their min
-    // times are the read-path cost, the one-off training cost shows in
-    // the first consumer's pass-1 number
+    // these queries READ the shared persisted cell partition, built
+    // ONCE before the sweep and priced as cell_index_build_sec above —
+    // every consumer row (the list is lexicographically sorted, so
+    // q129 executes first in the sweep) is purely the read-path cost
     val cellConsumers = cellConsumerNames.toSeq.sorted.filter(timings.contains)
     val cc = cellConsumers.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
     // THE WHOLE ARTIFACT GOES TO A FILE (round 11): the driver's

@@ -109,9 +109,9 @@ object CellDecadeProbe {
     }
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val json =
-      s"""{"full_dir":"$fullDir","base_replicas":$baseReplicas,
+      s"""{"full_dir":"${Bench.esc(fullDir)}","base_replicas":$baseReplicas,
          |"n_base":${base.count()},"n_full":${emb.count()},
-         |"geom_base":"$geomBase","geom_after_append":"$geomAfterAppend","geom_rebuilt":"$geomRebuilt",
+         |"geom_base":"${Bench.esc(geomBase)}","geom_after_append":"${Bench.esc(geomAfterAppend)}","geom_rebuilt":"${Bench.esc(geomRebuilt)}",
          |"in_band_no_retrain":${geomBase == geomAfterAppend},
          |"content_validate_scans":$scansContent,"metadata_only_scans":$scansMeta,
          |"build_base_sec":${r3(buildBase)},"append_sec":${r3(appendSec)},

@@ -104,6 +104,7 @@ object PageRank {
       .repartition(numBuckets, col("src")) // one file per bucket per append
       .write
       .mode(org.apache.spark.sql.SaveMode.Append)
+      .option("maxRecordsPerFile", graft.sources.Formats.MaxRecordsPerFile.toString)
       .format("parquet")
       .bucketBy(numBuckets, "src")
       .sortBy("src")

@@ -113,8 +113,12 @@ object Bm25Index {
       .map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(s"bm25 index '$table' is not bucketed"))
     val post = postings(docs, idCol, textCol)
-    post.write
+    // one file per bucket per append batch (see Formats.writeBucketed)
+    post
+      .repartition(numBuckets, col("token"))
+      .write
       .mode(SaveMode.Append)
+      .option("maxRecordsPerFile", Formats.MaxRecordsPerFile.toString)
       .format("parquet")
       .bucketBy(numBuckets, "token")
       .sortBy("token")

@@ -293,6 +293,7 @@ object Similarity {
       .repartition(col("cent_id"))
       .write
       .mode(org.apache.spark.sql.SaveMode.Append)
+      .option("maxRecordsPerFile", graft.sources.Formats.MaxRecordsPerFile.toString)
       .partitionBy("cent_id")
       .parquet(path)
 
@@ -616,6 +617,7 @@ object Similarity {
       .repartition(col("cell"))
       .write
       .mode(org.apache.spark.sql.SaveMode.Append)
+      .option("maxRecordsPerFile", graft.sources.Formats.MaxRecordsPerFile.toString)
       .partitionBy("cell")
       .parquet(path)
   }

@@ -53,6 +53,19 @@ object Formats {
     * up as `PartitionFilters` in the scan (asserted in SourcesSpec),
     * meaning non-matching directories are never opened.
     */
+  /** File-split guard for the one-task-per-key persisted layouts
+    * below: one task per key means a HOT key serializes its whole
+    * volume through one writer and, unguarded, one unbounded file.
+    * The writer-level `maxRecordsPerFile` option lets that task roll
+    * to a new file past the cap — oversized keys split, small keys
+    * keep their single file, and the cap is a per-write option, not
+    * session state a concurrent write could inherit. 16M records ≈
+    * 1.6–16 GB at typical 100 B–1 KB rows: far above every test-scale
+    * key (the one-file-per-bucket layout contract in SourcesSpec is
+    * unaffected) while bounding the 100 TB straggler file.
+    */
+  val MaxRecordsPerFile: Long = 16L * 1024 * 1024
+
   /** Directory-partitioned parquet. The pre-write repartition hashes
     * rows by the partition columns so each partition value is written
     * by exactly ONE task → one file per directory, regardless of the
@@ -61,12 +74,15 @@ object Formats {
     * initialPartitionNum) silently multiplying a PERSISTED artifact's
     * file count, which every later reader pays in listing + footer
     * overhead. Layout of a stored index is a contract, not a
-    * runtime-tuning side effect.
+    * runtime-tuning side effect. ([[MaxRecordsPerFile]] bounds the
+    * hot-key straggler file the one-task contract would otherwise
+    * allow.)
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
       .write
       .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", MaxRecordsPerFile.toString)
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
@@ -94,6 +110,7 @@ object Formats {
     df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
       .write
       .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", MaxRecordsPerFile.toString)
       .format("parquet")
       .bucketBy(numBuckets, key)
       .sortBy(key)
