@@ -63,10 +63,14 @@ import graft.sources.Formats
   * essentially every ingest batch defeated the frozen-append
   * amortization the index exists for). A stored geometry is now
   * ACCEPTED while its mean occupancy stays inside the band:
-  * `n / storedK ≤ [[EnsureOverFactor]] × target` (and storedK ≥ kMin,
-  * and target/iters/dims match EXACTLY — those change the assignment
-  * arithmetic and DO invalidate). Past the band, [[ensure]] rebuilds
-  * under the re-derived k — the same 2× calibration as
+  * `target / [[EnsureOverFactor]] ≤ n / storedK ≤ [[EnsureOverFactor]]
+  * × target` (and storedK ≥ kMin, and target/iters/dims match
+  * EXACTLY — those change the assignment arithmetic and DO
+  * invalidate; the lower bound is waived at the kMin floor, where a
+  * rebuild could not shrink k anyway). Past the band in either
+  * direction — grown past 2× target, or shrunk/deleted below
+  * target/2 so the stored k over-partitions the corpus — [[ensure]]
+  * rebuilds under the re-derived k: the same 2× calibration as
   * [[retrainIfOvergrown]], which watches MAX cluster occupancy (skew)
   * where the band watches the MEAN (growth); mean ≤ max, so the
   * monitor always fires at or before the band on a skewed corpus and
@@ -149,9 +153,16 @@ object CellIndex {
     * tiers: the stored geometry serves a corpus of `n` live rows iff
     * target/iters/dims match the request EXACTLY (they change the
     * assignment arithmetic), storedK ≥ kMin, and the mean occupancy
-    * sits inside the band. The exact-match case (storedK == the
-    * re-derived k) always falls inside: a fresh build's occupancy is
-    * ≤ target by construction.
+    * sits inside the band — TWO-SIDED (r13 advice: the upper-only
+    * band let a shrunk corpus, or an index trained at a much larger
+    * count, serve a heavily over-partitioned geometry forever): the
+    * corpus must also fill its cells to ≥ target/[[EnsureOverFactor]]
+    * on average, UNLESS the stored k already sits at the kMin floor
+    * (a rebuild could not shrink k below kMin, so under-occupancy
+    * there is the geometry's own contract, not staleness). The
+    * exact-match case (storedK == the re-derived k) always falls
+    * inside: a fresh build's occupancy is in (target/2, target] when
+    * k derives from n, and the floor case is exempt.
     */
   private def geomAcceptable(
       stored: String,
@@ -166,7 +177,9 @@ object CellIndex {
     g.get("iters").contains(iters) &&
     g.get("dims").contains(dims) &&
     g.get("k").exists { storedK =>
-      storedK >= kMin && n.toDouble / storedK <= EnsureOverFactor * target
+      storedK >= kMin &&
+      n.toDouble / storedK <= EnsureOverFactor * target &&
+      (storedK == kMin || n.toDouble / storedK >= target / EnsureOverFactor)
     }
   }
 
@@ -474,6 +487,7 @@ object CellIndex {
         .repartition(numBuckets, col("cluster"))
         .write
         .mode(SaveMode.Append)
+        .option("maxRecordsPerFile", Formats.MaxRecordsPerFile.toString)
         .format("parquet")
         .bucketBy(numBuckets, "cluster")
         .sortBy("cluster")
@@ -490,19 +504,77 @@ object CellIndex {
       invalidateMemo(table)
     }
 
+  /** Files-per-bucket threshold past which [[appendAndMaintain]]
+    * compacts: each in-band append batch adds exactly one file per
+    * bucket (the layout pin), so files/bucket grows linearly with
+    * batch count inside the hysteresis band, and the maintained read
+    * pays a measured premium per extra file (r13 priced 1.5× after
+    * ONE batch). 4 bounds the premium while amortizing the rewrite
+    * over several appends — calibrated by CellAppendProbe's
+    * premium-vs-batch-count chart.
+    */
+  val CompactFilesPerBucket = 4
+
+  /** Rewrite the index table's data files back to ONE per bucket when
+    * the append cadence has grown them past `maxFilesPerBucket`
+    * (r13 verdict #2: inside the hysteresis band nothing retrains, so
+    * nothing ever restored the single-file layout). The rewrite is
+    * answer-invisible and stamp-preserving: rows are materialized
+    * (localCheckpoint — the lineage must not read the files being
+    * replaced), the table is rewritten through the same
+    * Formats.writeBucketed layout contract, and every graft stamp
+    * (version/geometry/columns/corpus/source) is re-applied verbatim —
+    * freshness is about the CORPUS, which a file-layout rewrite does
+    * not touch, so ensure()'s fast path still validates afterward.
+    * Returns true iff a rewrite ran. One index scan + one bucketed
+    * write, zero corpus reads — strictly cheaper than the retrain
+    * path, and at 100 TB it is the standard small-files maintenance
+    * every LSM-shaped lake table schedules.
+    */
+  def compact(spark: SparkSession, table: String, maxFilesPerBucket: Int = CompactFilesPerBucket): Boolean =
+    synchronized {
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      val numBuckets = meta.bucketSpec
+        .map(_.numBuckets)
+        .getOrElse(throw new IllegalStateException(s"cell index '$table' is not bucketed"))
+      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nFiles =
+        if (!fs.exists(loc)) 0
+        else fs.listStatus(loc).count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      if (nFiles <= maxFilesPerBucket.toLong * numBuckets) false
+      else {
+        val props = meta.properties
+        val keyCols = meta.bucketSpec.get.bucketColumnNames
+        require(keyCols.size == 1, s"cell index '$table' has a composite bucket key: $keyCols")
+        val rows = spark.table(table).localCheckpoint()
+        dropTable(spark, table)
+        Formats.writeBucketed(rows, table, keyCols.head, numBuckets)
+        val stamps = Seq(VersionProp, GeomProp, ColsProp, CorpusProp, SourceProp)
+          .flatMap(p => props.get(p).map(v => s"'$p' = '$v'"))
+        if (stamps.nonEmpty)
+          spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (${stamps.mkString(", ")})")
+        true
+      }
+    }
+
   /** The maintenance cadence as ONE entry point (closes r12 verdict
     * #6 — [[retrainIfOvergrown]] existed but nothing outside specs
     * called it): the ingest/maintenance job's per-batch step. Appends
-    * the batch under the frozen geometry, then runs the q142
-    * occupancy monitor over the index it just grew — one aggregate
-    * over the index table, zero corpus reads while healthy — and
-    * re-trains in place only when a cluster has overgrown
-    * `overFactor × target`. `corpus` is the FULL post-append corpus
-    * frame (what a re-train must cover); `newEmb` is the batch.
-    * Returns true iff the monitor re-trained. Runbook: call this per
-    * ingest batch and nothing else — consumers' [[ensure]] stays
-    * metadata-only inside the hysteresis band, and the monitor is the
-    * one place that decides a corpus pass is worth paying.
+    * the batch under the frozen geometry, runs the q142 occupancy
+    * monitor over the index it just grew — one aggregate over the
+    * index table, zero corpus reads while healthy — re-training in
+    * place only when a cluster has overgrown `overFactor × target`,
+    * and otherwise COMPACTS the append-accumulated small files once
+    * they exceed [[CompactFilesPerBucket]] per bucket (a re-train
+    * rewrites everything anyway, so the two never both run). `corpus`
+    * is the FULL post-append corpus frame (what a re-train must
+    * cover); `newEmb` is the batch. Returns true iff the monitor
+    * re-trained. Runbook: call this per ingest batch and nothing
+    * else — consumers' [[ensure]] stays metadata-only inside the
+    * hysteresis band, and the monitor is the one place that decides a
+    * corpus pass is worth paying.
     */
   def appendAndMaintain(
       newEmb: DataFrame,
@@ -515,10 +587,14 @@ object CellIndex {
       iters: Int,
       dims: Int,
       table: String,
-      overFactor: Double = 2.0
+      overFactor: Double = 2.0,
+      compactFilesPerBucket: Int = CompactFilesPerBucket
   ): Boolean = synchronized {
     append(newEmb, idCol, vecCol, labelCol, table)
-    retrainIfOvergrown(corpus, idCol, vecCol, labelCol, kMin, target, iters, dims, table, overFactor)
+    val retrained =
+      retrainIfOvergrown(corpus, idCol, vecCol, labelCol, kMin, target, iters, dims, table, overFactor)
+    if (!retrained) compact(newEmb.sparkSession, table, compactFilesPerBucket)
+    retrained
   }
 
   /** Drop the persisted partition (assignment + centroids + files) and

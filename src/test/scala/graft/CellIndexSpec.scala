@@ -410,6 +410,70 @@ class CellIndexSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $Tm"); spark.sql(s"DROP TABLE IF EXISTS $Tf")
   }
 
+  test("compact() restores one file per bucket after append growth — answer- and stamp-invisible") {
+    // each in-band append adds exactly one file per (non-empty)
+    // bucket — the layout pin — so files grow linearly with batch
+    // count and nothing inside the hysteresis band ever rewrote them
+    // before compaction existed (r13 verdict #2)
+    val Tc = s"${T}_cmp"
+    def fileCount(t: String): Int = {
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    }
+    def stamps(t: String): Map[String, String] = {
+      val p = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+        .properties
+      Seq(CellIndex.VersionProp, CellIndex.GeomProp, CellIndex.ColsProp, CellIndex.CorpusProp)
+        .flatMap(k => p.get(k).map(k -> _))
+        .toMap
+    }
+    def snap(t: String): Map[Long, (Long, Seq[Long], Int)] =
+      spark.table(t).collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray.toSeq, r.getInt(3)))).toMap
+    spark.sql(s"DROP TABLE IF EXISTS $Tc")
+    CellIndex.ensure(
+      emb.filter(col("vec_id") < 200), "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, Tc)
+    val base = fileCount(Tc)
+    Seq((200, 300), (300, 400), (400, 500)).foreach { case (lo, hi) =>
+      CellIndex.append(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi), "vec_id", "embedding", Some("label"), Tc)
+    }
+    val grown = fileCount(Tc)
+    assert(grown > base, s"three appends should have grown the file count ($base -> $grown)")
+    val rowsBefore = snap(Tc)
+    val stampsBefore = stamps(Tc)
+    assert(CellIndex.compact(spark, Tc, maxFilesPerBucket = 1), "grown files must trigger the rewrite")
+    assert(fileCount(Tc) <= CellIndex.Buckets, "compaction must restore at most one file per bucket")
+    assert(fileCount(Tc) < grown)
+    assert(snap(Tc) == rowsBefore, "compaction changed answers")
+    assert(stamps(Tc) == stampsBefore, "compaction must preserve every graft stamp verbatim")
+    // idempotent: a compact layout is left alone
+    assert(!CellIndex.compact(spark, Tc, maxFilesPerBucket = 1))
+    // freshness is about the corpus, not the file layout: a fresh
+    // session's ensure() over the same corpus must validate (content
+    // path — the appends cleared the source anchor), NOT rebuild
+    CellIndex.invalidateMemo(Tc)
+    val geomBefore = stampsBefore(CellIndex.GeomProp)
+    val n = CellIndex
+      .ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, Tc)
+      .count()
+    assert(n == rowsBefore.size.toLong)
+    assert(stamps(Tc)(CellIndex.GeomProp) == geomBefore, "post-compaction ensure() must not retrain")
+    // the cadence entry point compacts when the monitor stays healthy
+    spark.sql(s"DROP TABLE IF EXISTS $Tc")
+    CellIndex.ensure(
+      emb.filter(col("vec_id") < 300), "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, Tc)
+    val retrained = CellIndex.appendAndMaintain(
+      emb.filter(col("vec_id") >= 300), emb, "vec_id", "embedding", Some("label"),
+      KmeansK, SemClusterTarget, KmeansIters, Dims, Tc, overFactor = 1e9, compactFilesPerBucket = 1)
+    assert(!retrained)
+    assert(fileCount(Tc) <= CellIndex.Buckets, "appendAndMaintain must compact past the threshold")
+    spark.sql(s"DROP TABLE IF EXISTS $Tc")
+  }
+
   test("revalidate() audits the stamp by content and detects drift") {
     val Tr = s"${T}_reval"
     spark.sql(s"DROP TABLE IF EXISTS $Tr")
