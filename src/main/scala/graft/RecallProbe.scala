@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.GraftFunctions
+import graft.queries.DedupSimQueries
+import graft.sources.Tables
+
+/** MEASURE q34's banded recall — including the production-regime
+  * high-cosine bands — against an exact brute-force truth over a
+  * derived corpus that now PLANTS controlled-cosine duplicate
+  * families (ScaleUp round 14). The r13 certification proved the
+  * multi-table union law R(c) = 1-(1-q^m)^L band-by-band, but the
+  * corpus held only 2 true pairs above cosine 0.7, so the flagship
+  * R(0.9)/R(0.95) claims were law extrapolations; with
+  * ScaleUp.PlantCosines the 0.85/0.90/0.95 bands carry ≥10³ true
+  * pairs from 100× up and the claims become measured numbers.
+  *
+  * Phases:
+  *   1. q34 at the dir's own corpus-scaled geometry (the query as
+  *      shipped — the probe re-derives nothing).
+  *   2. Exact label-blocked brute-force truth ≥ τ via a SALTED
+  *      self-join (the r13 lesson: ~10 labels cap the natural join at
+  *      10 tasks — one two-block partition ran 70 min; salting the
+  *      b-side into [[SaltGroups]] id-groups ran the identical truth
+  *      in 15.7 s). Identical normalization + graft_dot arithmetic to
+  *      q34, so the τ boundary cannot disagree between engine and
+  *      truth.
+  *   3. Per-band recall vs the law at the band's mean true cosine,
+  *      and precision (every q34 pair must appear in the truth —
+  *      inline scoring makes anything else a bug).
+  *   4. PLANTED-pair recall per target cosine — the measured
+  *      R(0.85)/R(0.90)/R(0.95), with the binomial 2σ envelope around
+  *      the law's prediction.
+  *   5. (unless SPARK_GRAFT_RECALL_Q129=0) the same planted truth
+  *      graded against the SemDeDup path: co-cluster rate under the
+  *      persisted cell partition and q129's catch rate (partner
+  *      dropped) — the cell-exact route's high-cosine recall beside
+  *      the LSH route's.
+  *
+  * Usage: sbt "runMain graft.RecallProbe [derivedDir]"
+  *   output: one JSON line + SPARK_GRAFT_RECALL_OUT
+  *   (default /tmp/r14/recall_<basename>.json)
+  */
+object RecallProbe {
+
+  val SaltGroups = 32
+
+  /** The multi-table union recall law at true cosine c (m planes per
+    * table, L tables): collision prob per plane q = 1 - arccos(c)/π.
+    */
+  def law(c: Double, m: Int, l: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(1.0 - math.acos(c) / math.Pi, m), l)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/target/sf100-derived")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runQ129 = !sys.env.get("SPARK_GRAFT_RECALL_Q129").contains("0")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.ensureRegistered(spark)
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    import DedupSimQueries.{CosineThreshold, Dims, EmbLshTables, embPlanesFor}
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val m = embPlanesFor(n)
+
+    // 1. the operator under test, exactly as shipped
+    val (q34, q34Sec) = timed {
+      DedupSimQueries
+        .queries("q34_dedup_embedding")(spark, dir)
+        .select(col("vec_a"), col("vec_b"))
+        .localCheckpoint()
+    }
+    val nQ34 = q34.count()
+
+    // 2. exact truth: same normalization + dot arithmetic as q34
+    val e = emb.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val nrm = Dedup.withNormalized(e, "v").select(col("vec_id"), col("label"), col("nv")).localCheckpoint()
+    val a = nrm.select(col("vec_id").as("vec_a"), col("label"), col("nv").as("nv_a"))
+      .withColumn("g", explode(sequence(lit(0), lit(SaltGroups - 1))))
+    val b = nrm.select(
+      col("vec_id").as("vec_b"),
+      col("label"),
+      col("nv").as("nv_b"),
+      pmod(col("vec_id"), lit(SaltGroups.toLong)).cast("int").as("g")
+    )
+    val (truth, truthSec) = timed {
+      a.join(b, Seq("label", "g"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cosine", GraftFunctions.dot(col("nv_a"), col("nv_b")))
+        .filter(col("cosine") >= CosineThreshold)
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
+        .localCheckpoint()
+    }
+    val nTruth = truth.count()
+
+    // 3. banded recall + precision. Band edges keep the planted
+    // cosines mid-band (float32 storage jitter ~1e-6 must not split a
+    // family across an edge).
+    val edges = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.875, 0.925, 1.0000001)
+    val bandExpr = edges.init.zip(edges.tail).zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((lo, hi), _)) =>
+        when(col("cosine") >= lo && col("cosine") < hi, lit(f"$lo%.3f-$hi%.3f")).otherwise(acc)
+    }
+    val joined = truth
+      .join(q34.withColumn("found", lit(1)), Seq("vec_a", "vec_b"), "left_outer")
+      .withColumn("band", bandExpr)
+      .localCheckpoint()
+    val bands = joined
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("found"), lit(0))).as("n_found"),
+        avg(col("cosine")).as("mean_cos")
+      )
+      .orderBy(col("band"))
+      .collect()
+      .map { r =>
+        val (nT, nF, mc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+        val rec = if (nT > 0) nF.toDouble / nT else 0.0
+        s""""${r.getString(0)}":{"n_true":$nT,"n_found":$nF,"recall":${f"$rec%.4f"},""" +
+          s""""mean_cos":${f"$mc%.4f"},"law_predicted":${f"${law(mc, m, EmbLshTables)}%.4f"}}"""
+      }
+      .mkString(",")
+    // inline scoring ⇒ every emitted pair is a real τ-pair; anything
+    // outside the truth is a probe/operator disagreement, not noise
+    val falsePairs = q34.join(truth, Seq("vec_a", "vec_b"), "left_anti").count()
+    val precision = if (nQ34 > 0) (nQ34 - falsePairs).toDouble / nQ34 else 1.0
+
+    // 4. planted-pair recall at the known target cosines
+    val partner = emb
+      .select(col("vec_id"))
+      .filter(pmod(col("vec_id"), lit(ScaleUp.KeyStride)) >= ScaleUp.PlantOffset)
+      .withColumn("vec_a", col("vec_id") - ScaleUp.PlantOffset)
+      .withColumn(
+        "c_target",
+        element_at(
+          array(ScaleUp.PlantCosines.map(lit): _*),
+          (pmod(pmod(col("vec_id"), lit(ScaleUp.KeyStride)) - ScaleUp.PlantOffset, lit(ScaleUp.PlantMod)) + 1)
+            .cast("int")
+        )
+      )
+      .select(col("vec_a"), col("vec_id").as("vec_b"), col("c_target"))
+      .localCheckpoint()
+    val plantedRows = partner
+      .join(q34.withColumn("found", lit(1)), Seq("vec_a", "vec_b"), "left_outer")
+      .groupBy(col("c_target"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("found"), lit(0))).as("n_found"))
+      .orderBy(col("c_target"))
+      .collect()
+    val planted = plantedRows
+      .map { r =>
+        val (c, nP, nF) = (r.getDouble(0), r.getLong(1), r.getLong(2))
+        val rec = if (nP > 0) nF.toDouble / nP else 0.0
+        val pred = law(c, m, EmbLshTables)
+        val se = math.sqrt(math.max(pred * (1 - pred), 1e-12) / math.max(nP, 1L))
+        val within = math.abs(rec - pred) <= 2 * se + 1e-9
+        s""""${f"$c%.2f"}":{"n_true":$nP,"n_found":$nF,"recall":${f"$rec%.4f"},""" +
+          s""""law_predicted":${f"$pred%.4f"},"two_se":${f"${2 * se}%.4f"},"within_2se":$within}"""
+      }
+      .mkString(",")
+
+    // 5. the SemDeDup route over the same planted truth
+    val q129Json =
+      if (!runQ129) """"skipped""""
+      else {
+        val (idx, cellSec) = timed {
+          DedupSimQueries.cellIndexEnsure(spark, dir).select(col("vec_id"), col("cluster")).localCheckpoint()
+        }
+        val (q129, q129Sec) = timed {
+          DedupSimQueries
+            .queries("q129_semantic_dedup")(spark, dir)
+            .select(col("vec_id"), col("kept"))
+            .localCheckpoint()
+        }
+        val rows = partner
+          .join(idx.select(col("vec_id").as("vec_a"), col("cluster").as("cl_a")), Seq("vec_a"))
+          .join(idx.select(col("vec_id").as("vec_b"), col("cluster").as("cl_b")), Seq("vec_b"))
+          .join(q129.select(col("vec_id").as("vec_b"), col("kept")), Seq("vec_b"))
+          .groupBy(col("c_target"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("cl_a") === col("cl_b"), 1).otherwise(0)).as("n_cocluster"),
+            sum(when(!col("kept"), 1).otherwise(0)).as("n_caught")
+          )
+          .orderBy(col("c_target"))
+          .collect()
+          .map { r =>
+            val (c, nP, nCo, nC) = (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3))
+            s""""${f"$c%.2f"}":{"n_true":$nP,"cocluster_rate":${f"${nCo.toDouble / math.max(nP, 1L)}%.4f"},""" +
+              s""""catch_rate":${f"${nC.toDouble / math.max(nP, 1L)}%.4f"}}"""
+          }
+          .mkString(",")
+        s"""{"cell_build_sec":${f"$cellSec%.3f"},"q129_sec":${f"$q129Sec%.3f"},"by_cosine":{$rows}}"""
+      }
+
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val json =
+      s"""{"dir":"${Bench.esc(dir)}","n_vectors":$n,"planes_m":$m,"tables_L":$EmbLshTables,
+         |"tau":$CosineThreshold,"q34_sec":${r3(q34Sec)},"truth_sec":${r3(truthSec)},
+         |"n_exact_pairs":$nTruth,"n_q34_pairs":$nQ34,
+         |"false_pairs":$falsePairs,"precision":${f"$precision%.6f"},
+         |"bands":{$bands},
+         |"planted_recall":{$planted},
+         |"semdedup_planted":$q129Json}""".stripMargin.replace("\n", "")
+    val outFile = sys.env.getOrElse(
+      "SPARK_GRAFT_RECALL_OUT",
+      s"/tmp/r14/recall_${new java.io.File(dir).getName}.json"
+    )
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, json)
+    } catch { case e: Throwable => System.err.println(s"[recall] could not write $outFile: ${e.getMessage}") }
+    println(json)
+    spark.stop()
+  }
+}

@@ -35,6 +35,116 @@ object ScaleUp {
 
   val KeyStride = 1000000000L
 
+  // ---- planted controlled-cosine near-duplicate families (round 14) ----
+  // The synthetic corpus plants essentially NO true embedding
+  // near-duplicates above cosine 0.7 (the r13 banded-recall truth
+  // found n_true = 2 in 0.7–0.8 and zero above), so the flagship
+  // q34/q129 high-cosine recall claims were law extrapolations. This
+  // is q118's constant-size re-encode-family pattern applied to
+  // embeddings: a deterministic 3/PlantMod slice of each replica's
+  // vectors gets ONE partner at a KNOWN cosine — family size is a
+  // constant 2 regardless of replica count (each replica plants from
+  // its own orthogonally-transformed rows, and partner ids land at
+  // +PlantOffset inside the replica's own key range), so the true
+  // pair set grows LINEARLY with the corpus, the way a real crawl's
+  // re-encoded/translated duplicates do. The same residue slice of
+  // DOCUMENTS gets a partner doc at the matching id whose tokens are
+  // all re-tagged — lexically disjoint from its base (no shared
+  // shingles/grams: q30/q32/q126 see an ordinary new doc) but
+  // carrying the planted high-cosine embedding, i.e. a "same content,
+  // different words" twin only the SEMANTIC stages (q34/q129/q138
+  // stage 3) can catch. That makes planted recall measurable per
+  // band with n_true = 3·N/PlantMod/3 ≈ N/64 pairs per cosine band at
+  // any scale (≥10³ per band from 100× up).
+
+  /** Residue modulus for the planted slice: original ids with
+    * (id % KeyStride) % PlantMod < PlantCosines.length get partners.
+    */
+  val PlantMod = 64L
+
+  /** Partner id offset inside a replica's key range (base id + this).
+    * Half the stride, so partner ids can never collide with the next
+    * replica while base ids stay < PlantOffset — and PlantOffset is
+    * ≡ 0 (mod PlantMod), so a partner's residue equals its base's:
+    * identifying a planted pair from ids alone needs only the offset.
+    */
+  val PlantOffset: Long = KeyStride / 2
+
+  /** Target cosines by residue: id % PlantMod == i → PlantCosines(i).
+    * 0.85/0.90/0.95 bracket the production near-dup regime the
+    * R(0.9)/R(0.95) contract claims cover.
+    */
+  val PlantCosines: Seq[Double] = Seq(0.95, 0.90, 0.85)
+
+  /** The planted-partner construction, exposed for the spec and the
+    * recall probe: for each selected base vector x, the partner is
+    *   y = c·x + √(1−c²)·‖x‖·p̂
+    * with p̂ the unit Gram-Schmidt residual of a deterministic
+    * xxhash64-seeded direction against x — so cos(x, y) = c and
+    * ‖y‖ = ‖x‖ EXACTLY (up to float32 storage rounding ~1e-6: the
+    * quantization-scale and norm structure of the corpus is
+    * preserved). Zero vectors and (measure-zero) parallel residuals
+    * are excluded by the xx/pp guards. Input must carry
+    * (vec_id, embedding, label); output appends the partner rows at
+    * vec_id + [[PlantOffset]] with the base row's label (q34 blocks
+    * on label — a cross-label partner would be invisible by design).
+    */
+  private[graft] def withPlantedPartners(d: DataFrame, dims: Int): DataFrame = {
+    val residue = pmod(pmod(col("vec_id"), lit(KeyStride)), lit(PlantMod))
+    val sel = d
+      .filter(residue < PlantCosines.length)
+      .withColumn("c_t", element_at(array(PlantCosines.map(lit): _*), (residue + 1).cast("int")))
+      .withColumn("xd", transform(col("embedding"), v => v.cast("double")))
+      .withColumn("xx", aggregate(transform(col("xd"), v => v * v), lit(0.0), (a, v) => a + v))
+      .filter(col("xx") > 0)
+      .withColumn(
+        "r",
+        transform(
+          sequence(lit(0), lit(dims - 1)),
+          j => (pmod(xxhash64(col("vec_id"), j), lit(2000003L)).cast("double") - lit(1000001.0)) / lit(1000001.0)
+        )
+      )
+      .withColumn("rx", aggregate(zip_with(col("xd"), col("r"), (a, b) => a * b), lit(0.0), (a, v) => a + v))
+      .withColumn("p", zip_with(col("r"), col("xd"), (rj, ej) => rj - col("rx") / col("xx") * ej))
+      .withColumn("pp", aggregate(transform(col("p"), v => v * v), lit(0.0), (a, v) => a + v))
+      .filter(col("pp") > lit(1e-12))
+      .withColumn("s_p", sqrt(lit(1.0) - col("c_t") * col("c_t")) * sqrt(col("xx") / col("pp")))
+    d.unionByName(
+      sel.select(
+        (col("vec_id") + PlantOffset).as("vec_id"),
+        zip_with(col("xd"), col("p"), (ej, pj) => (col("c_t") * ej + col("s_p") * pj).cast("float"))
+          .as("embedding"),
+        col("label")
+      )
+    )
+  }
+
+  /** The documents-side twin of [[withPlantedPartners]]: the same
+    * residue slice (restricted to ids that HAVE an embedding row, so
+    * the partner doc's vec_id twin exists) gets a partner doc whose
+    * every token carries an extra `pz` tag — one NEW token per
+    * original token, so the partner shares no tokens/shingles/grams
+    * with its base (exact/MinHash/substring stages see an unrelated
+    * doc; family size stays the constant 2) while the matching
+    * planted embedding makes it a SEMANTIC near-dup the q138 stage-3
+    * prune must catch. n_chars is re-derived (length gates and
+    * sampling weights read it).
+    */
+  private[graft] def withPlantedPartnerDocs(d: DataFrame, nEmbBase: Long): DataFrame = {
+    val baseId = pmod(col("doc_id"), lit(KeyStride))
+    val sel = d.filter(baseId < nEmbBase && pmod(baseId, lit(PlantMod)) < PlantCosines.length)
+    val tagged = array_join(transform(split(col("text"), "\\s+"), w => concat(w, lit("pz"))), " ")
+    d.unionByName(
+      sel.select(
+        (col("doc_id") + PlantOffset).as("doc_id"),
+        tagged.as("text"),
+        col("lang"),
+        col("source"),
+        length(tagged).cast("long").as("n_chars")
+      )
+    )
+  }
+
   private def splitmix(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -66,7 +176,7 @@ object ScaleUp {
     def shifted(df: DataFrame, keyCols: Seq[String], i: Int): DataFrame =
       keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(KeyStride * i)))
 
-    def requireKeysFit(df: DataFrame, name: String, keyCols: Seq[String]): Unit =
+    def requireKeysFit(df: DataFrame, name: String, keyCols: Seq[String], cap: Long = KeyStride): Unit =
       keyCols.foreach { c =>
         // cast + null check: Int-typed keys and empty tables get a
         // clear diagnostic instead of a ClassCastException/NPE
@@ -74,8 +184,8 @@ object ScaleUp {
         require(!row.isNullAt(0), s"$name is empty (or $name.$c all NULL) — nothing to scale")
         val mx = row.getLong(0)
         require(
-          mx < KeyStride,
-          s"$name.$c max $mx >= KeyStride $KeyStride — replicas would cross-link " +
+          mx < cap,
+          s"$name.$c max $mx >= $cap — replicas (or planted partner ids) would cross-link " +
             "(e.g. scaling an already-scaled output); raise KeyStride"
         )
       }
@@ -83,10 +193,11 @@ object ScaleUp {
     def replicate(
         name: String,
         keyCols: Seq[String],
-        perReplica: (DataFrame, Int) => DataFrame = (d, _) => d
+        perReplica: (DataFrame, Int) => DataFrame = (d, _) => d,
+        keyCap: Long = KeyStride
     ): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
-      requireKeysFit(base, name, keyCols)
+      requireKeysFit(base, name, keyCols, keyCap)
       val full = (0 until replicas)
         .map(i => perReplica(shifted(base, keyCols, i), i))
         .reduce(_ union _)
@@ -104,25 +215,36 @@ object ScaleUp {
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     replicate("events", Seq("event_id", "user_id"))
+    // SPARK_GRAFT_PLANT=0 disables the planted controlled-cosine
+    // families (continuity probes against pre-r14 derived corpora)
+    val plant = !sys.env.get("SPARK_GRAFT_PLANT").contains("0")
+    val nEmbBase = spark.read.parquet(s"$src/embeddings.parquet").count()
     replicate(
       "documents",
       Seq("doc_id"),
-      (d, i) =>
-        if (i == 0) d
-        else
-          d.withColumn(
-            "text",
-            // tag WITHOUT a separator char: the engine's word regex is
-            // '[a-z0-9]+', so 'alphar3' stays ONE (new) token while
-            // 'alpha_r3' would split back into the ORIGINAL token plus
-            // a tag — silently collapsing the vocabulary growth this
-            // transform exists to produce for regex-tokenized
-            // operators (q48/q76/q92/q93/q98/q100/q105)
-            array_join(transform(split(col("text"), "\\s+"), w => concat(w, lit(s"zq$i"))), " ")
-          )
-          // the tag lengthens the text; n_chars must keep describing it
-          // (length gates and sampling weights read n_chars)
-          .withColumn("n_chars", length(col("text")).cast("long"))
+      (d0, i) => {
+        val d =
+          if (i == 0) d0
+          else
+            d0.withColumn(
+              "text",
+              // tag WITHOUT a separator char: the engine's word regex is
+              // '[a-z0-9]+', so 'alphar3' stays ONE (new) token while
+              // 'alpha_r3' would split back into the ORIGINAL token plus
+              // a tag — silently collapsing the vocabulary growth this
+              // transform exists to produce for regex-tokenized
+              // operators (q48/q76/q92/q93/q98/q100/q105)
+              array_join(transform(split(col("text"), "\\s+"), w => concat(w, lit(s"zq$i"))), " ")
+            )
+            // the tag lengthens the text; n_chars must keep describing it
+            // (length gates and sampling weights read n_chars)
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        // partner docs AFTER the replica tag: the partner re-tags the
+        // replica's own tokens, so it is lexically disjoint from its
+        // base within the replica and from every other replica
+        if (plant) withPlantedPartnerDocs(d, nEmbBase) else d
+      },
+      keyCap = if (plant) PlantOffset else KeyStride
     )
     // Per-replica orthogonal transform Q_i = D_s ∘ R_r with rotation
     // r = i mod dims and a SIGN-FLIP EPOCH s = i div dims: rotation
@@ -154,12 +276,18 @@ object ScaleUp {
               concat(slice(col("embedding"), k + 1, n - k), slice(col("embedding"), lit(1), k))
             )
           }
-        if (epoch == 0) rotated
-        else {
-          val mask = array(signMask(epoch, dims).map(v => lit(v)): _*)
-          rotated.withColumn("embedding", zip_with(col("embedding"), mask, (x, m) => x * m))
-        }
-      }
+        val xformed =
+          if (epoch == 0) rotated
+          else {
+            val mask = array(signMask(epoch, dims).map(v => lit(v)): _*)
+            rotated.withColumn("embedding", zip_with(col("embedding"), mask, (x, m) => x * m))
+          }
+        // partners AFTER the orthogonal transform: each replica plants
+        // from its own (decorrelated) vectors, so the planted pair set
+        // is replica-local and linear in the corpus
+        if (plant) withPlantedPartners(xformed, dims) else xformed
+      },
+      keyCap = if (plant) PlantOffset else KeyStride
     )
     spark.stop()
   }

@@ -845,6 +845,61 @@ class PropertySpec extends AnyFunSuite {
     assert(masks.distinct.size == masks.size, "two epochs share a mask")
   }
 
+  test("ScaleUp planted partners sit at their target cosines, norms preserved, family size 2") {
+    // sf0.01: 200 vectors, ids 0..199 → residues {0,1,2} mod 64 select
+    // ids {0,1,2, 64,65,66, 128,129,130} — 3 families per cosine band
+    val emb = spark.read.parquet(s"/root/testdata/sf0.01/embeddings.parquet")
+    val dims = emb.select(size(col("embedding"))).head.getInt(0)
+    val out = ScaleUp.withPlantedPartners(emb, dims)
+    val partners = out.filter(col("vec_id") >= ScaleUp.PlantOffset)
+    val expected = emb.filter(pmod(col("vec_id"), lit(ScaleUp.PlantMod)) < ScaleUp.PlantCosines.length).count()
+    assert(partners.count() == expected, "one partner per selected base id — family size is the constant 2")
+    assert(out.count() == emb.count() + expected)
+    val joined = partners
+      .select((col("vec_id") - ScaleUp.PlantOffset).as("vec_id"), col("embedding").as("y"), col("label").as("label_y"))
+      .join(emb.select(col("vec_id"), col("embedding").as("x"), col("label")), Seq("vec_id"))
+      .collect()
+    assert(joined.length == expected)
+    joined.foreach { r =>
+      val id = r.getLong(0)
+      val y = r.getSeq[Float](1).map(_.toDouble)
+      val x = r.getSeq[Float](3).map(_.toDouble)
+      val c = ScaleUp.PlantCosines((id % ScaleUp.PlantMod).toInt)
+      def dot(a: Seq[Double], b: Seq[Double]) = a.lazyZip(b).map(_ * _).sum
+      val cos = dot(x, y) / math.sqrt(dot(x, x) * dot(y, y))
+      assert(math.abs(cos - c) < 5e-6, s"id $id: planted cosine $cos, target $c")
+      val normRatio = math.sqrt(dot(y, y) / dot(x, x))
+      assert(math.abs(normRatio - 1.0) < 5e-6, s"id $id: partner norm drifted ($normRatio)")
+      assert(r.getInt(2) == r.getInt(4), s"id $id: partner label differs — q34 blocks on label, pair invisible")
+    }
+  }
+
+  test("ScaleUp planted partner docs are token-disjoint from their base (semantic-only twins)") {
+    val docs = spark.read.parquet(s"/root/testdata/sf0.01/documents.parquet")
+    val nEmb = 200L
+    val out = ScaleUp.withPlantedPartnerDocs(docs, nEmb)
+    val partners = out.filter(col("doc_id") >= ScaleUp.PlantOffset)
+    val expected = docs
+      .filter(col("doc_id") < nEmb && pmod(col("doc_id"), lit(ScaleUp.PlantMod)) < ScaleUp.PlantCosines.length)
+      .count()
+    assert(partners.count() == expected)
+    val pairs = partners
+      .select((col("doc_id") - ScaleUp.PlantOffset).as("doc_id"), col("text").as("pt"), col("n_chars").as("pn"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .collect()
+    val tokenRe = "[a-z0-9]+".r
+    pairs.foreach { r =>
+      val (pt, bt) = (r.getString(1), r.getString(3))
+      assert(r.getLong(2) == pt.length.toLong, "partner n_chars must describe the partner text")
+      val ptoks = tokenRe.findAllIn(pt.toLowerCase).toSet
+      val btoks = tokenRe.findAllIn(bt.toLowerCase).toSet
+      // every token re-tagged ⇒ no shared tokens/shingles/grams: the
+      // lexical dedup stages (q30/q32/q126) must see an unrelated doc,
+      // so only the SEMANTIC stages can catch the planted pair
+      assert(ptoks.intersect(btoks).isEmpty, s"doc ${r.getLong(0)}: partner shares tokens with its base")
+    }
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest
       .getInstance("MD5")
