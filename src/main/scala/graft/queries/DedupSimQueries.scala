@@ -986,27 +986,57 @@ object DedupSimQueries {
     // bm25ScoreCtes chain with the query terms derived in SQL from
     // the same probe docs + the q50 oracle nested verbatim + the
     // fusion arithmetic restated.
+    //
+    // DEAD-CHANNEL CONTRACT (round 14, from the 256× q141 artifact):
+    // equal-weight RRF interleaves the two channels' candidate lists
+    // ~1:1 — same per-channel rank ⇒ identical 1/(K+r) addend, ties
+    // broken by doc_id — so when one channel is DEAD under the
+    // grading truth (0 true hits in its top-k), the live channel's
+    // rank-r hit lands at fused rank 2r−1 or 2r and fused MRR sits in
+    // [best/2, best] (measured 0.5 at 256× under the cosine truth:
+    // every tie broke against the semantic hit). This is DECLARED
+    // Cormack-RRF behavior, not a defect: the fusion has no truth at
+    // query time, so it cannot know which channel the grader will
+    // favor, and unconditional fusion is the published contract.
+    // q141 makes the trade measurable instead of invisible — it
+    // grades every channel against BOTH truths, so "dead under one
+    // truth" (truth mismatch; fusion is a priced compromise) and
+    // "dead under both" (real defect: empty postings, broken index —
+    // gate THAT channel out upstream) are distinguishable readings.
     "q140_hybrid_retrieval" -> { (s, dir) => hybridFrames(s, dir)._3 },
 
     // q141: retrieval EVALUATION of the hybrid stack — the q128
     // certify-before-trusting posture extended from one index to the
-    // whole retrieval surface: ground truth = q35's exact brute-force
-    // cosine top-k per probe; each system (lexical BM25, semantic
-    // IVF, RRF-fused) reports per probe how many of its k candidates
-    // are true neighbors (hits@k) and the reciprocal rank of its
-    // FIRST true hit (the MRR summand — the metric that says "how
-    // far down must a reader scroll"). The intersections are integer
-    // equi-joins on (query, doc) over k·probes-row frames, so the
-    // eval costs what the searches cost plus nothing; rr is a single
-    // double division, 6dp-rounded.
+    // whole retrieval surface. Each system (lexical BM25, semantic
+    // IVF, RRF-fused) is graded per probe against TWO ground truths
+    // (round 14 — before this, only the cosine truth existed, and the
+    // 256× artifact showed the lexical channel scoring 0 hits against
+    // a truth it can never win on this corpus, which reads as a
+    // defect when it is a truth mismatch):
+    //   - 'cosine': q35's exact brute-force cosine top-k — the truth
+    //     the SEMANTIC channel approximates;
+    //   - 'bm25': the exact BM25 top-k with the same self-exclusion —
+    //     the truth the LEXICAL channel computes outright (searchDirect
+    //     scores every posting, so lexical/bm25 is a 1.0 pin by
+    //     construction, the q128 exact-vs-itself convention), and the
+    //     task the FUSED system must not destroy while chasing cosine.
+    // A channel at 0 hits under BOTH truths is genuinely dead (data or
+    // config defect); 0 under one truth only means the truths disagree
+    // there, and the fused rows quantify what the RRF compromise costs
+    // against each (see the q140 dead-channel contract note). hits@k
+    // and reciprocal-rank of the first true hit (the MRR summand); the
+    // intersections are integer equi-joins on (query, doc) over
+    // k·probes-row frames, so the eval costs what the searches cost
+    // plus nothing; rr is a single double division, 6dp-rounded.
     "q141_retrieval_eval" -> { (s, dir) =>
       val (lex, sem, fused) = hybridFrames(s, dir)
       val e = embDouble(s, dir)
-      val truth = Similarity
+      val cosTruth = Similarity
         .bruteForceTopK(e, e.filter(col("vec_id") < FusionProbes), FusionTopK)
         .select(col("probe_id").as("query_id"), col("neighbor_id").as("doc_id"), lit(1).as("hit"))
         .localCheckpoint()
-      def evalSys(cand: DataFrame, rankCol: String, sys: String): DataFrame =
+      val lexTruth = lex.select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+      def evalSys(cand: DataFrame, rankCol: String, sys: String, truth: DataFrame, truthName: String): DataFrame =
         cand
           .join(broadcast(truth), Seq("query_id", "doc_id"), "left_outer")
           .groupBy(col("query_id"))
@@ -1017,15 +1047,18 @@ object DedupSimQueries {
           .select(
             col("query_id"),
             lit(sys).as("system"),
+            lit(truthName).as("truth"),
             col("n_hits"),
             col("first_hit_rank"),
             when(col("first_hit_rank").isNotNull, round(lit(1.0) / col("first_hit_rank"), 6))
               .otherwise(lit(0.0))
               .as("rr")
           )
-      evalSys(lex, "lex_rank", "lexical")
-        .unionByName(evalSys(sem, "sem_rank", "semantic"))
-        .unionByName(evalSys(fused, "rank", "fused"))
+      Seq(("lexical", lex, "lex_rank"), ("semantic", sem, "sem_rank"), ("fused", fused, "rank"))
+        .flatMap { case (sys, cand, rk) =>
+          Seq(evalSys(cand, rk, sys, cosTruth, "cosine"), evalSys(cand, rk, sys, lexTruth, "bm25"))
+        }
+        .reduce(_ unionByName _)
     }
   )
 
@@ -2162,29 +2195,31 @@ object DedupSimQueries {
        |SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank
        |FROM rr WHERE rank <= $FusionTopK""".stripMargin
 
-  /** q141 oracle: the q140 CTE chain verbatim, ground truth = q35's
-    * brute-force oracle nested, then one hits/first-hit aggregate per
-    * system UNIONed — the same intersection-only arithmetic as the
-    * Spark side.
+  /** q141 oracle: the q140 CTE chain verbatim, BOTH ground truths
+    * (cosine = q35's brute-force oracle nested; bm25 = the exact
+    * lexical top-k, i.e. the lexk CTE itself), then one
+    * hits/first-hit aggregate per (system × truth) UNIONed — the same
+    * intersection-only arithmetic as the Spark side.
     */
   private lazy val q141Sql: String = {
-    def ev(src: String, rankCol: String, sys: String): String =
-      s"""SELECT c.query_id, '$sys' AS system,
+    def ev(src: String, rankCol: String, sys: String, truth: String): String =
+      s"""SELECT c.query_id, '$sys' AS system, '$truth' AS truth,
          |       CAST(count(t.doc_id) AS BIGINT) AS n_hits,
          |       min(CASE WHEN t.doc_id IS NOT NULL THEN c.$rankCol END) AS first_hit_rank
-         |FROM $src c LEFT JOIN truth t
+         |FROM $src c LEFT JOIN truth_$truth t
          |  ON t.query_id = c.query_id AND t.doc_id = c.doc_id
          |GROUP BY c.query_id""".stripMargin
+    val arms = for {
+      (src, rk, sys) <- Seq(("lexk", "lex_rank", "lexical"), ("sem", "sem_rank", "semantic"), ("fusedk", "rank", "fused"))
+      truth <- Seq("cosine", "bm25")
+    } yield ev(src, rk, sys, truth)
     s"""WITH $q140Ctes,
        |truth0 AS ($q35Sql),
-       |truth AS (SELECT probe_id AS query_id, neighbor_id AS doc_id FROM truth0),
+       |truth_cosine AS (SELECT probe_id AS query_id, neighbor_id AS doc_id FROM truth0),
+       |truth_bm25 AS (SELECT query_id, doc_id FROM lexk),
        |fusedk AS (SELECT query_id, doc_id, rank FROM rr WHERE rank <= $FusionTopK),
-       |ev AS (${ev("lexk", "lex_rank", "lexical")}
-       |       UNION ALL
-       |       ${ev("sem", "sem_rank", "semantic")}
-       |       UNION ALL
-       |       ${ev("fusedk", "rank", "fused")})
-       |SELECT query_id, system, n_hits, first_hit_rank,
+       |ev AS (${arms.mkString("\n       UNION ALL\n       ")})
+       |SELECT query_id, system, truth, n_hits, first_hit_rank,
        |       CASE WHEN first_hit_rank IS NOT NULL
        |            THEN round(CAST(1 AS DOUBLE) / first_hit_rank, 6) ELSE 0 END AS rr
        |FROM ev""".stripMargin
