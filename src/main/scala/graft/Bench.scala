@@ -121,8 +121,16 @@ object Bench {
     })
     case class Resources(memSpill: Long, diskSpill: Long, peakMem: Long)
     val resources = scala.collection.mutable.LinkedHashMap[String, Resources]()
+    // SPARK_GRAFT_OBSERVE=1 turns on the pair-engine volume points
+    // (candidates/survivors/output row counts per query — the numbers
+    // that grade scaling when wall-clock is era-noise-bound). Off by
+    // default: the CollectMetrics nodes are absent and the timed plans
+    // are byte-identical to production.
+    if (Volumes.isEnabled) Volumes.enable(spark)
+    val volumes = scala.collection.mutable.LinkedHashMap[String, Map[String, Long]]()
     for (p <- 0 until passes; name <- names if !failed.contains(name)) {
       val fn = SparkEntry.queries(name)
+      if (Volumes.isEnabled) Volumes.reset()
       val t0 = System.nanoTime()
       val (m0, d0) = (memSpilled.get(), diskSpilled.get())
       peakMem.set(0L)
@@ -132,6 +140,10 @@ object Bench {
         // deterministic drain of this query's task events (replaces a
         // fixed 150 ms sleep whose stragglers bled into the next row)
         org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext, 10000L)
+        if (Volumes.isEnabled) {
+          val vols = Volumes.snapshot
+          if (vols.nonEmpty) volumes(name) = vols // deterministic counts: pass-2 == pass-1
+        }
         val r = Resources(memSpilled.get() - m0, diskSpilled.get() - d0, peakMem.get())
         // keep the pass with the larger spill — the honest resource
         // footprint (min-time passes can ride caches the first filled)
@@ -200,6 +212,12 @@ object Bench {
           .filterNot { case (n, _) => failed.contains(n) }
           .map { case (n, r) =>
             s""""${esc(n)}":{"mem_spill":${r.memSpill},"disk_spill":${r.diskSpill},"peak_exec_mem":${r.peakMem}}"""
+          }
+          .mkString("{", ",", "}")},
+         |"volumes":${volumes
+          .filterNot { case (n, _) => failed.contains(n) }
+          .map { case (n, vs) =>
+            s""""${esc(n)}":${vs.toSeq.sorted.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")}"""
           }
           .mkString("{", ",", "}")},
          |"queries":${obj(timings)},

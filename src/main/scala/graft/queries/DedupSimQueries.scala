@@ -785,6 +785,15 @@ object DedupSimQueries {
     // (measured 5.6× at a 10× scale-up in round 9) and whose k
     // broadcast centroids stop being literal-codegen-able at 1e8+
     // vectors. The prune stage is shape-identical either way.
+    // RECALL CEILING (round 14, measured via the planted families):
+    // SemDeDup only compares WITHIN a cluster, so its recall at any
+    // cosine is capped by the co-location probability of true pairs
+    // under the k-means partition — measured 0.58 co-cluster / 0.75
+    // caught at cosine 0.95 (0.29/0.60 at 0.85) at 100× with the
+    // target-64 two-level geometry. That ceiling is N-independent
+    // (occupancy-targeted k keeps cluster radii stable), which is the
+    // route's scale story vs q34's m-decaying LSH recall — see the
+    // crossover note in Dedup.embeddingNearDupsLsh's contract.
     "q129_semantic_dedup" -> { (s, dir) =>
       // the partition comes from the persisted ingest artifact (built
       // once per corpus — see cellAssignment); the index row IS the

@@ -343,9 +343,12 @@ class PlanSpec extends AnyFunSuite {
     // frames + the final rank window
     "q140_hybrid_retrieval" -> 3,
     // q141: the q140 component checkpoints + the brute-force truth
-    // checkpoint feed three broadcast-intersect aggregates (one per
-    // system) and the fused plan's join/window
-    "q141_retrieval_eval" -> 5,
+    // checkpoint feed SIX broadcast-intersect aggregates (r14: one
+    // per system × truth — each system graded against the cosine AND
+    // bm25 truths) plus the fused plan's join/window; every exchange
+    // moves k·probes rows, so the doubled arm count is eval-frame
+    // noise, not corpus cost
+    "q141_retrieval_eval" -> 10,
     // q142: per-cluster count over the cell index — the groupBy key
     // IS the table's bucket key, so the aggregate rides the stored
     // partitioning with zero exchange (the layout monitoring itself)
