@@ -155,6 +155,27 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${failed(name)}")
       }
     }
+    // r13 verdict #5: the headline rows for the index-builder queries
+    // are honest build+append+query TOTALS, which lets host wobble on
+    // one number masquerade as a plan regression until a separate
+    // INDEX_COSTS run adjudicates it (q117's ×1.62 in r13). Emit the
+    // per-family phase split into THIS artifact (one pass — the
+    // totals above stay the min-of-passes continuity numbers; the
+    // standalone IndexCosts main remains the min-of-2 deep probe).
+    // Default on for full sweeps, off for restricted ones
+    // (SPARK_GRAFT_BENCH_PHASES=1/0 forces).
+    val phasesWanted = sys.env.get("SPARK_GRAFT_BENCH_PHASES") match {
+      case Some("0") => false
+      case Some("1") => true
+      case _ => only.isEmpty
+    }
+    val phaseSplits: Seq[(String, IndexCosts.Phases)] =
+      if (!phasesWanted) Nil
+      else
+        IndexCosts.phaseRunners(spark, sfDir).map { case (n, run) =>
+          n -> (try run()
+          catch { case e: Throwable => System.err.println(s"[bench] phases $n FAILED: ${e.getMessage}"); IndexCosts.Phases(-1, -1, -1) })
+        }
     // a query that failed in ANY pass is a failure, not a timing
     failed.keys.foreach(n => passTimes.foreach(_.remove(n)))
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -212,6 +233,13 @@ object Bench {
           .filterNot { case (n, _) => failed.contains(n) }
           .map { case (n, r) =>
             s""""${esc(n)}":{"mem_spill":${r.memSpill},"disk_spill":${r.diskSpill},"peak_exec_mem":${r.peakMem}}"""
+          }
+          .mkString("{", ",", "}")},
+         |"index_phases":${phaseSplits
+          .map { case (n, p) =>
+            def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+            val cf = if (p.compact >= 0) s""","compact_sec":${r3(p.compact)}""" else ""
+            s""""${esc(n)}":{"rebuild_sec":${r3(p.rebuild)},"append_sec":${r3(p.append)},"query_sec":${r3(p.query)}$cf}"""
           }
           .mkString("{", ",", "}")},
          |"volumes":${volumes

@@ -31,20 +31,32 @@ import graft.sources.Tables
   */
 object IndexCosts {
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    // same warmup contract as Bench: JIT + parquet reader init off the
-    // first timed phase
-    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
-    Seq("lineitem", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
-    }
+  /** `compact` is -1 for families without a compaction phase (only
+    * the cell index prices one today) and is omitted from artifacts.
+    */
+  case class Phases(rebuild: Double, append: Double, query: Double, compact: Double = -1.0) {
+    def min(o: Phases): Phases =
+      Phases(
+        math.min(rebuild, o.rebuild),
+        math.min(append, o.append),
+        math.min(query, o.query),
+        if (compact < 0 || o.compact < 0) math.max(compact, o.compact) else math.min(compact, o.compact)
+      )
+  }
 
+  /** The six persisted-index families' phase runners, shared by this
+    * main and Bench's per-round phase-split emission (r13 verdict #5:
+    * the headline bench conflates rebuild+append+query for the index
+    * queries, so host wobble on one number took a separate
+    * INDEX_COSTS run to adjudicate — now every bench artifact carries
+    * the split). Artifacts live under `*_costs` names so a phase run
+    * never clobbers the sweep queries' own tables.
+    */
+  def phaseRunners(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String
+  ): Seq[(String, () => Phases)] = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val mod = GraphQueries.DeltaMod // the q104 base/delta convention: newest 1/5 arrives as the batch
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -62,11 +74,6 @@ object IndexCosts {
       val loc = new org.apache.hadoop.fs.Path(p)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
-    }
-
-    case class Phases(rebuild: Double, append: Double, query: Double) {
-      def min(o: Phases): Phases =
-        Phases(math.min(rebuild, o.rebuild), math.min(append, o.append), math.min(query, o.query))
     }
 
     // q104: the bucketed part-edge table. rebuild = derive + bucketed
@@ -181,8 +188,14 @@ object IndexCosts {
       val append = timed {
         graft.operators.CellIndex.append(emb.filter(col("vec_id") > cut), "vec_id", "embedding", Some("label"), T)
       }
+      // the r14 maintenance phase: rewrite the append-grown files back
+      // to one per bucket (threshold 1 so the one append above
+      // triggers it — the per-rewrite price, not the cadence)
+      val compact = timed {
+        graft.operators.CellIndex.compact(spark, T, maxFilesPerBucket = 1)
+      }
       graft.operators.CellIndex.drop(spark, T)
-      Phases(rebuild, append, query)
+      Phases(rebuild, append, query, compact)
     }
 
     // q87: the bucketed MinHash signature band index. Each phase pays
@@ -258,24 +271,41 @@ object IndexCosts {
       Phases(rebuild, append, query)
     }
 
-    // SPARK_GRAFT_COSTS_ONLY=cell_index restricts the run (scaling
-    // adjudications isolate one builder in a fresh JVM)
-    val only = sys.env.get("SPARK_GRAFT_COSTS_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val builders = Seq(
+    Seq(
       "q87_bucketed_index_dedup" -> (() => sigIndexOnce()),
       "q104_pagerank_delta" -> (() => pagerankOnce()),
       "q107_ann_ivf_index" -> (() => ivfOnce()),
       "q117_bm25_index" -> (() => bm25Once()),
       "q125_ivfpq_topk" -> (() => ivfpqOnce()),
       "cell_index" -> (() => cellOnce())
-    ).filter(b => only.forall(_.contains(b._1)))
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same warmup contract as Bench: JIT + parquet reader init off the
+    // first timed phase
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    Seq("lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
+    }
+    // SPARK_GRAFT_COSTS_ONLY=cell_index restricts the run (scaling
+    // adjudications isolate one builder in a fresh JVM)
+    val only = sys.env.get("SPARK_GRAFT_COSTS_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val builders = phaseRunners(spark, sfDir).filter(b => only.forall(_.contains(b._1)))
     val results = builders.map { case (name, run) =>
       name -> (1 to passes).map(_ => run()).reduce(_ min _)
     }
+    val mod = GraphQueries.DeltaMod
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val body = results
       .map { case (n, p) =>
-        s""""$n":{"rebuild_sec":${r3(p.rebuild)},"append_sec":${r3(p.append)},"query_sec":${r3(p.query)}}"""
+        val compactField = if (p.compact >= 0) s""","compact_sec":${r3(p.compact)}""" else ""
+        s""""$n":{"rebuild_sec":${r3(p.rebuild)},"append_sec":${r3(p.append)},"query_sec":${r3(p.query)}$compactField}"""
       }
       .mkString(",")
     val json =
