@@ -194,14 +194,21 @@ object ScaleUp {
         name: String,
         keyCols: Seq[String],
         perReplica: (DataFrame, Int) => DataFrame = (d, _) => d,
-        keyCap: Long = KeyStride
+        keyCap: Long = KeyStride,
+        // applied ONCE over the unioned output, not per replica: a
+        // per-replica transform is duplicated into every one of the
+        // `replicas` union branches — the r14 planting projection
+        // (~10 array-aggregate columns) × 1024 branches built 25 MB
+        // task binaries and OOMed the 1024× generation; replica-
+        // agnostic work (anything keyed off id residues) belongs here
+        finish: DataFrame => DataFrame = identity
     ): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       requireKeysFit(base, name, keyCols, keyCap)
       val full = (0 until replicas)
         .map(i => perReplica(shifted(base, keyCols, i), i))
         .reduce(_ union _)
-      full.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+      finish(full).write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
       println(s"[scaleup] $name x$replicas -> $out/$name.parquet")
     }
 
@@ -239,12 +246,14 @@ object ScaleUp {
             // the tag lengthens the text; n_chars must keep describing it
             // (length gates and sampling weights read n_chars)
             .withColumn("n_chars", length(col("text")).cast("long"))
-        // partner docs AFTER the replica tag: the partner re-tags the
-        // replica's own tokens, so it is lexically disjoint from its
-        // base within the replica and from every other replica
-        if (plant) withPlantedPartnerDocs(d, nEmbBase) else d
+        d
       },
-      keyCap = if (plant) PlantOffset else KeyStride
+      keyCap = if (plant) PlantOffset else KeyStride,
+      // partner docs AFTER the replica tag (the partner re-tags the
+      // replica's own tokens, so it is lexically disjoint from its
+      // base within the replica and from every other replica), and
+      // ONCE over the union — replica-agnostic by construction
+      finish = d => if (plant) withPlantedPartnerDocs(d, nEmbBase) else d
     )
     // Per-replica orthogonal transform Q_i = D_s ∘ R_r with rotation
     // r = i mod dims and a SIGN-FLIP EPOCH s = i div dims: rotation
@@ -276,18 +285,19 @@ object ScaleUp {
               concat(slice(col("embedding"), k + 1, n - k), slice(col("embedding"), lit(1), k))
             )
           }
-        val xformed =
-          if (epoch == 0) rotated
-          else {
-            val mask = array(signMask(epoch, dims).map(v => lit(v)): _*)
-            rotated.withColumn("embedding", zip_with(col("embedding"), mask, (x, m) => x * m))
-          }
-        // partners AFTER the orthogonal transform: each replica plants
-        // from its own (decorrelated) vectors, so the planted pair set
-        // is replica-local and linear in the corpus
-        if (plant) withPlantedPartners(xformed, dims) else xformed
+        if (epoch == 0) rotated
+        else {
+          val mask = array(signMask(epoch, dims).map(v => lit(v)): _*)
+          rotated.withColumn("embedding", zip_with(col("embedding"), mask, (x, m) => x * m))
+        }
       },
-      keyCap = if (plant) PlantOffset else KeyStride
+      keyCap = if (plant) PlantOffset else KeyStride,
+      // partners AFTER the orthogonal transform (each replica plants
+      // from its own decorrelated vectors — replica-local pairs,
+      // linear truth) and ONCE over the union: the construction reads
+      // only the row, and the residue/offset arithmetic is identical
+      // whether applied per branch or to the whole frame
+      finish = d => if (plant) withPlantedPartners(d, dims) else d
     )
     spark.stop()
   }
