@@ -245,6 +245,14 @@ object Multimodal {
         val raw = conv(hs.substr(j * 2 + 1, lit(2)), 16, 10).cast("long")
         when(v > 0 && (j.cast("long") + lit(11) * v + docId * 3) % PerturbMod === 0, (raw + 16) % 256)
           .otherwise(raw)
+          // SMALLINT, not BIGINT: byte values are 0..255 and the strip
+          // is MATERIALIZED per doc (the localCheckpoint behind the
+          // q118 signature build) — at the 1024× decade the 8-byte
+          // elements made the cached strip ~8 GB for 5.2M docs and the
+          // pigeonhole join's execution memory thrashed the heap
+          // (GCLocker retry storms, 20-min stalls); 2-byte elements
+          // cut the cache 4× with identical comparison semantics
+          .cast("smallint")
       }
     )
     docs.select(docId.as(idCol), bytes.as("sa"))
