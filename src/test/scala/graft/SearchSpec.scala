@@ -122,35 +122,45 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
-  test("q141: per-system eval rows are well-formed and the semantic row reproduces q128's recall") {
+  test("q141: per-system eval rows are well-formed under both truths; semantic/cosine reproduces q128; lexical/bm25 pins 1.0") {
     import graft.queries.DedupSimQueries.{FusionProbes, FusionTopK}
     val out = SparkEntry
       .queries("q141_retrieval_eval")(spark, sf)
       .collect()
       .map(r =>
-        (r.getLong(0), r.getString(1), r.getLong(2),
-          if (r.isNullAt(3)) None else Some(r.getInt(3)), r.getDouble(4))
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getInt(4)), r.getDouble(5))
       )
     assert(out.map(_._2).distinct.sorted.toSeq == Seq("fused", "lexical", "semantic"))
-    out.foreach { case (q, sys, hits, fhr, rr) =>
+    assert(out.map(_._3).distinct.sorted.toSeq == Seq("bm25", "cosine"))
+    // one row per (probe × system × truth)
+    assert(out.length == FusionProbes * 3 * 2, s"expected ${FusionProbes * 6} rows, got ${out.length}")
+    out.foreach { case (q, sys, truth, hits, fhr, rr) =>
       assert(q >= 0 && q < FusionProbes)
-      assert(hits >= 0 && hits <= FusionTopK, s"$sys probe $q hits $hits")
+      assert(hits >= 0 && hits <= FusionTopK, s"$sys/$truth probe $q hits $hits")
       fhr match {
         case Some(r) =>
           assert(r >= 1 && r <= FusionTopK)
           assert(math.abs(rr - BigDecimal(1.0 / r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
-          assert(hits > 0, s"$sys probe $q has a first hit but zero hits")
-        case None => assert(rr == 0.0 && hits == 0, s"$sys probe $q no hit but rr=$rr hits=$hits")
+          assert(hits > 0, s"$sys/$truth probe $q has a first hit but zero hits")
+        case None => assert(rr == 0.0 && hits == 0, s"$sys/$truth probe $q no hit but rr=$rr hits=$hits")
       }
     }
-    // the semantic system's hits@k IS q128's recall numerator — the
-    // eval must agree with the standing ANN certification
+    // the lexical channel IS the exact bm25 computation, so its bm25
+    // rows are a 1.0 pin by construction (the q128 exact-vs-itself
+    // convention) — if this breaks, the truth and the channel diverged
+    out.filter(t => t._2 == "lexical" && t._3 == "bm25").foreach { t =>
+      assert(t._4 == FusionTopK && t._5 == Some(1), s"lexical/bm25 probe ${t._1} is not the 1.0 pin: $t")
+    }
+    // the semantic system's hits@k under the cosine truth IS q128's
+    // recall numerator — the eval must agree with the standing ANN
+    // certification
     val q128 = SparkEntry
       .queries("q128_ann_recall")(spark, sf)
       .collect()
       .map(r => r.getLong(0) -> r.getLong(2))
       .toMap
-    val semHits = out.filter(_._2 == "semantic").map(t => t._1 -> t._3).toMap
+    val semHits = out.filter(t => t._2 == "semantic" && t._3 == "cosine").map(t => t._1 -> t._4).toMap
     q128.foreach { case (p, nHits) =>
       assert(semHits.getOrElse(p, 0L) == nHits, s"probe $p: eval ${semHits.get(p)} != q128 $nHits")
     }
