@@ -548,13 +548,31 @@ object CellIndex {
         val props = meta.properties
         val keyCols = meta.bucketSpec.get.bucketColumnNames
         require(keyCols.size == 1, s"cell index '$table' has a composite bucket key: $keyCols")
-        val rows = spark.table(table).localCheckpoint()
-        dropTable(spark, table)
-        Formats.writeBucketed(rows, table, keyCols.head, numBuckets)
+        // write-to-temp + catalog swap, NOT materialize-drop-rewrite: a
+        // checkpoint of the whole index before dropping its files would
+        // hold the entire table in executor memory — the compaction
+        // would then be the one maintenance step that cannot run at the
+        // scale the index exists for. The temp write streams the old
+        // files through one shuffle; the swap window is the same
+        // documented race surface as the monitor's retrain.
+        val tmp = s"${table}_compact_tmp"
+        dropTable(spark, tmp)
+        // read the data FILES, not the catalog table: a bucketed-table
+        // scan advertises HashPartitioning(key, n), which lets the
+        // optimizer remove writeBucketed's layout repartition as
+        // redundant — and the auto-bucketed-scan heuristic may then
+        // read plain file splits anyway, writing multiple files per
+        // bucket (measured 19 files for 16 buckets). The path read
+        // makes no partitioning claim, so the one-task-per-bucket
+        // repartition survives and the rewrite restores exactly one
+        // file per non-empty bucket.
+        Formats.writeBucketed(spark.read.parquet(meta.location.toString), tmp, keyCols.head, numBuckets)
         val stamps = Seq(VersionProp, GeomProp, ColsProp, CorpusProp, SourceProp)
           .flatMap(p => props.get(p).map(v => s"'$p' = '$v'"))
         if (stamps.nonEmpty)
-          spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (${stamps.mkString(", ")})")
+          spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES (${stamps.mkString(", ")})")
+        dropTable(spark, table)
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
         true
       }
     }
