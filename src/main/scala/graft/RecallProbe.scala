@@ -202,6 +202,40 @@ object RecallProbe {
         s"""{"cell_build_sec":${f"$cellSec%.3f"},"q129_sec":${f"$q129Sec%.3f"},"by_cosine":{$rows}}"""
       }
 
+    // 6. (optional, SPARK_GRAFT_RECALL_TARGET_MULT=m) the ceiling's
+    // KNOB: co-location rises with cluster size, so price the trade —
+    // build a second cell partition at m× the standard target and
+    // measure the planted pairs' co-cluster rate under it. A pipeline
+    // that needs more SemDeDup recall pays larger clusters (more
+    // within-cluster dots: cost ∝ target per vector) instead of a new
+    // algorithm; this records how much recall each step buys.
+    val targetMultJson = sys.env.get("SPARK_GRAFT_RECALL_TARGET_MULT").map(_.toInt).map { mult =>
+      import DedupSimQueries.{KmeansIters, KmeansK, SemClusterTarget}
+      val t2 = s"graft_recall_probe_t$mult"
+      graft.operators.CellIndex.drop(spark, t2)
+      val (idx2, buildSec) = timed {
+        graft.operators.CellIndex
+          .ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget * mult, KmeansIters, Dims, t2)
+          .select(col("vec_id"), col("cluster"))
+          .localCheckpoint()
+      }
+      val rows = partner
+        .join(idx2.select(col("vec_id").as("vec_a"), col("cluster").as("cl_a")), Seq("vec_a"))
+        .join(idx2.select(col("vec_id").as("vec_b"), col("cluster").as("cl_b")), Seq("vec_b"))
+        .groupBy(col("c_target"))
+        .agg(count(lit(1)).as("n"), sum(when(col("cl_a") === col("cl_b"), 1).otherwise(0)).as("n_co"))
+        .orderBy(col("c_target"))
+        .collect()
+        .map { r =>
+          s""""${f"${r.getDouble(0)}%.2f"}":{"n_true":${r.getLong(1)},""" +
+            s""""cocluster_rate":${f"${r.getLong(2).toDouble / math.max(r.getLong(1), 1L)}%.4f"}}"""
+        }
+        .mkString(",")
+      graft.operators.CellIndex.drop(spark, t2)
+      s""","cocluster_at_target_x$mult":{"target":${SemClusterTarget * mult},""" +
+        s""""build_sec":${f"$buildSec%.3f"},"by_cosine":{$rows}}"""
+    }.getOrElse("")
+
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val json =
       s"""{"dir":"${Bench.esc(dir)}","n_vectors":$n,"planes_m":$m,"tables_L":$EmbLshTables,
@@ -210,7 +244,7 @@ object RecallProbe {
          |"false_pairs":$falsePairs,"precision":${f"$precision%.6f"},
          |"bands":{$bands},
          |"planted_recall":{$planted},
-         |"semdedup_planted":$q129Json}""".stripMargin.replace("\n", "")
+         |"semdedup_planted":$q129Json$targetMultJson}""".stripMargin.replace("\n", "")
     val outFile = sys.env.getOrElse(
       "SPARK_GRAFT_RECALL_OUT",
       s"/tmp/r14/recall_${new java.io.File(dir).getName}.json"

@@ -794,6 +794,14 @@ object DedupSimQueries {
     // (occupancy-targeted k keeps cluster radii stable), which is the
     // route's scale story vs q34's m-decaying LSH recall — see the
     // crossover note in Dedup.embeddingNearDupsLsh's contract.
+    // THE OBVIOUS KNOB DOES NOT MOVE IT: rebuilding at 4× the target
+    // (256 — 4× the within-cluster dots) left co-location essentially
+    // unchanged (0.541 vs 0.578 at cosine 0.95; 0.385 vs 0.381 at
+    // 0.90 — SCALING_r14 cocluster_at_target_x4), so the cap is the
+    // partition's BOUNDARY GEOMETRY (a pair split at the coarse √k
+    // Voronoi level can never co-cluster at the fine level), not
+    // occupancy. Buying SemDeDup recall means multi-probe assignment
+    // (compare against the runner-up cell too), not bigger clusters.
     "q129_semantic_dedup" -> { (s, dir) =>
       // the partition comes from the persisted ingest artifact (built
       // once per corpus — see cellAssignment); the index row IS the
