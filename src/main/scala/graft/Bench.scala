@@ -141,8 +141,12 @@ object Bench {
         // fixed 150 ms sleep whose stragglers bled into the next row)
         org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext, 10000L)
         if (Volumes.isEnabled) {
-          val vols = Volumes.snapshot
-          if (vols.nonEmpty) volumes(name) = vols // deterministic counts: pass-2 == pass-1
+          // deterministic counts: pass-2 == pass-1; a point evaluated
+          // more than once in the query surfaces as <point>__evals so
+          // the artifact shows the attribution ambiguity (r14 advice)
+          val vols = Volumes.snapshot ++
+            Volumes.multiplicity.map { case (p, n) => s"${p}__evals" -> n.toLong }
+          if (vols.nonEmpty) volumes(name) = vols
         }
         val r = Resources(memSpilled.get() - m0, diskSpilled.get() - d0, peakMem.get())
         // keep the pass with the larger spill — the honest resource

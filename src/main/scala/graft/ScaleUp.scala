@@ -119,20 +119,23 @@ object ScaleUp {
     )
   }
 
-  /** The documents-side twin of [[withPlantedPartners]]: the same
-    * residue slice (restricted to ids that HAVE an embedding row, so
-    * the partner doc's vec_id twin exists) gets a partner doc whose
-    * every token carries an extra `pz` tag — one NEW token per
-    * original token, so the partner shares no tokens/shingles/grams
-    * with its base (exact/MinHash/substring stages see an unrelated
-    * doc; family size stays the constant 2) while the matching
-    * planted embedding makes it a SEMANTIC near-dup the q138 stage-3
-    * prune must catch. n_chars is re-derived (length gates and
-    * sampling weights read it).
+  /** The documents-side twin of [[withPlantedPartners]]: exactly the
+    * doc ids whose embedding row RECEIVED a planted partner
+    * (`plantedBaseIds`, one `doc_id` column — a semi-join, not
+    * residue+count arithmetic: the r14 id-cap form assumed contiguous
+    * vec_ids and planted a doc twin even when the embedding-side
+    * partner was dropped by withPlantedPartners' degenerate-vector
+    * guards, slightly overstating the planted-doc truth) get a
+    * partner doc whose every token carries an extra `pz` tag — one
+    * NEW token per original token, so the partner shares no
+    * tokens/shingles/grams with its base (exact/MinHash/substring
+    * stages see an unrelated doc; family size stays the constant 2)
+    * while the matching planted embedding makes it a SEMANTIC
+    * near-dup the q138 stage-3 prune must catch. n_chars is
+    * re-derived (length gates and sampling weights read it).
     */
-  private[graft] def withPlantedPartnerDocs(d: DataFrame, nEmbBase: Long): DataFrame = {
-    val baseId = pmod(col("doc_id"), lit(KeyStride))
-    val sel = d.filter(baseId < nEmbBase && pmod(baseId, lit(PlantMod)) < PlantCosines.length)
+  private[graft] def withPlantedPartnerDocs(d: DataFrame, plantedBaseIds: DataFrame): DataFrame = {
+    val sel = d.join(plantedBaseIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val tagged = array_join(transform(split(col("text"), "\\s+"), w => concat(w, lit("pz"))), " ")
     d.unionByName(
       sel.select(
@@ -225,36 +228,6 @@ object ScaleUp {
     // SPARK_GRAFT_PLANT=0 disables the planted controlled-cosine
     // families (continuity probes against pre-r14 derived corpora)
     val plant = !sys.env.get("SPARK_GRAFT_PLANT").contains("0")
-    val nEmbBase = spark.read.parquet(s"$src/embeddings.parquet").count()
-    replicate(
-      "documents",
-      Seq("doc_id"),
-      (d0, i) => {
-        val d =
-          if (i == 0) d0
-          else
-            d0.withColumn(
-              "text",
-              // tag WITHOUT a separator char: the engine's word regex is
-              // '[a-z0-9]+', so 'alphar3' stays ONE (new) token while
-              // 'alpha_r3' would split back into the ORIGINAL token plus
-              // a tag — silently collapsing the vocabulary growth this
-              // transform exists to produce for regex-tokenized
-              // operators (q48/q76/q92/q93/q98/q100/q105)
-              array_join(transform(split(col("text"), "\\s+"), w => concat(w, lit(s"zq$i"))), " ")
-            )
-            // the tag lengthens the text; n_chars must keep describing it
-            // (length gates and sampling weights read n_chars)
-            .withColumn("n_chars", length(col("text")).cast("long"))
-        d
-      },
-      keyCap = if (plant) PlantOffset else KeyStride,
-      // partner docs AFTER the replica tag (the partner re-tags the
-      // replica's own tokens, so it is lexically disjoint from its
-      // base within the replica and from every other replica), and
-      // ONCE over the union — replica-agnostic by construction
-      finish = d => if (plant) withPlantedPartnerDocs(d, nEmbBase) else d
-    )
     // Per-replica orthogonal transform Q_i = D_s ∘ R_r with rotation
     // r = i mod dims and a SIGN-FLIP EPOCH s = i div dims: rotation
     // alone repeats at i = dims (replica `dims` would carry
@@ -298,6 +271,44 @@ object ScaleUp {
       // only the row, and the residue/offset arithmetic is identical
       // whether applied per branch or to the whole frame
       finish = d => if (plant) withPlantedPartners(d, dims) else d
+    )
+    // documents are replicated AFTER embeddings so the planted doc
+    // twins can semi-join on the ids that ACTUALLY received embedding
+    // partners (read back from the written output — the id-residue
+    // arithmetic alone cannot see withPlantedPartners' xx/pp
+    // degenerate-vector drops)
+    val plantedDocIds = spark.read
+      .parquet(s"$out/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(KeyStride)) >= PlantOffset)
+      .select((col("vec_id") - PlantOffset).as("doc_id"))
+    replicate(
+      "documents",
+      Seq("doc_id"),
+      (d0, i) => {
+        val d =
+          if (i == 0) d0
+          else
+            d0.withColumn(
+              "text",
+              // tag WITHOUT a separator char: the engine's word regex is
+              // '[a-z0-9]+', so 'alphar3' stays ONE (new) token while
+              // 'alpha_r3' would split back into the ORIGINAL token plus
+              // a tag — silently collapsing the vocabulary growth this
+              // transform exists to produce for regex-tokenized
+              // operators (q48/q76/q92/q93/q98/q100/q105)
+              array_join(transform(split(col("text"), "\\s+"), w => concat(w, lit(s"zq$i"))), " ")
+            )
+            // the tag lengthens the text; n_chars must keep describing it
+            // (length gates and sampling weights read n_chars)
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        d
+      },
+      keyCap = if (plant) PlantOffset else KeyStride,
+      // partner docs AFTER the replica tag (the partner re-tags the
+      // replica's own tokens, so it is lexically disjoint from its
+      // base within the replica and from every other replica), and
+      // ONCE over the union — replica-agnostic by construction
+      finish = d => if (plant) withPlantedPartnerDocs(d, plantedDocIds) else d
     )
     spark.stop()
   }

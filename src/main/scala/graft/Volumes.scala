@@ -62,10 +62,12 @@ object Volumes {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith(Prefix)) {
-              val point = name.stripPrefix(Prefix).split("::")(0)
-              recorded.put(point, row.getAs[Long]("rows"))
-            }
+            // record per MINTED name (point::seq): a point whose frame
+            // is evaluated more than once between resets (an operator
+            // invoked twice in one query, a localCheckpoint
+            // materialization plus the final action) must not silently
+            // last-write-win — snapshot surfaces the multiplicity
+            if (name.startsWith(Prefix)) recorded.put(name.stripPrefix(Prefix), row.getAs[Long]("rows"))
           }
         override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
       })
@@ -73,7 +75,23 @@ object Volumes {
 
   def isEnabled: Boolean = enabled
 
-  def snapshot: Map[String, Long] = recorded.asScala.toMap
+  /** Harvested counts per point name since the last [[reset]]. A point
+    * observed under several minted names (re-invocation / re-evaluation)
+    * reports the MAX — the fullest row set that passed the point — and
+    * shows up in [[multiplicity]] so the ambiguity is visible instead
+    * of silently overwritten.
+    */
+  def snapshot: Map[String, Long] =
+    recorded.asScala.toMap.groupBy(_._1.split("::")(0)).map { case (p, m) => p -> m.values.max }
+
+  /** Points harvested under MORE than one minted name since the last
+    * reset, with their observation counts — the attribution-ambiguity
+    * surface the scaling artifact must not hide.
+    */
+  def multiplicity: Map[String, Int] =
+    recorded.asScala.toMap
+      .groupBy(_._1.split("::")(0))
+      .collect { case (p, m) if m.size > 1 => p -> m.size }
 
   def reset(): Unit = recorded.clear()
 }

@@ -161,8 +161,11 @@ object CellIndex {
     * (a rebuild could not shrink k below kMin, so under-occupancy
     * there is the geometry's own contract, not staleness). The
     * exact-match case (storedK == the re-derived k) always falls
-    * inside: a fresh build's occupancy is in (target/2, target] when
-    * k derives from n, and the floor case is exempt.
+    * inside: with k = floor(n/target) ≥ 1, n sits in
+    * [k·target, (k+1)·target), so a fresh build's mean occupancy is
+    * in [target, 2·target) — against the band's upper edge, which is
+    * why appends step k only at 2× growth — and the kMin-floor case
+    * (occupancy below target) is exempt.
     */
   private def geomAcceptable(
       stored: String,

@@ -876,12 +876,19 @@ class PropertySpec extends AnyFunSuite {
 
   test("ScaleUp planted partner docs are token-disjoint from their base (semantic-only twins)") {
     val docs = spark.read.parquet(s"/root/testdata/sf0.01/documents.parquet")
-    val nEmb = 200L
-    val out = ScaleUp.withPlantedPartnerDocs(docs, nEmb)
+    val emb = spark.read.parquet(s"/root/testdata/sf0.01/embeddings.parquet")
+    val dims = emb.select(size(col("embedding"))).head.getInt(0)
+    // doc twins are planted for EXACTLY the ids whose embedding row
+    // received a partner (semi-join contract — the r14 residue+count
+    // form overstated the truth when the xx/pp guards dropped one)
+    val plantedIds = ScaleUp
+      .withPlantedPartners(emb, dims)
+      .filter(col("vec_id") >= ScaleUp.PlantOffset)
+      .select((col("vec_id") - ScaleUp.PlantOffset).as("doc_id"))
+    val out = ScaleUp.withPlantedPartnerDocs(docs, plantedIds)
     val partners = out.filter(col("doc_id") >= ScaleUp.PlantOffset)
-    val expected = docs
-      .filter(col("doc_id") < nEmb && pmod(col("doc_id"), lit(ScaleUp.PlantMod)) < ScaleUp.PlantCosines.length)
-      .count()
+    val expected = docs.join(plantedIds, Seq("doc_id"), "left_semi").count()
+    assert(expected > 0, "the sf0.01 slice must plant at least one doc twin")
     assert(partners.count() == expected)
     val pairs = partners
       .select((col("doc_id") - ScaleUp.PlantOffset).as("doc_id"), col("text").as("pt"), col("n_chars").as("pn"))
