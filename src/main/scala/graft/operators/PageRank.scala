@@ -109,7 +109,21 @@ object PageRank {
       .bucketBy(numBuckets, "src")
       .sortBy("src")
       .saveAsTable(table)
+    // r15: per-crawl-append file growth bounded by the shared
+    // relative-threshold compaction (no-op below it)
+    compactEdgeTable(spark, table)
   }
+
+  /** Shared small-files maintenance for the persisted edge table
+    * (Formats.compactBucketed contract). Returns true iff a rewrite
+    * ran.
+    */
+  def compactEdgeTable(
+      spark: SparkSession,
+      table: String,
+      maxFilesPerBucket: Int = graft.sources.Formats.DefaultCompactFilesPerBucket
+  ): Boolean =
+    graft.sources.Formats.compactBucketed(spark, table, maxFilesPerBucket)
 
   /** The deduped edge frame off the bucketed table — exchange-free:
     * the (src, dst) distinct's clustering requirement is satisfied by

@@ -124,6 +124,26 @@ object Bm25Index {
       .sortBy("token")
       .saveAsTable(table)
     batchStats(post).write.mode(SaveMode.Append).format("parquet").saveAsTable(statsTable(table))
+    // r15: postings grow one file per bucket per batch, stats one file
+    // per batch — both bounded by the shared relative-threshold
+    // compaction (no-op below it; see Formats.compactBucketed)
+    compactIndex(spark, table)
+  }
+
+  /** Shared small-files maintenance for the postings table and its
+    * stats companion. The stats rewrite is answer-invisible because
+    * the reader only ever aggregates the batch rows (sum/count) —
+    * coalescing files changes neither. Returns true iff either
+    * rewrite ran.
+    */
+  def compactIndex(
+      spark: SparkSession,
+      table: String,
+      maxFilesPerBucket: Int = Formats.DefaultCompactFilesPerBucket
+  ): Boolean = {
+    val postingsRan = Formats.compactBucketed(spark, table, maxFilesPerBucket)
+    val statsRan = Formats.compactPlain(spark, statsTable(table), maxFilesPerBucket)
+    postingsRan || statsRan
   }
 
   private def batchStats(post: DataFrame): DataFrame =

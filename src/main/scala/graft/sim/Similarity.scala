@@ -287,7 +287,7 @@ object Similarity {
   def writeIvfIndex(cents: DataFrame, corpus: DataFrame, path: String): Unit =
     graft.sources.Formats.writePartitioned(ivfAssignments(cents, corpus), path, Seq("cent_id"))
 
-  def appendIvfIndex(cents: DataFrame, newVecs: DataFrame, path: String): Unit =
+  def appendIvfIndex(cents: DataFrame, newVecs: DataFrame, path: String): Unit = {
     // one file per cell per append batch (see Formats.writePartitioned)
     ivfAssignments(cents, newVecs)
       .repartition(col("cent_id"))
@@ -296,6 +296,22 @@ object Similarity {
       .option("maxRecordsPerFile", graft.sources.Formats.MaxRecordsPerFile.toString)
       .partitionBy("cent_id")
       .parquet(path)
+    // r15: per-batch cell-file growth bounded by the shared
+    // relative-threshold compaction (no-op below it)
+    compactIvfIndex(newVecs.sparkSession, path)
+  }
+
+  /** Shared small-files maintenance for the partitioned IVF layout
+    * (Formats.compactPartitioned: marker-file relative trigger,
+    * directory-level rename-aside swap). Returns true iff a rewrite
+    * ran.
+    */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxFilesPerCell: Int = graft.sources.Formats.DefaultCompactFilesPerBucket
+  ): Boolean =
+    graft.sources.Formats.compactPartitioned(spark, path, Seq("cent_id"), maxFilesPerCell)
 
   /** ivfTopK over the persisted index. */
   def ivfTopKFromIndex(
@@ -620,7 +636,18 @@ object Similarity {
       .option("maxRecordsPerFile", graft.sources.Formats.MaxRecordsPerFile.toString)
       .partitionBy("cell")
       .parquet(path)
+    // r15: per-batch cell-file growth bounded by the shared
+    // relative-threshold compaction (no-op below it)
+    compactIvfPqIndex(newVecs.sparkSession, path)
   }
+
+  /** [[compactIvfIndex]] for the IVF+PQ codes layout. */
+  def compactIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxFilesPerCell: Int = graft.sources.Formats.DefaultCompactFilesPerBucket
+  ): Boolean =
+    graft.sources.Formats.compactPartitioned(spark, path, Seq("cell"), maxFilesPerCell)
 
   /** The probe tail shared by the persisted and in-memory paths:
     * probe cells from a scan-side sorted literal fold (no window, no
