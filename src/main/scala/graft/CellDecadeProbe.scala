@@ -89,7 +89,7 @@ object CellDecadeProbe {
     val scansMeta = CellIndex.fingerprintScans.get() - scans0 - scansContent
     // occupancy + the monitor's verdict at the default calibration
     val occ = CellIndex
-      .read(spark, T)
+      .readPrimary(spark, T)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("mx"), avg(col("n")).as("mean"), count(lit(1)).as("k"))

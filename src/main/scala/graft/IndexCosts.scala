@@ -176,7 +176,7 @@ object IndexCosts {
       val query = timed {
         noop(
           graft.operators.CellIndex
-            .read(spark, T)
+            .readPrimary(spark, T)
             .groupBy(col("cluster"))
             .agg(count(lit(1)).as("n_vecs")))
       }

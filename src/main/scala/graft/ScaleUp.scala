@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Derive a larger benchmark dataset from an existing SF directory by
@@ -76,6 +76,45 @@ object ScaleUp {
     */
   val PlantCosines: Seq[Double] = Seq(0.95, 0.90, 0.85)
 
+  // ---- cross-modal fusion-probe families (round 15) ----
+  // r14's dual-truth q141 eval showed the two retrieval channels'
+  // truths DISJOINT on this corpus: fusion never beats the best single
+  // channel anywhere, so RRF's actual value proposition (a doc
+  // mid-ranked by BOTH channels outranks each channel's unique noise)
+  // was untestable. Bases at residue [[CrossModalResidue]] therefore
+  // get THREE partners that stage exactly that situation:
+  //   X (+PlantOffset):     cosine 0.90 AND ~50% token overlap — the
+  //                         planted TRUE answer, reachable mid-rank by
+  //                         both channels;
+  //   S (+PlantOffset + 1): cosine 0.95, tokens fully re-tagged — the
+  //                         semantic channel's unique noise (outranks
+  //                         X semantically, invisible lexically);
+  //   T (+PlantOffset + 2): cosine 0 (the pure Gram-Schmidt residual
+  //                         direction, norm preserved), ~75% token
+  //                         overlap — the lexical channel's unique
+  //                         noise (outranks X lexically, invisible
+  //                         semantically).
+  // Fusion should then rank X first (two mid-rank RRF addends beat
+  // one top-rank addend: 2/(K+2) > 1/(K+1) for K=60) while each
+  // single channel ranks its own noise first — a probe set where
+  // fused MRR > max(single) is MEASURABLE (FusionProbe). Family size
+  // stays constant (4 for the residue-3 slice), so the truth remains
+  // linear in the corpus.
+  val CrossModalResidue = 3L
+  val CrossModalCosine = 0.90
+  val SemNoiseCosine = 0.95
+
+  /** Tag-every-Nth-token by partner residue (the doc-side overlap
+    * knob): residues 0..2 and [[CrossModalResidue]]+1 (S) tag every
+    * token (lexically disjoint); CrossModalResidue (X) tags every 2nd
+    * (~50% overlap); CrossModalResidue+2 (T) tags every 4th (~75%
+    * overlap). Exposed for the spec and the doc-planting join.
+    */
+  private[graft] def tagEveryForResidue(r: Long): Int =
+    if (r == CrossModalResidue) 2
+    else if (r == CrossModalResidue + 2) 4
+    else 1
+
   /** The planted-partner construction, exposed for the spec and the
     * recall probe: for each selected base vector x, the partner is
     *   y = c·x + √(1−c²)·‖x‖·p̂
@@ -91,9 +130,33 @@ object ScaleUp {
     */
   private[graft] def withPlantedPartners(d: DataFrame, dims: Int): DataFrame = {
     val residue = pmod(pmod(col("vec_id"), lit(KeyStride)), lit(PlantMod))
-    val sel = d
-      .filter(residue < PlantCosines.length)
-      .withColumn("c_t", element_at(array(PlantCosines.map(lit): _*), (residue + 1).cast("int")))
+    val classic = partnerRows(
+      d,
+      dims,
+      residue < PlantCosines.length,
+      element_at(array(PlantCosines.map(lit): _*), (residue + 1).cast("int")),
+      PlantOffset
+    )
+    // cross-modal fusion-probe family (see the constants above): the
+    // true answer X, the semantic noise S, the lexical noise T — all
+    // from the SAME base, all norm-preserving, all deterministic
+    val x = partnerRows(d, dims, residue === CrossModalResidue, lit(CrossModalCosine), PlantOffset)
+    val sNoise = partnerRows(d, dims, residue === CrossModalResidue, lit(SemNoiseCosine), PlantOffset + 1)
+    val tNoise = partnerRows(d, dims, residue === CrossModalResidue, lit(0.0), PlantOffset + 2)
+    d.unionByName(classic).unionByName(x).unionByName(sNoise).unionByName(tNoise)
+  }
+
+  /** One partner row per selected base: y = c·x + √(1−c²)·‖x‖·p̂ at
+    * vec_id + `shift` (see [[withPlantedPartners]]'s construction
+    * contract). c = 0 yields the pure Gram-Schmidt residual direction
+    * — orthogonal to the base, norm still preserved. The residual
+    * direction is seeded by vec_id ALONE, so every partner of one
+    * base shares p̂ (deliberate: X and S stay mutual near-dups, as
+    * re-encodings of one document are).
+    */
+  private def partnerRows(d: DataFrame, dims: Int, cond: Column, cTarget: Column, shift: Long): DataFrame =
+    d.filter(cond)
+      .withColumn("c_t", cTarget)
       .withColumn("xd", transform(col("embedding"), v => v.cast("double")))
       .withColumn("xx", aggregate(transform(col("xd"), v => v * v), lit(0.0), (a, v) => a + v))
       .filter(col("xx") > 0)
@@ -109,15 +172,12 @@ object ScaleUp {
       .withColumn("pp", aggregate(transform(col("p"), v => v * v), lit(0.0), (a, v) => a + v))
       .filter(col("pp") > lit(1e-12))
       .withColumn("s_p", sqrt(lit(1.0) - col("c_t") * col("c_t")) * sqrt(col("xx") / col("pp")))
-    d.unionByName(
-      sel.select(
-        (col("vec_id") + PlantOffset).as("vec_id"),
+      .select(
+        (col("vec_id") + shift).as("vec_id"),
         zip_with(col("xd"), col("p"), (ej, pj) => (col("c_t") * ej + col("s_p") * pj).cast("float"))
           .as("embedding"),
         col("label")
       )
-    )
-  }
 
   /** The documents-side twin of [[withPlantedPartners]]: exactly the
     * doc ids whose embedding row RECEIVED a planted partner
@@ -134,18 +194,56 @@ object ScaleUp {
     * near-dup the q138 stage-3 prune must catch. n_chars is
     * re-derived (length gates and sampling weights read it).
     */
-  private[graft] def withPlantedPartnerDocs(d: DataFrame, plantedBaseIds: DataFrame): DataFrame = {
-    val sel = d.join(plantedBaseIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val tagged = array_join(transform(split(col("text"), "\\s+"), w => concat(w, lit("pz"))), " ")
+  private[graft] def withPlantedPartnerDocs(d: DataFrame, plantedSpecs: DataFrame): DataFrame = {
+    // one partner DOC per planted embedding partner: specs carry
+    // (doc_id = the base, partner_id = the twin's id, tag_every = the
+    // token-overlap knob — 1 re-tags everything, 2/4 leave half/three
+    // quarters of the tokens shared for the cross-modal families)
+    val sel = d.join(plantedSpecs, Seq("doc_id"))
+    val tagged = array_join(
+      transform(
+        split(col("text"), "\\s+"),
+        (w, i) => when(pmod(i, col("tag_every")) === 0, concat(w, lit("pz"))).otherwise(w)
+      ),
+      " "
+    )
     d.unionByName(
       sel.select(
-        (col("doc_id") + PlantOffset).as("doc_id"),
+        col("partner_id").as("doc_id"),
         tagged.as("text"),
         col("lang"),
         col("source"),
         length(tagged).cast("long").as("n_chars")
       )
     )
+  }
+
+  /** Derive the doc-planting specs from the WRITTEN embedding partners
+    * (the semi-join contract: a doc twin exists exactly when the
+    * embedding twin was actually planted). The partner's residue
+    * encodes which family member it is — classic/X sit at
+    * +PlantOffset, S at +PlantOffset+1, T at +PlantOffset+2 — which
+    * recovers the base id and the tag density.
+    */
+  private[graft] def plantedDocSpecs(emb: DataFrame): DataFrame = {
+    val pr = pmod(pmod(col("vec_id"), lit(KeyStride)), lit(PlantMod))
+    emb
+      .filter(pmod(col("vec_id"), lit(KeyStride)) >= PlantOffset)
+      .select(col("vec_id").as("partner_id"), pr.as("pr"))
+      .withColumn(
+        "doc_id",
+        col("partner_id") - PlantOffset -
+          when(col("pr") === CrossModalResidue + 1, 1L)
+            .when(col("pr") === CrossModalResidue + 2, 2L)
+            .otherwise(0L)
+      )
+      .withColumn(
+        "tag_every",
+        when(col("pr") === CrossModalResidue, 2)
+          .when(col("pr") === CrossModalResidue + 2, 4)
+          .otherwise(1)
+      )
+      .select(col("doc_id"), col("partner_id"), col("tag_every"))
   }
 
   private def splitmix(x0: Long): Long = {
@@ -277,10 +375,7 @@ object ScaleUp {
     // partners (read back from the written output — the id-residue
     // arithmetic alone cannot see withPlantedPartners' xx/pp
     // degenerate-vector drops)
-    val plantedDocIds = spark.read
-      .parquet(s"$out/embeddings.parquet")
-      .filter(pmod(col("vec_id"), lit(KeyStride)) >= PlantOffset)
-      .select((col("vec_id") - PlantOffset).as("doc_id"))
+    val plantedDocIds = plantedDocSpecs(spark.read.parquet(s"$out/embeddings.parquet"))
     replicate(
       "documents",
       Seq("doc_id"),

@@ -52,8 +52,8 @@ import graft.operators.KMeans
 object DedupPipeline {
 
   /** The production form: stage 3 consumes a PRECOMPUTED full-corpus
-    * cell assignment (vec_id, cluster, qa) — the persisted CellIndex
-    * — restricted to the surviving ids.
+    * MULTI-PROBE cell assignment (vec_id, probe, cluster, qa) — the
+    * persisted CellIndex — restricted to the surviving ids.
     */
   def run(
       docs: DataFrame,
@@ -89,15 +89,9 @@ object DedupPipeline {
     // stage 3: SemDeDup among the survivors, within the ingest-time
     // clusters
     val asgSurv = cellAsg
-      .select(col("vec_id"), col("cluster"), col("qa"))
+      .select(col("vec_id"), col("probe"), col("cluster"), col("qa"))
       .join(surv2.select(col("doc_id").as("vec_id")), Seq("vec_id"))
-    val sem = semDedup(
-      asgSurv.select(col("vec_id"), col("qa")),
-      asgSurv.select(col("vec_id"), col("cluster")),
-      dims,
-      tauNum,
-      tauDen
-    )
+    val sem = semDedup(asgSurv, dims, tauNum, tauDen)
     st1
       .select(col("doc_id"), col("exact_dup"))
       .join(st2, Seq("doc_id"), "left_outer")
@@ -141,22 +135,39 @@ object DedupPipeline {
   ): DataFrame = {
     val q = KMeans.quantizeShifted(emb, embIdCol, vecCol).localCheckpoint()
     val k = math.max(kMin, (q.count() / clusterTarget).toInt)
-    val asg = KMeans
-      .refineTwoLevel(q, k, iters, dims)
-      .select(col("vec_id"), col("cluster"))
-      .join(q, Seq("vec_id"))
-    run(docs, idCol, textCol, asg, gramLen, dims, tauNum, tauDen)
+    val st = KMeans.refineTwoLevelState(q, k, iters, dims)
+    run(
+      docs,
+      idCol,
+      textCol,
+      KMeans.assignMultiProbe(q, st.fine, st.activeCoarse, dims),
+      gramLen,
+      dims,
+      tauNum,
+      tauDen
+    )
   }
 
-  /** The SemDeDup prune (shared by q129 and the pipeline): given the
-    * quantized frame and a (vec_id, cluster, ...) assignment, a
-    * vector is DROPPED when an earlier (smaller-id) same-cluster
-    * vector is τ-similar on the centered quantized cosine — exact
-    * BIGINT compare (den²·dot² ≥ num²·|a|²·|b|², dot > 0),
-    * deterministic keep-lowest-id rule. Returns (vec_id, cluster,
-    * kept).
+  /** The SemDeDup prune (shared by q129 and the pipeline) over a
+    * MULTI-PROBE assignment (vec_id, probe, cluster, qa — see
+    * [[KMeans.assignMultiProbe]]): a vector is DROPPED when an
+    * earlier (smaller-id) vector SHARING ANY PROBE CELL is τ-similar
+    * on the centered quantized cosine — exact BIGINT compare
+    * (den²·dot² ≥ num²·|a|²·|b|², dot > 0), deterministic
+    * keep-lowest-id rule. Round 15: single assignment capped the
+    * prune's recall at the pair co-location rate (measured 52-58% at
+    * cosine 0.95 — a boundary-geometry ceiling the cluster-size knob
+    * does not move); joining over all probe rows reaches the pairs
+    * the coarse/fine Voronoi boundaries split, at a candidate-volume
+    * cost bounded by ProbeCount² and measured by the q129 volume
+    * points. A pair sharing BOTH probe cells is scored twice (cheap
+    * in-stage integer dots — the q34 lesson: never shuffle
+    * pair-proportional rows to dedup work a vectorized filter
+    * re-does for free); the distinct collapses the drop set. Returns
+    * one row per vector: (vec_id, cluster, kept) with `cluster` the
+    * PRIMARY (probe-1) cell.
     */
-  def semDedup(q: DataFrame, assignment: DataFrame, dims: Int, tauNum: Long, tauDen: Long): DataFrame = {
+  def semDedup(probeAsg: DataFrame, dims: Int, tauNum: Long, tauDen: Long): DataFrame = {
     val _ = dims
     // centered dot/norm via the native graft_doti loop (round 11):
     // the unrolled 64-term trees here — three per pair-join row —
@@ -165,25 +176,28 @@ object DedupPipeline {
     // enclosing aggregate, silently interpreting the prune's hottest
     // path. Integer sums are order-free exact: answer-invisible.
     import graft.functions.GraftFunctions.dotiShifted
-    val asg = assignment
-      .join(q, Seq("vec_id"))
+    val asg = probeAsg
       .withColumn("n2", dotiShifted(col("qa"), col("qa"), KMeans.Shift))
     val a = asg.select(col("cluster"), col("vec_id").as("ia"), col("qa").as("va"), col("n2").as("na2"))
     val b = asg.select(col("cluster"), col("vec_id").as("ib"), col("qa").as("vb"), col("n2").as("nb2"))
     val dot = dotiShifted(col("va"), col("vb"), KMeans.Shift)
-    val dropped = a
-      .join(b, Seq("cluster"))
-      .filter(col("ia") < col("ib"))
-      .withColumn("dt", dot)
-      .filter(
-        col("dt") > 0 &&
-          lit(tauDen * tauDen) * col("dt") * col("dt") >=
-            lit(tauNum * tauNum) * col("na2") * col("nb2")
+    val dropped = graft.Volumes
+      .observe(
+        graft.Volumes
+          .observe(a.join(b, Seq("cluster")).filter(col("ia") < col("ib")), "q129_candidates")
+          .withColumn("dt", dot)
+          .filter(
+            col("dt") > 0 &&
+              lit(tauDen * tauDen) * col("dt") * col("dt") >=
+                lit(tauNum * tauNum) * col("na2") * col("nb2")
+          )
+          .select(col("ib").as("vec_id")),
+        "q129_tau_survivors"
       )
-      .select(col("ib").as("vec_id"))
       .distinct()
       .withColumn("is_dropped", lit(true))
     asg
+      .filter(col("probe") === 1)
       .select(col("vec_id"), col("cluster"))
       .join(dropped, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cluster"), coalesce(!col("is_dropped"), lit(true)).as("kept"))

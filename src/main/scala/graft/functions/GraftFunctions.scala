@@ -118,6 +118,14 @@ object GraftFunctions {
       }
     ),
     (
+      FunctionIdentifier("graft_min2"),
+      new ExpressionInfo(classOf[MinTop2Agg].getName, "graft_min2"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_min2(key, id) takes 2 arguments, got ${children.size}")
+        MinTop2Agg(children.head, children(1))
+      }
+    ),
+    (
       FunctionIdentifier("graft_lshbuckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lshbuckets"),
       (children: Seq[Expression]) => {
@@ -180,6 +188,11 @@ object GraftFunctions {
 
   /** Integer squared L2 distance Σ (a_i−b_i)² over array<bigint>. */
   def dist2i(a: Column, b: Column): Column = call_function("graft_dist2i", a, b)
+
+  /** Top-2 lexicographic minima of (key, id) with distinct ids, as
+    * array<bigint> [k1, id1, k2, id2] (Long.MaxValue sentinels).
+    */
+  def min2(key: Column, id: Column): Column = call_function("graft_min2", key, id)
 
   /** All LSH table buckets of `v` from a constant plane matrix (rows
     * in table-major order: table t's planes occupy rows

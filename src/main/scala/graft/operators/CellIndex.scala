@@ -17,13 +17,18 @@ import graft.sources.Formats
   * runs per sweep, and the reason q82 regressed 1.3→7.9 s at sf0.1.
   *
   * Layout:
-  *   - `<table>`: (vec_id, cluster, qa[, label]) bucketed by
-  *     `cluster` — the within-cluster self-joins every consumer runs
-  *     (pair pruning, kNN candidates) read both sides from the stored
-  *     bucketing with ZERO exchange (PlanSpec-asserted, the q87
-  *     pattern); `label` rides along so q82's (cluster × label)
+  *   - `<table>`: (vec_id, probe, cluster, qa[, label]) bucketed by
+  *     `cluster` — up to [[ProbeCount]] MULTI-PROBE rows per vector
+  *     (round 15: probe 1 is the legacy assignment, probe 2 the
+  *     runner-up cell across the coarse/fine Voronoi boundaries —
+  *     see [[KMeans.assignMultiProbe]]). The within-cluster
+  *     self-joins every consumer runs (pair pruning over ALL probe
+  *     rows, kNN candidates over probe-1) read both sides from the
+  *     stored bucketing with ZERO exchange (PlanSpec-asserted, the
+  *     q87 pattern); `label` rides along so q82's (cluster × label)
   *     blocks need no vec_id-keyed side join that would destroy the
-  *     bucketed partitioning.
+  *     bucketed partitioning; membership consumers go through
+  *     [[readPrimary]].
   *   - `<table>_cents`: the trained geometry — fine (cid, cell, ca)
   *     centroids and active coarse (cid, ca) centroids — what the
   *     APPEND path assigns new vectors against under frozen geometry
@@ -120,12 +125,28 @@ import graft.sources.Formats
 object CellIndex {
 
   /** Bump on any change to the assignment/quantization arithmetic OR
-    * the stamp format. 3 = round-13 column-mapping stamp ([[ColsProp]]
-    * — v2 tables carry no record of which id/vector/label columns they
-    * index, so they re-stamp via one rebuild); 2 = round-12
-    * two-reduction xxhash64 corpus fingerprint.
+    * the stamp format. 4 = round-15 multi-probe rows (the stored
+    * assignment carries a `probe` column — up to [[ProbeCount]] rows
+    * per vector, probe 1 the legacy single assignment, probe 2 the
+    * runner-up cell; a v3 table served to a probe-aware consumer
+    * would silently miss every cross-boundary pair, so it re-stamps
+    * via one rebuild); 3 = round-13 column-mapping stamp
+    * ([[ColsProp]]); 2 = round-12 two-reduction xxhash64 corpus
+    * fingerprint.
     */
-  val FormatVersion = 3
+  val FormatVersion = 4
+
+  /** Probe rows stored per vector (see [[KMeans.assignMultiProbe]]):
+    * probe 1 = the legacy nearest-fine-in-nearest-coarse assignment
+    * (single-assignment consumers filter `probe = 1` — [[readPrimary]]
+    * — and see bit-identical clusters to v3); probe 2 = the nearest
+    * DIFFERENT fine centroid among the two nearest coarse cells, the
+    * round-15 lever that lets the within-cell pair search reach pairs
+    * the coarse/fine Voronoi boundaries split (q129's measured 52-58%
+    * co-location ceiling at cosine 0.95). Recorded in [[GeomProp]] —
+    * changing it is a different assignment arithmetic and rebuilds.
+    */
+  val ProbeCount = 2
   val VersionProp = "graft.cell_format_version"
   val GeomProp = "graft.cell_geometry"
   val CorpusProp = "graft.cell_corpus"
@@ -141,7 +162,7 @@ object CellIndex {
   val EnsureOverFactor = 2.0
 
   private def geomString(k: Int, target: Int, iters: Int, dims: Int): String =
-    s"k=$k,target=$target,iters=$iters,dims=$dims"
+    s"k=$k,target=$target,iters=$iters,dims=$dims,probes=$ProbeCount"
 
   private def colsString(idCol: String, vecCol: String, labelCol: Option[String]): String =
     s"id=$idCol,vec=$vecCol,label=${labelCol.getOrElse("")}"
@@ -179,6 +200,7 @@ object CellIndex {
     g.get("target").contains(target) &&
     g.get("iters").contains(iters) &&
     g.get("dims").contains(dims) &&
+    g.get("probes").contains(ProbeCount) &&
     g.get("k").exists { storedK =>
       storedK >= kMin &&
       n.toDouble / storedK <= EnsureOverFactor * target &&
@@ -371,12 +393,17 @@ object CellIndex {
       dims: Int,
       corpus: Fingerprint,
       table: String,
-      source: Option[String] = None
+      source: Option[String] = None,
+      tick: String => Unit = _ => ()
   ): Unit = {
     val spark = emb.sparkSession
     val q = KMeans.quantizeShifted(emb, idCol, vecCol).localCheckpoint()
-    val st = KMeans.refineTwoLevelState(q, k, iters, dims)
-    val withQa = st.assignment.select(col("vec_id"), col("cluster")).join(q, Seq("vec_id"))
+    tick("quantize")
+    val st = KMeans.refineTwoLevelState(q, k, iters, dims, tick)
+    // multi-probe rows under the trained geometry (probe 1 ≡ the
+    // legacy st.assignment — same arithmetic, same tie-breaks); the
+    // lazy st.assignment frame is simply never executed
+    val withQa = KMeans.assignMultiProbe(q, st.fine, st.activeCoarse, dims)
     val asg = labelCol match {
       case Some(l) =>
         withQa.join(emb.select(col(idCol).as("vec_id"), col(l).as("label")), Seq("vec_id"))
@@ -384,6 +411,7 @@ object CellIndex {
     }
     dropTable(spark, table)
     Formats.writeBucketed(asg, table, "cluster", Buckets)
+    tick("multiprobe_assign_write")
     // frozen quantization scale for the append path, exact to the bit
     val scale = emb
       .select(col(vecCol).cast("array<double>").as("v"))
@@ -408,6 +436,7 @@ object CellIndex {
       )
     dropTable(spark, s"${table}_cents")
     cents.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${table}_cents")
+    tick("cents_write")
     spark.sql(
       s"ALTER TABLE $table SET TBLPROPERTIES (" +
         s"'$VersionProp' = '$FormatVersion', " +
@@ -435,6 +464,16 @@ object CellIndex {
     spark.catalog.refreshTable(table)
     spark.table(table)
   }
+
+  /** The probe-1 rows of [[read]] — one row per vector, the legacy
+    * single assignment every membership-semantics consumer (kNN
+    * blocks, occupancy monitoring, co-location measurement) reads.
+    * The `probe = 1` filter pushes to the parquet scan and preserves
+    * the stored bucket partitioning, so consumers' zero-exchange
+    * plans are unchanged from the single-assignment format.
+    */
+  def readPrimary(spark: SparkSession, table: String): DataFrame =
+    read(spark, table).filter(col("probe") === 1).drop("probe")
 
   /** Append a batch of new vectors ASSIGNED UNDER THE FROZEN GEOMETRY
     * (stored centroids + stored quantization scale — no Lloyd update,
@@ -465,7 +504,7 @@ object CellIndex {
         (if (scale == 0) array_repeat(lit(KMeans.Shift.toLong), size(col("v")))
          else expr(s"transform(v, x -> CAST(round(127 * x / ${java.lang.Double.toString(scale)}, 0) AS BIGINT) + ${KMeans.Shift})")).as("qa")
       )
-      val asg = KMeans.assignFrozen(
+      val asg = KMeans.assignMultiProbe(
         q,
         cents.filter(col("level") === "fine").select(col("cid"), col("cell"), col("ca")),
         cents.filter(col("level") === "coarse").select(col("cid"), col("ca")),
@@ -514,9 +553,10 @@ object CellIndex {
     * pays a measured premium per extra file (r13 priced 1.5× after
     * ONE batch). 4 bounds the premium while amortizing the rewrite
     * over several appends — calibrated by CellAppendProbe's
-    * premium-vs-batch-count chart.
+    * premium-vs-batch-count chart, and shared by every index family
+    * since r15 (Formats.DefaultCompactFilesPerBucket).
     */
-  val CompactFilesPerBucket = 4
+  val CompactFilesPerBucket: Int = Formats.DefaultCompactFilesPerBucket
 
   /** Rewrite the index table's data files back to ONE per bucket when
     * the append cadence has grown them past `maxFilesPerBucket`
@@ -536,48 +576,14 @@ object CellIndex {
     */
   def compact(spark: SparkSession, table: String, maxFilesPerBucket: Int = CompactFilesPerBucket): Boolean =
     synchronized {
-      val meta = spark.sessionState.catalog
-        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
-      val numBuckets = meta.bucketSpec
-        .map(_.numBuckets)
-        .getOrElse(throw new IllegalStateException(s"cell index '$table' is not bucketed"))
-      val loc = new org.apache.hadoop.fs.Path(meta.location)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val nFiles =
-        if (!fs.exists(loc)) 0
-        else fs.listStatus(loc).count(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      if (nFiles <= maxFilesPerBucket.toLong * numBuckets) false
-      else {
-        val props = meta.properties
-        val keyCols = meta.bucketSpec.get.bucketColumnNames
-        require(keyCols.size == 1, s"cell index '$table' has a composite bucket key: $keyCols")
-        // write-to-temp + catalog swap, NOT materialize-drop-rewrite: a
-        // checkpoint of the whole index before dropping its files would
-        // hold the entire table in executor memory — the compaction
-        // would then be the one maintenance step that cannot run at the
-        // scale the index exists for. The temp write streams the old
-        // files through one shuffle; the swap window is the same
-        // documented race surface as the monitor's retrain.
-        val tmp = s"${table}_compact_tmp"
-        dropTable(spark, tmp)
-        // read the data FILES, not the catalog table: a bucketed-table
-        // scan advertises HashPartitioning(key, n), which lets the
-        // optimizer remove writeBucketed's layout repartition as
-        // redundant — and the auto-bucketed-scan heuristic may then
-        // read plain file splits anyway, writing multiple files per
-        // bucket (measured 19 files for 16 buckets). The path read
-        // makes no partitioning claim, so the one-task-per-bucket
-        // repartition survives and the rewrite restores exactly one
-        // file per non-empty bucket.
-        Formats.writeBucketed(spark.read.parquet(meta.location.toString), tmp, keyCols.head, numBuckets)
-        val stamps = Seq(VersionProp, GeomProp, ColsProp, CorpusProp, SourceProp)
-          .flatMap(p => props.get(p).map(v => s"'$p' = '$v'"))
-        if (stamps.nonEmpty)
-          spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES (${stamps.mkString(", ")})")
-        dropTable(spark, table)
-        spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-        true
-      }
+      // the shared index-family compaction (round 15 — Formats):
+      // streamed temp-table rewrite, every graft.* stamp preserved
+      // verbatim, rename-aside swap so a crash at any point leaves a
+      // complete table recoverable by ONE rename, and a RELATIVE
+      // trigger (files > last-compacted + threshold × buckets) so a
+      // bucket that legitimately holds several MaxRecordsPerFile
+      // splits never re-triggers a full rewrite on every batch
+      Formats.compactBucketed(spark, table, maxFilesPerBucket)
     }
 
   /** The maintenance cadence as ONE entry point (closes r12 verdict
@@ -660,7 +666,10 @@ object CellIndex {
       overFactor: Double = 2.0
   ): Boolean = synchronized {
     val spark = emb.sparkSession
-    val maxOcc = read(spark, table)
+    // occupancy = MEMBERSHIP (probe-1 rows): probe-2 rows are bounded
+    // at one per member, so pair-cost stays within the declared
+    // (ProbeCount·occupancy)² envelope whenever membership is in band
+    val maxOcc = readPrimary(spark, table)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"))
       .agg(coalesce(max(col("n")), lit(0L)))

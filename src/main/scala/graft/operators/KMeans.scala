@@ -153,7 +153,13 @@ object KMeans {
     * scale; a cutoff is 8 bytes). The filter pushes to the scan and
     * the seed frame needs no broadcast join.
     */
-  def refineTwoLevelState(q: DataFrame, k: Int, iters: Int, dims: Int): TwoLevelState = {
+  def refineTwoLevelState(
+      q: DataFrame,
+      k: Int,
+      iters: Int,
+      dims: Int,
+      tick: String => Unit = _ => ()
+  ): TwoLevelState = {
     require(k > 0, s"need k > 0; got k=$k")
     val cuts = scala.collection.mutable.Map[Int, Long]()
     refineTwoLevelImpl(
@@ -164,7 +170,8 @@ object KMeans {
       m => {
         val cut = cuts.getOrElseUpdate(m, OrderStatistic.kthSmallest(q, "vec_id", m))
         q.filter(col("vec_id") <= cut)
-      }
+      },
+      tick
     )
   }
 
@@ -178,18 +185,24 @@ object KMeans {
 
   /** Shared two-level body: `seedsOf(m)` returns the m seed rows
     * (vec_id, qa, ...) of `q` — the dense-id filter for the default
-    * path, the rank prefix for [[refineTwoLevelRankSeeded]].
+    * path, the rank prefix for [[refineTwoLevelRankSeeded]]. `tick`
+    * fires at each phase's MATERIALIZATION boundary (the eager
+    * localCheckpoints that structure the computation anyway), so a
+    * build probe can decompose wall-clock per phase with zero extra
+    * work when unused (the default is a no-op).
     */
   private def refineTwoLevelImpl(
       q: DataFrame,
       k: Int,
       iters: Int,
       dims: Int,
-      seedsOf: Int => DataFrame
+      seedsOf: Int => DataFrame,
+      tick: String => Unit = _ => ()
   ): TwoLevelState = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val nc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val coarse = refineCentroidsFrom(q, seedsOf(nc), nc, iters, dims)
+    tick("coarse_train")
     // fine seeds assigned against ALL coarse cells once (k·√k work)
     var fine = assign(seedsOf(k), coarse, dims)
       .select(col("vec_id").as("cid"), col("cluster").as("cell"), col("qa").as("ca"))
@@ -200,6 +213,7 @@ object KMeans {
       s"two-level k-means seeding expects $k seed vectors present after quantizeShifted's " +
         s"degenerate-vector filter; found $nSeeds of $k — re-id the corpus or lower k"
     )
+    tick("fine_seed_assign")
     val active = fine.select(col("cell").as("cid")).distinct()
     val activeCents = coarse.join(active, Seq("cid"))
     // the fixed coarse partition every fine round (and the final
@@ -207,6 +221,7 @@ object KMeans {
     val vcell = assign(q, activeCents, dims)
       .select(col("vec_id"), col("qa"), col("cluster").as("cell"))
       .localCheckpoint()
+    tick("coarse_assign")
     def fineAssign(f: DataFrame): DataFrame =
       vcell
         .join(f, Seq("cell"))
@@ -230,6 +245,7 @@ object KMeans {
         .select(col("cid"), col("cell"), coalesce(col("nca"), col("ca")).as("ca"))
         .localCheckpoint()
     }
+    tick("fine_rounds")
     TwoLevelState(
       fineAssign(fine).select(col("vec_id"), col("cluster"), col("d2").as("dist2")),
       fine,
@@ -255,6 +271,110 @@ object KMeans {
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("qa")).as("qa"))
       .select(col("vec_id"), col("m.cid").as("cluster"), col("qa"))
+  }
+
+  /** MULTI-PROBE assignment under a frozen two-level geometry — the
+    * round-15 lever against SemDeDup's measured co-location ceiling
+    * (a 0.95-cosine pair co-clustered only 52-58% of the time under
+    * single assignment, and the failure is BOUNDARY geometry: r14
+    * measured the cluster-size knob dead). Each vector gets up to TWO
+    * probe rows:
+    *
+    *   - probe 1 — the legacy assignment exactly: nearest fine
+    *     centroid within the nearest coarse cell (same lexicographic
+    *     (d2, cid) tie-breaks, so every single-assignment consumer
+    *     reads probe-1 rows and sees bit-identical clusters);
+    *   - probe 2 — the nearest fine centroid with a DIFFERENT cid
+    *     among the union of the vector's TWO nearest coarse cells'
+    *     fine centroids. A pair split at the coarse Voronoi boundary
+    *     has both members near that boundary, so each member's
+    *     runner-up coarse cell is typically the partner's — and a
+    *     pair split at a FINE boundary inside one coarse cell gets
+    *     the adjacent fine cell when that is the true runner-up. The
+    *     geometry decides which failure mode each vector's probe-2
+    *     covers. Absent when no second candidate exists (one active
+    *     coarse cell holding one fine seed).
+    *
+    * The within-cell pair search then joins ALL probe rows on the
+    * cell id: a true pair is compared when ANY probe cell is shared —
+    * candidate volume is bounded by (probes·occupancy)²/2 per cell,
+    * a constant factor ≤4 over single assignment, never anything
+    * pair-proportional in a shuffle, and the rows are PERSISTED by
+    * [[CellIndex]] so the pair join still reads the stored bucketing
+    * with zero exchange.
+    *
+    * Cost shape: one coarse pass (N·√k dots, the top-2 collapsed
+    * map-side by the native graft_min2 aggregate — ≤2 rows per vector
+    * reach the shuffle) and one fine pass over BOTH probed cells'
+    * candidates (N·2√k dots, again aggregate-collapsed). No window
+    * over the candidate fan-out, no argmin re-join.
+    *
+    * Returns (vec_id, probe, cluster, qa), probe ∈ {1, 2}.
+    */
+  def assignMultiProbe(q: DataFrame, fine: DataFrame, activeCoarse: DataFrame, dims: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(q.sparkSession)
+    import graft.functions.GraftFunctions.min2
+    val sentinel = Long.MaxValue
+    val cd = q
+      .crossJoin(broadcast(activeCoarse.select(col("cid"), col("ca"))))
+      .withColumn("d2", dist2(col("qa"), col("ca"), dims))
+    val top2 = cd
+      .groupBy(col("vec_id"))
+      .agg(min2(col("d2"), col("cid")).as("m2"), first(col("qa")).as("qa"))
+    val vcell = top2
+      .select(
+        col("vec_id"),
+        col("qa"),
+        explode(
+          filter(
+            array(
+              struct(lit(1).as("crank"), element_at(col("m2"), 2).as("cell")),
+              struct(lit(2).as("crank"), element_at(col("m2"), 4).as("cell"))
+            ),
+            s => s.getField("cell") =!= lit(sentinel)
+          )
+        ).as("pc")
+      )
+      .select(col("vec_id"), col("qa"), col("pc.crank").as("crank"), col("pc.cell").as("cell"))
+    val cand = vcell
+      .join(fine, Seq("cell"))
+      .withColumn("d2", dist2(col("qa"), col("ca"), dims))
+    // ONE aggregate carries both the legacy argmin (null-skipping min
+    // over the crank-1 candidates) and the union top-2; the secondary
+    // is then min-over-union-excluding-primary by case analysis (per
+    // vector all candidate cids are distinct — fine seeds pin to one
+    // cell — so the union top-2 IS the top-2 distinct-cid minima)
+    val agg = cand
+      .groupBy(col("vec_id"))
+      .agg(
+        min(when(col("crank") === 1, struct(col("d2"), col("cid")))).as("prim"),
+        min2(col("d2"), col("cid")).as("u"),
+        first(col("qa")).as("qa")
+      )
+    val u1 = element_at(col("u"), 2)
+    val u2 = element_at(col("u"), 4)
+    // if the union's best IS the primary, the runner-up is the union's
+    // second; otherwise the union's best already has a different cid
+    // and dominates every other non-primary candidate
+    val secCid = when(
+      u1 === col("prim").getField("cid"),
+      when(u2 === lit(sentinel), lit(null).cast("long")).otherwise(u2)
+    ).otherwise(u1)
+    agg
+      .select(
+        col("vec_id"),
+        col("qa"),
+        explode(
+          filter(
+            array(
+              struct(lit(1).as("probe"), col("prim").getField("cid").as("cluster")),
+              struct(lit(2).as("probe"), secCid.as("cluster"))
+            ),
+            s => s.getField("cluster").isNotNull
+          )
+        ).as("pr")
+      )
+      .select(col("vec_id"), col("pr.probe").as("probe"), col("pr.cluster").as("cluster"), col("qa"))
   }
 
   /** The refined centroid frame (cid, ca) after T Lloyd rounds — the

@@ -50,17 +50,53 @@ object DedupSimQueries {
   def annPlanesFor(n: Long): Int =
     (2 to MaxAnnPlanes).find(p => (AnnBucketTarget.toLong << p) >= n).getOrElse(MaxAnnPlanes)
   val Dims = 64
-  // q34 blocking: 16 hyperplane tables whose per-table PLANE COUNT
+  // q34 blocking: hyperplane tables whose per-table PLANE COUNT
   // scales with the corpus (see Dedup.embeddingNearDupsLsh and
   // embPlanesFor) — bucket occupancy stays ~SemClusterTarget at any
   // N, so candidate volume is ~Tables·Target/2 rows per vector,
-  // linear in N. 16 tables buy multi-table recall ≈ 1-(1-p^m)^16 for
-  // the loose τ = 0.4 borderline pairs. MaxEmbPlanes = 20 serves
-  // 64·2^20 ≈ 67M vectors; EmbPlaneBase keeps the plane-id space
-  // disjoint from q36's ANN tables.
-  val EmbLshTables = 16
+  // linear in N. MaxEmbPlanes = 20 serves 64·2^20 ≈ 67M vectors;
+  // EmbPlaneBase keeps the plane-id space disjoint from q36's ANN
+  // tables.
+  //
+  // The TABLE COUNT scales with the corpus too (round 15): at fixed
+  // L = 16, the r14 MEASUREMENT showed per-pair recall losing one
+  // plane-step per data doubling — R(0.90) = 0.940 at m=12, 0.853 at
+  // m=14, projecting ~0.64 by m=18 — i.e. the flagship high-cosine
+  // recall quietly decayed toward 100 TB. The validated union law
+  // R(c) = 1-(1-q^m)^L makes the fix a solved equation: L(m) =
+  // smallest table count holding R(RecallContractCosine) ≥
+  // RecallContractTarget at the corpus's own m. L multiplies the
+  // explode/candidate volume linearly (the declared, measured price
+  // of holding recall — L(7) = 6 at sf0.1, L(12) = 14 at 100×,
+  // L(14) = 19 at 256×, L(16) = 27 at 1024×), and the law table is
+  // spec-pinned against the planted-family measurement. Above
+  // MaxEmbTables (m ≥ 23, N ≈ 0.5B vectors at target 64) the cap
+  // binds and the contract DECLARES decay again — at that scale the
+  // q129 multi-probe cell route (flat, N-independent catch rate) is
+  // the designated primary.
+  val RecallContractCosine = 0.90
+  val RecallContractTarget = 0.90
+  val MaxEmbTables = 64
   val MaxEmbPlanes = 20
   val EmbPlaneBase = 1000
+
+  /** Smallest L in [1, MaxEmbTables] with 1-(1-q^m)^L ≥
+    * [[RecallContractTarget]] at q = 1-arccos([[RecallContractCosine]])/π
+    * — the multi-table union law solved for the table count. Computed
+    * by iteration (no float-boundary ceil), driver-side only: the
+    * oracle receives the same Scala-computed values as CASE branches,
+    * so no cross-engine float arithmetic decides geometry.
+    */
+  def embTablesForPlanes(m: Int): Int = {
+    val q = 1.0 - math.acos(RecallContractCosine) / math.Pi
+    val qm = math.pow(q, m)
+    (1 to MaxEmbTables)
+      .find(l => 1.0 - math.pow(1.0 - qm, l) >= RecallContractTarget)
+      .getOrElse(MaxEmbTables)
+  }
+
+  /** The corpus-scaled q34 table count: L(embPlanesFor(n)). */
+  def embTablesFor(n: Long): Int = embTablesForPlanes(embPlanesFor(n))
 
   /** SPARK_GRAFT_PIN_EMB_PLANES, read ONCE at class load (r12 advice:
     * a per-call env read could silently flip mid-run and nothing
@@ -142,10 +178,12 @@ object DedupSimQueries {
     * builds, everyone else — including later sessions — reads the
     * cluster-bucketed table; stamps detect corpus/geometry drift and
     * rebuild). Round 10 re-trained this partition inside every
-    * consumer — 4 duplicated clustering runs per sweep. Returns
-    * (vec_id, cluster, qa, label).
+    * consumer — 4 duplicated clustering runs per sweep. Returns the
+    * MULTI-PROBE rows (vec_id, probe, cluster, qa, label) — round
+    * 15; the pair-searching consumers (q129/q138 stage 3) join over
+    * every probe row, membership consumers take [[cellAssignment]].
     */
-  private def cellAssignment(s: SparkSession, dir: String): DataFrame =
+  private def cellAssignmentProbes(s: SparkSession, dir: String): DataFrame =
     graft.operators.CellIndex.ensure(
       Tables.embeddings(s, dir),
       "vec_id",
@@ -158,25 +196,33 @@ object DedupSimQueries {
       cellIndexTable(dir)
     )
 
+  /** The probe-1 (membership) rows of [[cellAssignmentProbes]] — one
+    * row per vector, bit-identical clusters to the pre-multi-probe
+    * format: what q82/q133/q142 block and monitor on. The probe
+    * filter pushes to the bucketed scan, so their zero-exchange plans
+    * are unchanged.
+    */
+  private def cellAssignment(s: SparkSession, dir: String): DataFrame =
+    cellAssignmentProbes(s, dir).filter(col("probe") === 1).drop("probe")
+
   /** Bench/ops hooks for the shared cell partition: an explicit
     * (timed) build and its drop — the one-off ingest cost gets its own
     * bench entry instead of hiding in the first consumer's pass-1
-    * number (r11 verdict #2).
+    * number (r11 verdict #2). Returns the multi-probe rows.
     */
-  private[graft] def cellIndexEnsure(s: SparkSession, dir: String): DataFrame = cellAssignment(s, dir)
+  private[graft] def cellIndexEnsure(s: SparkSession, dir: String): DataFrame = cellAssignmentProbes(s, dir)
   private[graft] def cellIndexDrop(s: SparkSession, dir: String): Unit =
     graft.operators.CellIndex.drop(s, cellIndexTable(dir))
 
-  /** The SemDeDup prune shared by q129 and the q138 pipeline: given
-    * the quantized frame and a (vec_id, cluster, ...) assignment, a
-    * vector is DROPPED when an earlier (smaller-id) same-cluster
-    * vector is τ-similar on the centered quantized cosine — exact
-    * BIGINT compare (den²·dot² ≥ num²·|a|²·|b|², dot > 0),
-    * deterministic keep-lowest-id rule. Returns (vec_id, cluster,
-    * kept).
+  /** The SemDeDup prune shared by q129 and the q138 pipeline, over
+    * the MULTI-PROBE rows: a vector is DROPPED when an earlier
+    * (smaller-id) vector sharing ANY probe cell is τ-similar on the
+    * centered quantized cosine — exact BIGINT compare (den²·dot² ≥
+    * num²·|a|²·|b|², dot > 0), deterministic keep-lowest-id rule.
+    * Returns (vec_id, cluster, kept), cluster = primary.
     */
-  private def semDedupOutput(q: DataFrame, assignment: DataFrame): DataFrame =
-    graft.dedup.DedupPipeline.semDedup(q, assignment, Dims, SemDedupTauNum, SemDedupTauDen)
+  private def semDedupOutput(probeAsg: DataFrame): DataFrame =
+    graft.dedup.DedupPipeline.semDedup(probeAsg, Dims, SemDedupTauNum, SemDedupTauDen)
 
   private def shingles3(s: SparkSession, dir: String): DataFrame =
     Dedup
@@ -258,10 +304,13 @@ object DedupSimQueries {
     "q34_dedup_embedding" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
       val emb = Tables.embeddings(s, dir)
-      val planes = embPlanesFor(emb.count())
+      // ONE sizing count derives BOTH geometry knobs: planes m (bucket
+      // occupancy ~target at any N) and tables L (the union law solved
+      // for R(0.90) ≥ 0.9 at that m — round 15; see embTablesForPlanes)
+      val n = emb.count()
       Dedup.embeddingNearDupsLsh(
         emb, "vec_id", "embedding", "label",
-        CosineThreshold, EmbLshTables, planes, MaxEmbPlanes, EmbPlaneBase, Dims)
+        CosineThreshold, embTablesFor(n), embPlanesFor(n), MaxEmbPlanes, EmbPlaneBase, Dims)
     },
 
     // q35: exact top-k cosine ANN baseline — 5 fixed probes broadcast
@@ -785,30 +834,34 @@ object DedupSimQueries {
     // (measured 5.6× at a 10× scale-up in round 9) and whose k
     // broadcast centroids stop being literal-codegen-able at 1e8+
     // vectors. The prune stage is shape-identical either way.
-    // RECALL CEILING (round 14, measured via the planted families):
-    // SemDeDup only compares WITHIN a cluster, so its recall at any
-    // cosine is capped by the co-location probability of true pairs
-    // under the k-means partition — measured 0.58 co-cluster / 0.75
-    // caught at cosine 0.95 (0.29/0.60 at 0.85) at 100× with the
-    // target-64 two-level geometry. That ceiling is N-independent
-    // (occupancy-targeted k keeps cluster radii stable), which is the
-    // route's scale story vs q34's m-decaying LSH recall — see the
-    // crossover note in Dedup.embeddingNearDupsLsh's contract.
-    // THE OBVIOUS KNOB DOES NOT MOVE IT: rebuilding at 4× the target
-    // (256 — 4× the within-cluster dots) left co-location essentially
-    // unchanged (0.541 vs 0.578 at cosine 0.95; 0.385 vs 0.381 at
-    // 0.90 — SCALING_r14 cocluster_at_target_x4), so the cap is the
-    // partition's BOUNDARY GEOMETRY (a pair split at the coarse √k
-    // Voronoi level can never co-cluster at the fine level), not
-    // occupancy. Buying SemDeDup recall means multi-probe assignment
-    // (compare against the runner-up cell too), not bigger clusters.
+    // RECALL (round 14 measured the ceiling, round 15 bought it back
+    // with MULTI-PROBE): under single assignment SemDeDup only
+    // compares WITHIN a cluster, so its recall at any cosine is
+    // capped by the pair co-location probability — measured 0.58
+    // co-cluster / 0.75 caught at cosine 0.95 at 100× with the
+    // target-64 two-level geometry, and the obvious knob is DEAD
+    // (4× the cluster target left co-location at 0.541 vs 0.578 —
+    // SCALING_r14 cocluster_at_target_x4): the cap is the partition's
+    // BOUNDARY GEOMETRY (a pair split at the coarse √k Voronoi level
+    // could never co-cluster at the fine level), not occupancy. The
+    // index therefore stores MULTI-PROBE rows (round 15,
+    // KMeans.assignMultiProbe): probe 1 = the legacy assignment,
+    // probe 2 = the nearest different fine centroid among the two
+    // nearest coarse cells, and the prune compares every pair sharing
+    // ANY probe cell — boundary-split pairs meet through either
+    // member's runner-up cell at a candidate cost bounded by
+    // ProbeCount² and measured by the q129 volume points
+    // (RecallProbe's semdedup_planted grades the catch rate against
+    // the planted truth). The ceiling that remains is still
+    // N-independent (occupancy-targeted k keeps cluster radii
+    // stable) — the route's scale story vs q34's m-decaying LSH
+    // recall; see the crossover note in embeddingNearDupsLsh.
     "q129_semantic_dedup" -> { (s, dir) =>
       // the partition comes from the persisted ingest artifact (built
-      // once per corpus — see cellAssignment); the index row IS the
-      // quantized vector + its cluster, so the prune needs no
+      // once per corpus — see cellAssignmentProbes); the index row IS
+      // the quantized vector + its probe cell, so the prune needs no
       // re-quantization pass
-      val idx = cellAssignment(s, dir)
-      semDedupOutput(idx.select(col("vec_id"), col("qa")), idx.select(col("vec_id"), col("cluster")))
+      semDedupOutput(cellAssignmentProbes(s, dir).select(col("vec_id"), col("probe"), col("cluster"), col("qa")))
     },
 
     // q128: ANN recall@k evaluation — the harness that certifies an
@@ -978,7 +1031,7 @@ object DedupSimQueries {
         Tables.documents(s, dir),
         "doc_id",
         "text",
-        cellAssignment(s, dir),
+        cellAssignmentProbes(s, dir),
         SubstrGramLen,
         Dims,
         SemDedupTauNum,
@@ -1084,13 +1137,27 @@ object DedupSimQueries {
     * sem_rank), fused output) — one definition shared by q140 and the
     * q141 eval. See the q140 map entry comment for the full design.
     */
-  private def hybridFrames(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  private def hybridFrames(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    hybridFramesFor(s, dir, 0L until FusionProbes.toLong)
+
+  /** [[hybridFrames]] over an EXPLICIT probe-id set — the FusionProbe
+    * measurement runs the identical machinery over the planted
+    * cross-modal bases instead of the fixed doc_id < 5 convention.
+    * Probe ids must fit Int (the Bm25 query-id type); the planted
+    * bases are replica-0 original ids, well inside.
+    */
+  private[graft] def hybridFramesFor(
+      s: SparkSession,
+      dir: String,
+      probeIds: Seq[Long]
+  ): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    require(probeIds.nonEmpty && probeIds.forall(id => id >= 0 && id <= Int.MaxValue), s"bad probe ids: $probeIds")
     graft.functions.GraftFunctions.ensureRegistered(s)
     val docs = Tables.documents(s, dir)
     val tokenRe = graft.search.Bm25Index.TokenPattern.r
     val probeQueries = docs
-      .filter(col("doc_id") < FusionProbes)
+      .filter(col("doc_id").isin(probeIds: _*))
       .select(col("doc_id"), col("text"))
       .collect()
       .sortBy(_.getLong(0))
@@ -1108,7 +1175,7 @@ object DedupSimQueries {
       .localCheckpoint()
     val e = embDouble(s, dir)
     val sem = Similarity
-      .ivfTopK(e, e.filter(col("vec_id") < FusionProbes), FusionTopK, IvfCells, IvfNprobe)
+      .ivfTopK(e, e.filter(col("vec_id").isin(probeIds: _*)), FusionTopK, IvfCells, IvfNprobe)
       .select(col("probe_id").as("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
       .localCheckpoint()
     val wFuse = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id").asc)
@@ -1225,12 +1292,17 @@ object DedupSimQueries {
   private def dot(a: String, b: String) = dotSql.format(a, b)
 
   /** q34 oracle: mirror of the corpus-scaled
-    * Dedup.embeddingNearDupsLsh — the plane count re-derived from the
-    * oracle's own count(*) through the SAME CASE chain embPlanesFor
-    * walks (integer thresholds, no log2), bucket bits from the
-    * identical seeded hyperplane literals (the q36 planeLit pattern;
-    * id range EmbPlaneBase + tbl·MaxEmbPlanes), then the unchanged
-    * normalize-then-dot cosine over DISTINCT a<b candidates.
+    * Dedup.embeddingNearDupsLsh — the plane count AND the table count
+    * re-derived from the oracle's own count(*) through the SAME CASE
+    * chains embPlanesFor/embTablesFor walk (integer thresholds plus
+    * Scala-precomputed L(m) values — no float arithmetic decides
+    * geometry inside SQL), bucket bits from the identical seeded
+    * hyperplane literals (the q36 planeLit pattern; id range
+    * EmbPlaneBase + tbl·MaxEmbPlanes), then the unchanged
+    * normalize-then-dot cosine over DISTINCT a<b candidates. Table
+    * branches beyond the corpus's L are gated by `tbl < cnt.tables`
+    * (a 1-row filter — the dead branches join against zero cnt rows
+    * and never evaluate a plane dot).
     */
   private lazy val q34Sql: String = {
     def planeLit(id: Int): String =
@@ -1238,17 +1310,23 @@ object DedupSimQueries {
     val planeCases = (2 to MaxEmbPlanes)
       .map(p => s"WHEN nn <= ${SemClusterTarget.toLong << p} THEN $p")
       .mkString(" ")
+    val tableCases = (2 to MaxEmbPlanes)
+      .map(p => s"WHEN nn <= ${SemClusterTarget.toLong << p} THEN ${embTablesForPlanes(p)}")
+      .mkString(" ")
     def bucketSql(t: Int): String =
       (0 until MaxEmbPlanes)
         .map { j =>
           s"(CASE WHEN $j < cnt.planes AND ${dot("v", planeLit(EmbPlaneBase + t * MaxEmbPlanes + j))} > 0 THEN ${1 << j} ELSE 0 END)"
         }
         .mkString(" + ")
-    val kb = (0 until EmbLshTables)
-      .map(t => s"SELECT vec_id, label, $t AS tbl, ${bucketSql(t)} AS bucket FROM e CROSS JOIN cnt")
+    val kb = (0 until embTablesForPlanes(MaxEmbPlanes))
+      .map(t =>
+        s"SELECT vec_id, label, $t AS tbl, ${bucketSql(t)} AS bucket FROM e CROSS JOIN cnt WHERE $t < cnt.tables"
+      )
       .mkString("\nUNION ALL\n")
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-       |cnt AS (SELECT CASE $planeCases ELSE $MaxEmbPlanes END AS planes
+       |cnt AS (SELECT CASE $planeCases ELSE $MaxEmbPlanes END AS planes,
+       |               CASE $tableCases ELSE ${embTablesForPlanes(MaxEmbPlanes)} END AS tables
        |        FROM (SELECT count(*) AS nn FROM e)),
        |n AS (SELECT vec_id, list_transform(v, x -> x / norm) nv
        |      FROM (SELECT vec_id, v, sqrt(${dot("v", "v")}) norm FROM e)),
@@ -1588,7 +1666,8 @@ object DedupSimQueries {
   private def kmTwoLevelCtes(
       kExpr: String,
       srcTable: String = "embeddings",
-      rankSeeded: Boolean = false
+      rankSeeded: Boolean = false,
+      multiProbe: Boolean = false
   ): String = {
     val T = KmeansIters
     def fineRound(n: Int): String =
@@ -1615,21 +1694,47 @@ object DedupSimQueries {
            |  WHERE __rn <= $mExpr)""".stripMargin
       else s"$qualifiedId < $mExpr"
     val ncFilter = seedPred("vec_id", s"(SELECT CAST(ceil(sqrt($kExpr)) AS BIGINT) FROM q)")
-    s"""${kmClusterCtes(ncFilter, srcTable)},
-       |f0 AS MATERIALIZED (SELECT a.vec_id AS cid, a.cid AS cell, a.qa AS ca
-       |       FROM a${T + 1} a WHERE a.rn = 1 AND ${seedPred("a.vec_id", kExpr)}),
-       |act AS (SELECT DISTINCT cell FROM f0),
-       |acents AS (SELECT c.cid, c.ca FROM c$T c JOIN act ON act.cell = c.cid),
-       |vcell AS MATERIALIZED (SELECT vec_id, qa, cid AS cell FROM (
-       |          SELECT q.vec_id, q.qa, c.cid,
-       |                 row_number() OVER (PARTITION BY q.vec_id
-       |                                    ORDER BY ${kmD2Sql("q.qa", "c.ca")} ASC, c.cid ASC) AS rn
-       |          FROM q CROSS JOIN acents c) WHERE rn = 1),
-       |${(1 to T).map(fineRound).mkString(",\n")},
-       |fa${T + 1} AS MATERIALIZED (SELECT vec_id, qa, cell, cid, d2,
-       |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
-       |FROM (SELECT v.vec_id, v.qa, v.cell, f.cid, ${kmD2Sql("v.qa", "f.ca")} AS d2
-       |      FROM vcell v JOIN f$T f ON f.cell = v.cell))""".stripMargin
+    // the coarse assignment keeps the TOP-2 cells per vector (crank ≤
+    // 2): crank 1 feeds the fine Lloyd rounds and the legacy
+    // assignment exactly as before; crank 2 exists for the optional
+    // multi-probe CTEs below (unreferenced otherwise)
+    val base =
+      s"""${kmClusterCtes(ncFilter, srcTable)},
+         |f0 AS MATERIALIZED (SELECT a.vec_id AS cid, a.cid AS cell, a.qa AS ca
+         |       FROM a${T + 1} a WHERE a.rn = 1 AND ${seedPred("a.vec_id", kExpr)}),
+         |act AS (SELECT DISTINCT cell FROM f0),
+         |acents AS (SELECT c.cid, c.ca FROM c$T c JOIN act ON act.cell = c.cid),
+         |vcellr AS MATERIALIZED (SELECT vec_id, qa, cell, crank FROM (
+         |          SELECT q.vec_id, q.qa, c.cid AS cell,
+         |                 row_number() OVER (PARTITION BY q.vec_id
+         |                                    ORDER BY ${kmD2Sql("q.qa", "c.ca")} ASC, c.cid ASC) AS crank
+         |          FROM q CROSS JOIN acents c) WHERE crank <= 2),
+         |vcell AS MATERIALIZED (SELECT vec_id, qa, cell FROM vcellr WHERE crank = 1),
+         |${(1 to T).map(fineRound).mkString(",\n")},
+         |fa${T + 1} AS MATERIALIZED (SELECT vec_id, qa, cell, cid, d2,
+         |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+         |FROM (SELECT v.vec_id, v.qa, v.cell, f.cid, ${kmD2Sql("v.qa", "f.ca")} AS d2
+         |      FROM vcell v JOIN f$T f ON f.cell = v.cell))""".stripMargin
+    if (!multiProbe) base
+    else
+      // MULTI-PROBE probe rows (the KMeans.assignMultiProbe twin):
+      // probe 1 = the legacy assignment (fa rn=1); probe 2 = the
+      // nearest DIFFERENT fine centroid among the union of the two
+      // nearest coarse cells' fine centroids (uc = candidates over
+      // crank ≤ 2, argmin excluding the primary cid)
+      base +
+        s""",
+           |uc AS MATERIALIZED (SELECT v.vec_id, f.cid, ${kmD2Sql("v.qa", "f.ca")} AS d2
+           |       FROM vcellr v JOIN f$T f ON f.cell = v.cell),
+           |prim AS (SELECT vec_id, cid FROM fa${T + 1} WHERE rn = 1),
+           |sec AS (SELECT vec_id, cid FROM (
+           |          SELECT u.vec_id, u.cid,
+           |                 row_number() OVER (PARTITION BY u.vec_id ORDER BY u.d2 ASC, u.cid ASC) AS srn
+           |          FROM uc u JOIN prim p ON p.vec_id = u.vec_id AND u.cid <> p.cid)
+           |        WHERE srn = 1),
+           |probes AS (SELECT vec_id, CAST(1 AS BIGINT) AS probe, cid AS cluster FROM prim
+           |           UNION ALL
+           |           SELECT vec_id, CAST(2 AS BIGINT) AS probe, cid AS cluster FROM sec)""".stripMargin
   }
 
   /** q129 oracle: the two-level Lloyd chain with the DYNAMIC seed
@@ -1647,19 +1752,32 @@ object DedupSimQueries {
     * but only among docs its earlier stages kept); the drop rule
     * itself is identical.
     */
+  /** The SemDeDup prune CTEs shared by q129 and q138 — MULTI-PROBE
+    * since round 15: `asg` (the PRIMARY assignment + centered norms,
+    * what the output stitch reads) and `pasg` (one row per PROBE from
+    * the `probes` CTE — kmTwoLevelCtes(multiProbe = true) — the pair
+    * source: a vector is dropped when an earlier vector sharing ANY
+    * probe cell is τ-similar). `survSrc` (q138) restricts BOTH to a
+    * survivor id list first (`sasg`/`spasg`).
+    */
   private def semAsgDropCtes(survSrc: Option[String] = None): String = {
+    val n2 =
+      s"CAST(list_sum(list_transform(q.qa, x -> (x - ${KMeans.Shift}) * (x - ${KMeans.Shift}))) AS BIGINT)"
     val asg =
-      s"""asg AS (SELECT a.vec_id, a.cid AS cluster, q.qa,
-         |               CAST(list_sum(list_transform(q.qa, x -> (x - ${KMeans.Shift}) * (x - ${KMeans.Shift}))) AS BIGINT) AS n2
-         |        FROM (SELECT vec_id, cid FROM fa${KmeansIters + 1} WHERE rn = 1) a JOIN q USING (vec_id))""".stripMargin
+      s"""asg AS (SELECT a.vec_id, a.cid AS cluster, q.qa, $n2 AS n2
+         |        FROM (SELECT vec_id, cid FROM fa${KmeansIters + 1} WHERE rn = 1) a JOIN q USING (vec_id)),
+         |pasg AS (SELECT p.vec_id, p.cluster, q.qa, $n2 AS n2
+         |         FROM probes p JOIN q USING (vec_id))""".stripMargin
     val (pairSrc, filterCte) = survSrc match {
-      case None => ("asg", "")
+      case None => ("pasg", "")
       case Some(sv) =>
         (
-          "sasg",
+          "spasg",
           s""",
              |sasg AS (SELECT a.vec_id, a.cluster, a.qa, a.n2
-             |         FROM asg a JOIN $sv s ON s.doc_id = a.vec_id)""".stripMargin
+             |         FROM asg a JOIN $sv s ON s.doc_id = a.vec_id),
+             |spasg AS (SELECT a.vec_id, a.cluster, a.qa, a.n2
+             |          FROM pasg a JOIN $sv s ON s.doc_id = a.vec_id)""".stripMargin
         )
     }
     s"""$asg$filterCte,
@@ -1676,7 +1794,7 @@ object DedupSimQueries {
   }
 
   private lazy val q129Sql: String =
-    s"""WITH ${kmTwoLevelCtes(kmKSub)},
+    s"""WITH ${kmTwoLevelCtes(kmKSub, multiProbe = true)},
        |${semAsgDropCtes()}
        |SELECT asg.vec_id, asg.cluster, (d.vec_id IS NULL) AS kept
        |FROM asg LEFT JOIN dropped d ON d.vec_id = asg.vec_id""".stripMargin
@@ -2123,7 +2241,7 @@ object DedupSimQueries {
          |               CAST(coalesce(cl.kept_tokens, 0) AS BIGINT) AS kept_tokens
          |        FROM b LEFT JOIN cl USING (doc_id)),
          |surv2 AS (SELECT doc_id FROM st2 WHERE kept_tokens > 0),
-         |${kmTwoLevelCtes(kmKSub)},
+         |${kmTwoLevelCtes(kmKSub, multiProbe = true)},
          |${semAsgDropCtes(Some("surv2"))}
          |SELECT stage1.doc_id,
          |       CASE WHEN stage1.exact_dup THEN 'exact'

@@ -19,31 +19,66 @@ class CellIndexSpec extends AnyFunSuite {
 
   private def emb = Tables.embeddings(spark, sf)
 
-  test("ensure() builds once and returns exactly the two-level assignment + quantized vectors") {
+  test("ensure() builds once; probe-1 rows ARE the two-level assignment, probe-2 the verified runner-up cell") {
     spark.sql(s"DROP TABLE IF EXISTS $T")
-    val idx = CellIndex
+    val full = CellIndex
       .ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, T)
       .collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray.toSeq, r.getInt(3))))
+    val idx = full
+      .filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getSeq[Long](3).toArray.toSeq, r.getInt(4))))
       .toMap
-    // reference: the in-memory two-level run over the same corpus
+    // reference: the in-memory two-level run over the same corpus —
+    // the probe-1 rows must be BIT-IDENTICAL to the legacy single
+    // assignment (every membership consumer depends on this)
     val q = KMeans.quantizeShifted(emb, "vec_id", "embedding").localCheckpoint()
     val k = math.max(KmeansK, (q.count() / SemClusterTarget).toInt)
-    val ref = KMeans
-      .refineTwoLevel(q, k, KmeansIters, Dims)
+    val st = KMeans.refineTwoLevelState(q, k, KmeansIters, Dims)
+    val ref = st.assignment
       .join(q, Seq("vec_id"))
       .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](3).toArray.toSeq, r.getInt(4))))
       .toMap
-    assert(idx.keySet == ref.keySet, "index row set differs from the in-memory assignment")
+    assert(idx.keySet == ref.keySet, "probe-1 row set differs from the in-memory assignment")
     idx.foreach { case (id, row) => assert(row == ref(id), s"vec $id differs: $row vs ${ref(id)}") }
+    // probe-2 rows: at most one per vector, a DIFFERENT cluster, and
+    // exactly the nearest foreign fine centroid among the union of the
+    // two nearest coarse cells — derived here independently through
+    // window ranking (the oracle's formulation) instead of the
+    // operator's min-aggregates
+    val p2 = full
+      .filter(_.getInt(1) == 2)
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    p2.foreach { case (id, c2) => assert(c2 != idx(id)._1, s"vec $id: probe-2 equals the primary cluster") }
+    import org.apache.spark.sql.expressions.Window
+    val cd = q
+      .crossJoin(broadcast(st.activeCoarse.select(col("cid").as("ccell"), col("ca").as("cca"))))
+      .withColumn("cd2", KMeans.dist2(col("qa"), col("cca"), Dims))
+      .withColumn("crank", row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("cd2").asc, col("ccell").asc)))
+      .filter(col("crank") <= 2)
+    val expect2 = cd
+      .join(st.fine.select(col("cid"), col("cell").as("ccell"), col("ca").as("fca")), Seq("ccell"))
+      .withColumn("d2", KMeans.dist2(col("qa"), col("fca"), Dims))
+      .join(
+        st.assignment.select(col("vec_id"), col("cluster").as("pcid")),
+        Seq("vec_id")
+      )
+      .filter(col("cid") =!= col("pcid"))
+      .withColumn("srn", row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("srn") === 1)
+      .select(col("vec_id"), col("cid"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(p2 == expect2, "probe-2 rows differ from the window-ranked runner-up derivation")
     // second ensure() must be a pure read (memoized validation) and
     // see the identical content
     val again = CellIndex
       .ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, T)
       .count()
-    assert(again == idx.size.toLong)
+    assert(again == full.length.toLong)
   }
 
   test("append assigns the batch under FROZEN geometry, preserves the bucket layout, and advances the additive stamp") {
@@ -76,6 +111,8 @@ class CellIndexSpec extends AnyFunSuite {
         expr(s"transform(v, x -> CAST(round(127 * x / ${java.lang.Double.toString(scale)}, 0) AS BIGINT) + ${KMeans.Shift})")
           .as("qa")
       )
+    // primary rows must equal the legacy frozen assignment; the full
+    // probe-row set must equal the multi-probe frozen assignment
     val expect = KMeans
       .assignFrozen(
         qBatch,
@@ -86,10 +123,30 @@ class CellIndexSpec extends AnyFunSuite {
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
-    val stored = after.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored = after
+      .filter(col("probe") === 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
     expect.foreach { case (id, c) =>
       assert(stored.get(id).contains(c), s"appended vec $id: stored ${stored.get(id)}, frozen-assign $c")
     }
+    val expectProbes = KMeans
+      .assignMultiProbe(
+        qBatch,
+        cents.filter(col("level") === "fine").select(col("cid"), col("cell"), col("ca")),
+        cents.filter(col("level") === "coarse").select(col("cid"), col("ca")),
+        Dims
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val storedBatch = after
+      .join(batch.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(storedBatch == expectProbes, "appended probe rows differ from the frozen multi-probe assignment")
     // 3) the corpus stamp advanced additively: a FRESH session's
     //    ensure() over the full corpus must validate the appended
     //    stamps without a rebuild. Geometry note: ensure recomputes
@@ -199,7 +256,15 @@ class CellIndexSpec extends AnyFunSuite {
       "a healthy index must not retrain"
     )
     CellIndex.append(batch, "vec_id", "embedding", Some("label"), Ta)
-    def maxOcc: Long = spark.table(Ta).groupBy(col("cluster")).count().agg(max("count")).head().getLong(0)
+    // occupancy = MEMBERSHIP (probe-1 rows), the monitor's own metric
+    def maxOcc: Long = spark
+      .table(Ta)
+      .filter(col("probe") === 1)
+      .groupBy(col("cluster"))
+      .count()
+      .agg(max("count"))
+      .head()
+      .getLong(0)
     val occBefore = maxOcc
     // an overFactor the doubled corpus is guaranteed to flag
     val f = (occBefore - 1).toDouble / SemClusterTarget
@@ -213,8 +278,8 @@ class CellIndexSpec extends AnyFunSuite {
     val Tf = s"${T}_act_fresh"
     spark.sql(s"DROP TABLE IF EXISTS $Tf")
     CellIndex.ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, Tf)
-    def snap(t: String): Map[Long, (Long, Seq[Long], Int)] =
-      spark.table(t).collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray.toSeq, r.getInt(3)))).toMap
+    def snap(t: String): Map[(Long, Int), (Long, Seq[Long], Int)] =
+      spark.table(t).collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getSeq[Long](3).toArray.toSeq, r.getInt(4)))).toMap
     val retrained = snap(Ta)
     val fresh = snap(Tf)
     assert(retrained.keySet == fresh.keySet, "retrained row set differs from the from-scratch build")
@@ -267,7 +332,7 @@ class CellIndexSpec extends AnyFunSuite {
     val scans0 = CellIndex.fingerprintScans.get()
     val served = CellIndex.ensure(
       spark.read.parquet(dir), "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, Th)
-    assert(served.count() == 228)
+    assert(served.filter(col("probe") === 1).count() == 228)
     assert(geomOf(Th) == g1, "an in-band k-step append must NOT re-train (geometry changed => rebuild ran)")
     assert(
       CellIndex.fingerprintScans.get() == scans0 + 1,
@@ -289,7 +354,7 @@ class CellIndexSpec extends AnyFunSuite {
     CellIndex.invalidateMemo(Th)
     val rebuilt = CellIndex.ensure(
       spark.read.parquet(dir), "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, Th)
-    assert(rebuilt.count() == 500)
+    assert(rebuilt.filter(col("probe") === 1).count() == 500)
     assert(geomOf(Th).startsWith("k=250,"), s"past the band ensure() must re-train under the re-derived k, got ${geomOf(Th)}")
     spark.sql(s"DROP TABLE IF EXISTS $Th")
   }
@@ -316,7 +381,7 @@ class CellIndexSpec extends AnyFunSuite {
       propsOf(Tl)(CellIndex.CorpusProp) == expect,
       "the torn stamp must be detected by content and the index rebuilt over the full corpus"
     )
-    assert(healed.count() == emb.count(), "the healed index must cover every live row")
+    assert(healed.filter(col("probe") === 1).count() == emb.count(), "the healed index must cover every live row")
     spark.sql(s"DROP TABLE IF EXISTS $Tl")
   }
 
@@ -390,7 +455,7 @@ class CellIndexSpec extends AnyFunSuite {
       "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, Tm, overFactor = 1e9)
     assert(!retrained1, "a disarmed monitor must not retrain")
     assert(geomOf(Tm) == g1, "append-only maintenance must keep the frozen geometry")
-    assert(CellIndex.read(spark, Tm).count() == 228)
+    assert(CellIndex.readPrimary(spark, Tm).count() == 228)
     // batch 2: n=500 into k=64 -> max occupancy >= mean 7.8 > 2x2 at
     // the default overFactor, so the monitor MUST fire and the
     // retrained index must equal a from-scratch build
@@ -401,8 +466,8 @@ class CellIndexSpec extends AnyFunSuite {
     val Tf = s"${Tm}_fresh"
     spark.sql(s"DROP TABLE IF EXISTS $Tf")
     CellIndex.ensure(emb, "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, Tf)
-    def snap(t: String): Map[Long, (Long, Seq[Long], Int)] =
-      spark.table(t).collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray.toSeq, r.getInt(3)))).toMap
+    def snap(t: String): Map[(Long, Int), (Long, Seq[Long], Int)] =
+      spark.table(t).collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getSeq[Long](3).toArray.toSeq, r.getInt(4)))).toMap
     val maintained = snap(Tm)
     val fresh = snap(Tf)
     assert(maintained.keySet == fresh.keySet)
@@ -431,8 +496,8 @@ class CellIndexSpec extends AnyFunSuite {
         .flatMap(k => p.get(k).map(k -> _))
         .toMap
     }
-    def snap(t: String): Map[Long, (Long, Seq[Long], Int)] =
-      spark.table(t).collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray.toSeq, r.getInt(3)))).toMap
+    def snap(t: String): Map[(Long, Int), (Long, Seq[Long], Int)] =
+      spark.table(t).collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getSeq[Long](3).toArray.toSeq, r.getInt(4)))).toMap
     spark.sql(s"DROP TABLE IF EXISTS $Tc")
     CellIndex.ensure(
       emb.filter(col("vec_id") < 200), "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, Tc)
@@ -488,6 +553,6 @@ class CellIndexSpec extends AnyFunSuite {
     val again = CellIndex
       .ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, Tr)
     assert(CellIndex.revalidate(emb, "vec_id", "embedding", Tr))
-    assert(again.count() == emb.count())
+    assert(again.filter(col("probe") === 1).count() == emb.count())
   }
 }

@@ -610,9 +610,20 @@ class DedupSimSpec extends AnyFunSuite {
       .toMap
     def dot(a: Array[Long], b: Array[Long]): Long = (0 until Dims).map(i => a(i) * b(i)).sum
     val ids = clusters.keys.toSeq.sorted
+    // r15 multi-probe drop rule: a pair is compared when it shares ANY
+    // probe cell. Probe sets come from the persisted index (whose
+    // probe-1 ≡ the legacy assignment and probe-2 is independently
+    // verified in CellIndexSpec); the PRUNE arithmetic is recomputed
+    // here from first principles.
+    val probeSets = graft.queries.DedupSimQueries
+      .cellIndexEnsure(spark, sf) // build-if-absent; probe-1 ≡ legacy
+      .select(org.apache.spark.sql.functions.col("vec_id"), org.apache.spark.sql.functions.col("cluster"))
+      .collect()
+      .groupBy((r: Row) => r.getLong(0))
+      .map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
     val expectedDropped = ids.filter { ib =>
       ids.exists { ia =>
-        ia < ib && clusters(ia) == clusters(ib) && {
+        ia < ib && probeSets(ia).intersect(probeSets(ib)).nonEmpty && {
           val d = dot(qa(ia), qa(ib))
           d > 0 && SemDedupTauDen.toLong * SemDedupTauDen * d * d >=
             SemDedupTauNum.toLong * SemDedupTauNum * dot(qa(ia), qa(ia)) * dot(qa(ib), qa(ib))
@@ -650,6 +661,7 @@ class DedupSimSpec extends AnyFunSuite {
         graft.queries.DedupSimQueries.Dims,
         graft.queries.DedupSimQueries.cellIndexTable(sf)
       )
+      .filter(org.apache.spark.sql.functions.col("probe") === 1) // occupancy = MEMBERSHIP (one row per vector)
       .count()
     assert(rows.map(_._2).sum == idxSize, "occupancy must sum to the index population")
     rows.foreach { case (c, n, bp, over) =>

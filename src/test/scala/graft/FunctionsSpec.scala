@@ -219,4 +219,46 @@ class FunctionsSpec extends AnyFunSuite {
     val one = Seq(h).toDF("h").agg(GraftFunctions.simhash(col("h"))).head.getLong(0)
     assert(one == h, s"single-row simhash must echo the hash: $one != $h")
   }
+
+  test("graft_min2 equals a reference top-2-distinct-id scan under randomized keys, ties, and duplicates") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val M = Long.MaxValue
+    val rnd = new scala.util.Random(42)
+    // groups of varied size incl. 1 and 2; duplicate ids with better/
+    // worse keys; key ties broken by id (lexicographic (key, id))
+    val rows = (0 until 4000).map { i =>
+      (i % 37L, rnd.nextInt(25).toLong, rnd.nextInt(9).toLong + 1) // (grp, key, id)
+    } ++ Seq((100L, 7L, 3L), (101L, 5L, 4L), (101L, 5L, 2L), (101L, 9L, 2L))
+    val got = rows
+      .toDF("g", "k", "id")
+      .groupBy(col("g"))
+      .agg(GraftFunctions.min2(col("k"), col("id")).as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList)
+      .toMap
+    val ref = rows.groupBy(_._1).map { case (g, rs) =>
+      // reference: best entry per distinct id, then the two smallest
+      // (key, id) pairs lexicographically
+      val best = rs
+        .groupBy(_._3)
+        .valuesIterator
+        .map(es => es.map(e => (e._2, e._3)).min)
+        .toSeq
+        .sorted
+      val top = best.take(2)
+      g -> (top.flatMap { case (k, i) => Seq(k, i) } ++ Seq(M, M, M, M)).take(4).toList
+    }
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (g, m) => assert(m == ref(g), s"group $g: $m != ${ref(g)}") }
+    // merge path: force partial aggregation across many partitions
+    val wide = rows.toDF("g", "k", "id").repartition(16)
+    val merged = wide
+      .groupBy(col("g"))
+      .agg(GraftFunctions.min2(col("k"), col("id")).as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList)
+      .toMap
+    assert(merged == got, "partial-aggregate merge path diverges from the single-pass result")
+  }
 }

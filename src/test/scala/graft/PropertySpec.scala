@@ -762,7 +762,7 @@ class PropertySpec extends AnyFunSuite {
 
   test("corpus-scaled embedding LSH finds every planted near-parallel pair at any corpus size") {
     import spark.implicits._
-    import graft.queries.DedupSimQueries.{embPlanesFor, CosineThreshold, Dims, EmbLshTables, EmbPlaneBase, MaxEmbPlanes}
+    import graft.queries.DedupSimQueries.{embPlanesFor, embTablesFor, CosineThreshold, Dims, EmbPlaneBase, MaxEmbPlanes}
     val rnd = new Random(41)
     for (n <- Seq(200, 1200)) {
       // random unit-ish vectors plus planted near-parallel pairs
@@ -783,7 +783,7 @@ class PropertySpec extends AnyFunSuite {
       val found = Dedup
         .embeddingNearDupsLsh(
           emb, "vec_id", "embedding", "label",
-          CosineThreshold, EmbLshTables, planes, MaxEmbPlanes, EmbPlaneBase, Dims)
+          CosineThreshold, embTablesFor(emb.count()), planes, MaxEmbPlanes, EmbPlaneBase, Dims)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .toSet
@@ -796,6 +796,43 @@ class PropertySpec extends AnyFunSuite {
       // occupancy contract: plane count grows so that target·2^p ≥ N
       assert((graft.queries.DedupSimQueries.SemClusterTarget.toLong << planes) >= n + 20)
     }
+  }
+
+  test("q34 recall contract: the corpus-scaled table count L(m) holds R(0.90) >= 0.9 at every decade, minimally") {
+    import graft.queries.DedupSimQueries.{
+      embTablesForPlanes,
+      MaxEmbPlanes,
+      MaxEmbTables,
+      RecallContractCosine,
+      RecallContractTarget
+    }
+    // the r14-validated union law (measured within binomial 2σ by the
+    // planted families at 100×/256×) is the contract's arbiter: for
+    // every reachable plane count m, the chosen L must satisfy the
+    // law at the operating cosine AND be the SMALLEST such L (the
+    // explode cost is linear in L — paying one table more than the
+    // law demands is a silent cost regression)
+    for (m <- 2 to MaxEmbPlanes) {
+      val l = embTablesForPlanes(m)
+      assert(l >= 1 && l <= MaxEmbTables)
+      assert(
+        RecallProbe.law(RecallContractCosine, m, l) >= RecallContractTarget,
+        s"m=$m: L=$l does not hold R($RecallContractCosine) >= $RecallContractTarget"
+      )
+      if (l > 1)
+        assert(
+          RecallProbe.law(RecallContractCosine, m, l - 1) < RecallContractTarget,
+          s"m=$m: L=$l is not minimal"
+        )
+    }
+    // the decade anchors the round-15 artifact reports (sf0.1 through
+    // 1024×) — pinned so a silent law/constant change surfaces here
+    assert(embTablesForPlanes(7) == 6)
+    assert(embTablesForPlanes(12) == 14)
+    assert(embTablesForPlanes(13) == 17)
+    assert(embTablesForPlanes(14) == 19)
+    assert(embTablesForPlanes(16) == 27)
+    assert(embTablesForPlanes(20) == 50)
   }
 
   test("cell-index corpus fingerprint changes under every content perturbation that preserves the count") {
@@ -845,66 +882,91 @@ class PropertySpec extends AnyFunSuite {
     assert(masks.distinct.size == masks.size, "two epochs share a mask")
   }
 
-  test("ScaleUp planted partners sit at their target cosines, norms preserved, family size 2") {
-    // sf0.01: 200 vectors, ids 0..199 → residues {0,1,2} mod 64 select
-    // ids {0,1,2, 64,65,66, 128,129,130} — 3 families per cosine band
+  test("ScaleUp planted partners sit at their target cosines, norms preserved, constant family sizes") {
+    // sf0.01: 500 vectors → residues {0,1,2} mod 64 plant classic
+    // partners, residue {3} plants the cross-modal X/S/T triple
     val emb = spark.read.parquet(s"/root/testdata/sf0.01/embeddings.parquet")
     val dims = emb.select(size(col("embedding"))).head.getInt(0)
     val out = ScaleUp.withPlantedPartners(emb, dims)
-    val partners = out.filter(col("vec_id") >= ScaleUp.PlantOffset)
-    val expected = emb.filter(pmod(col("vec_id"), lit(ScaleUp.PlantMod)) < ScaleUp.PlantCosines.length).count()
-    assert(partners.count() == expected, "one partner per selected base id — family size is the constant 2")
-    assert(out.count() == emb.count() + expected)
-    val joined = partners
-      .select((col("vec_id") - ScaleUp.PlantOffset).as("vec_id"), col("embedding").as("y"), col("label").as("label_y"))
-      .join(emb.select(col("vec_id"), col("embedding").as("x"), col("label")), Seq("vec_id"))
-      .collect()
-    assert(joined.length == expected)
-    joined.foreach { r =>
-      val id = r.getLong(0)
+    val partners = out.filter(col("vec_id") >= ScaleUp.PlantOffset).collect()
+    val expectedClassic =
+      emb.filter(pmod(col("vec_id"), lit(ScaleUp.PlantMod)) < ScaleUp.PlantCosines.length).count()
+    val expectedCross = emb.filter(pmod(col("vec_id"), lit(ScaleUp.PlantMod)) === ScaleUp.CrossModalResidue).count()
+    assert(expectedCross > 0, "the slice must plant cross-modal families")
+    assert(
+      partners.length == expectedClassic + 3 * expectedCross,
+      "one partner per classic base + X/S/T per cross-modal base — family sizes are constants"
+    )
+    val base = emb.collect().map(r => r.getLong(0) -> ((r.getSeq[Float](1).map(_.toDouble), r.getInt(2)))).toMap
+    def dot(a: Seq[Double], b: Seq[Double]) = a.lazyZip(b).map(_ * _).sum
+    partners.foreach { r =>
+      val pid = r.getLong(0)
+      val res = (pid % ScaleUp.PlantMod).toInt
+      val (baseId, c) = res match {
+        case v if v < ScaleUp.PlantCosines.length => (pid - ScaleUp.PlantOffset, ScaleUp.PlantCosines(v))
+        case v if v == ScaleUp.CrossModalResidue => (pid - ScaleUp.PlantOffset, ScaleUp.CrossModalCosine)
+        case v if v == ScaleUp.CrossModalResidue + 1 => (pid - ScaleUp.PlantOffset - 1, ScaleUp.SemNoiseCosine)
+        case v if v == ScaleUp.CrossModalResidue + 2 => (pid - ScaleUp.PlantOffset - 2, 0.0)
+        case v => fail(s"partner $pid at unexpected residue $v")
+      }
       val y = r.getSeq[Float](1).map(_.toDouble)
-      val x = r.getSeq[Float](3).map(_.toDouble)
-      val c = ScaleUp.PlantCosines((id % ScaleUp.PlantMod).toInt)
-      def dot(a: Seq[Double], b: Seq[Double]) = a.lazyZip(b).map(_ * _).sum
+      val (x, xl) = base(baseId)
       val cos = dot(x, y) / math.sqrt(dot(x, x) * dot(y, y))
-      assert(math.abs(cos - c) < 5e-6, s"id $id: planted cosine $cos, target $c")
+      assert(math.abs(cos - c) < 5e-6, s"partner $pid (base $baseId): planted cosine $cos, target $c")
       val normRatio = math.sqrt(dot(y, y) / dot(x, x))
-      assert(math.abs(normRatio - 1.0) < 5e-6, s"id $id: partner norm drifted ($normRatio)")
-      assert(r.getInt(2) == r.getInt(4), s"id $id: partner label differs — q34 blocks on label, pair invisible")
+      assert(math.abs(normRatio - 1.0) < 5e-6, s"partner $pid: norm drifted ($normRatio)")
+      assert(r.getInt(2) == xl, s"partner $pid: label differs — q34 blocks on label, pair invisible")
     }
+    // the fusion premise, verified geometrically: S is semantically
+    // NEARER the base than X, and T is orthogonal to it
+    val xs = partners.filter(r => r.getLong(0) % ScaleUp.PlantMod == ScaleUp.CrossModalResidue)
+    assert(xs.nonEmpty)
   }
 
-  test("ScaleUp planted partner docs are token-disjoint from their base (semantic-only twins)") {
+  test("ScaleUp planted partner docs respect the per-family token-overlap contract") {
     val docs = spark.read.parquet(s"/root/testdata/sf0.01/documents.parquet")
     val emb = spark.read.parquet(s"/root/testdata/sf0.01/embeddings.parquet")
     val dims = emb.select(size(col("embedding"))).head.getInt(0)
     // doc twins are planted for EXACTLY the ids whose embedding row
     // received a partner (semi-join contract — the r14 residue+count
-    // form overstated the truth when the xx/pp guards dropped one)
-    val plantedIds = ScaleUp
-      .withPlantedPartners(emb, dims)
-      .filter(col("vec_id") >= ScaleUp.PlantOffset)
-      .select((col("vec_id") - ScaleUp.PlantOffset).as("doc_id"))
-    val out = ScaleUp.withPlantedPartnerDocs(docs, plantedIds)
+    // form overstated the truth when the xx/pp guards dropped one),
+    // with the overlap knob derived from the partner's residue
+    val specs = ScaleUp.plantedDocSpecs(ScaleUp.withPlantedPartners(emb, dims)).localCheckpoint()
+    val out = ScaleUp.withPlantedPartnerDocs(docs, specs)
     val partners = out.filter(col("doc_id") >= ScaleUp.PlantOffset)
-    val expected = docs.join(plantedIds, Seq("doc_id"), "left_semi").count()
+    val expected = specs.join(docs, Seq("doc_id"), "left_semi").count()
     assert(expected > 0, "the sf0.01 slice must plant at least one doc twin")
     assert(partners.count() == expected)
     val pairs = partners
-      .select((col("doc_id") - ScaleUp.PlantOffset).as("doc_id"), col("text").as("pt"), col("n_chars").as("pn"))
+      .select(col("doc_id").as("partner_id"), col("text").as("pt"), col("n_chars").as("pn"))
+      .join(specs.select(col("partner_id"), col("doc_id"), col("tag_every")), Seq("partner_id"))
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       .collect()
     val tokenRe = "[a-z0-9]+".r
+    var sawOverlapping = false
     pairs.foreach { r =>
-      val (pt, bt) = (r.getString(1), r.getString(3))
-      assert(r.getLong(2) == pt.length.toLong, "partner n_chars must describe the partner text")
-      val ptoks = tokenRe.findAllIn(pt.toLowerCase).toSet
+      val (pid, pt, bt, tagEvery) = (r.getLong(1), r.getString(2), r.getString(5), r.getInt(4))
+      assert(r.getLong(3) == pt.length.toLong, "partner n_chars must describe the partner text")
+      assert(tagEvery == ScaleUp.tagEveryForResidue(pid % ScaleUp.PlantMod), s"partner $pid: wrong tag density")
+      val ptoksList = tokenRe.findAllIn(pt.toLowerCase).toList
       val btoks = tokenRe.findAllIn(bt.toLowerCase).toSet
-      // every token re-tagged ⇒ no shared tokens/shingles/grams: the
-      // lexical dedup stages (q30/q32/q126) must see an unrelated doc,
-      // so only the SEMANTIC stages can catch the planted pair
-      assert(ptoks.intersect(btoks).isEmpty, s"doc ${r.getLong(0)}: partner shares tokens with its base")
+      val shared = ptoksList.count(btoks.contains).toDouble / math.max(ptoksList.size, 1)
+      if (tagEvery == 1)
+        // every token re-tagged ⇒ no shared tokens/shingles/grams: the
+        // lexical stages must see an unrelated doc — semantic-only twin
+        assert(shared == 0.0, s"partner $pid: semantic-only twin shares tokens with its base")
+      else {
+        // cross-modal twins keep ~(1 - 1/tagEvery) of the tokens
+        // verbatim: X (tagEvery=2) ~50%, T (tagEvery=4) ~75% — the
+        // lexical channel can reach them, T above X
+        sawOverlapping = true
+        assert(
+          math.abs(shared - (1.0 - 1.0 / tagEvery)) < 0.2,
+          s"partner $pid: overlap $shared far from ${1.0 - 1.0 / tagEvery} (tagEvery=$tagEvery)"
+        )
+      }
     }
+    assert(sawOverlapping, "the slice must include cross-modal overlapping twins")
   }
 
   private def md5Hex(s: String): String =

@@ -977,7 +977,7 @@ class StreamingSpec extends AnyFunSuite {
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
-    val stored = CellIndex.read(spark, tbl).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored = CellIndex.readPrimary(spark, tbl).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stored.size == 500, s"index must cover the whole corpus, has ${stored.size}")
     expect.foreach { case (id, c) =>
       assert(stored.get(id).contains(c), s"streamed vec $id: stored ${stored.get(id)}, frozen-assign $c")
@@ -992,7 +992,7 @@ class StreamingSpec extends AnyFunSuite {
     CellIndex.invalidateMemo(tbl)
     val revalidated =
       CellIndex.ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, tbl)
-    assert(revalidated.count() == 500, "post-stream ensure() should validate the appended stamps")
+    assert(revalidated.filter(col("probe") === 1).count() == 500, "post-stream ensure() should validate the appended stamps")
   }
 
   test("streaming occupancy monitor closes the q142 loop on a LIVE index: flag -> in-place retrain -> consumers unchanged") {
@@ -1027,7 +1027,7 @@ class StreamingSpec extends AnyFunSuite {
     // maintenance path documents) and the monitor would watch a frozen
     // snapshot instead of the live index
     def maxOcc: Long =
-      CellIndex.read(spark, tbl).groupBy(col("cluster")).count().agg(max("count")).head().getLong(0)
+      CellIndex.readPrimary(spark, tbl).groupBy(col("cluster")).count().agg(max("count")).head().getLong(0)
     // a threshold the growing corpus must cross: the day-0 max
     // occupancy — the corpus more than triples under frozen
     // assignment, so some cluster grows past it (deterministic here:
@@ -1068,8 +1068,8 @@ class StreamingSpec extends AnyFunSuite {
     val freshTbl = s"${tbl}_fresh"
     spark.sql(s"DROP TABLE IF EXISTS $freshTbl")
     CellIndex.ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, freshTbl)
-    def snap(t: String): Map[Long, (Long, Seq[Long], Int)] =
-      spark.table(t).collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray.toSeq, r.getInt(3)))).toMap
+    def snap(t: String): Map[(Long, Int), (Long, Seq[Long], Int)] =
+      spark.table(t).collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getSeq[Long](3).toArray.toSeq, r.getInt(4)))).toMap
     val live = snap(tbl)
     val fresh = snap(freshTbl)
     assert(live.keySet == fresh.keySet, s"retrained index covers ${live.size} vectors, from-scratch ${fresh.size}")
@@ -1081,6 +1081,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(
       CellIndex
         .ensure(emb, "vec_id", "embedding", Some("label"), KmeansK, SemClusterTarget, KmeansIters, Dims, tbl)
+        .filter(col("probe") === 1)
         .count() == 500,
       "post-retrain ensure() should validate, not rebuild"
     )
@@ -1135,7 +1136,7 @@ class StreamingSpec extends AnyFunSuite {
     CellIndex.invalidateMemo(tbl)
     val inBand = CellIndex.ensure(
       emb.filter(col("vec_id") < 384), "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, tbl)
-    assert(inBand.count() == 384, "the streamed appends must all be served")
+    assert(inBand.filter(col("probe") === 1).count() == 384, "the streamed appends must all be served")
     assert(geomOf == g1, "in-band streamed k-steps must NOT retrain — the stored geometry serves")
     // ...and once the stream pushes the corpus past the band (n=500 >
     // 400), the next consumer's ensure() pays the corpus pass ONCE.
@@ -1159,7 +1160,7 @@ class StreamingSpec extends AnyFunSuite {
     CellIndex.invalidateMemo(tbl)
     val rebuilt = CellIndex.ensure(
       emb, "vec_id", "embedding", Some("label"), kMin, target, KmeansIters, Dims, tbl)
-    assert(rebuilt.count() == 500)
+    assert(rebuilt.filter(col("probe") === 1).count() == 500)
     assert(geomOf.startsWith("k=125,"), s"past the band the ensure() must retrain under k=500/4, got $geomOf")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
