@@ -31,8 +31,9 @@ import graft.sources.Tables
   */
 object IndexCosts {
 
-  /** `compact` is -1 for families without a compaction phase (only
-    * the cell index prices one today) and is omitted from artifacts.
+  /** `compact` is -1 when a family run skipped the phase and is then
+    * omitted from artifacts (since r15 every family prices one — the
+    * shared Formats compaction generalized the r14 cell-only phase).
     */
   case class Phases(rebuild: Double, append: Double, query: Double, compact: Double = -1.0) {
     def min(o: Phases): Phases =
@@ -95,8 +96,13 @@ object IndexCosts {
       val append = timed {
         PageRank.appendEdgeTable(GraphQueries.partEdges(spark, sfDir, col("l_orderkey") % mod === 0), T)
       }
+      // per-rewrite compaction price (threshold 1 so the one append
+      // above triggers — the shared-Formats r15 phase, every family)
+      val compact = timed {
+        PageRank.compactEdgeTable(spark, T, maxFilesPerBucket = 1)
+      }
       dropTable(T)
-      Phases(rebuild, append, query)
+      Phases(rebuild, append, query, compact)
     }
 
     // q117: the token-bucketed BM25 postings + stats tables. rebuild =
@@ -118,8 +124,11 @@ object IndexCosts {
       val append = timed {
         graft.search.Bm25Index.appendIndex(docs.filter(col("doc_id") % mod === 0), "doc_id", "text", T)
       }
+      val compact = timed {
+        graft.search.Bm25Index.compactIndex(spark, T, maxFilesPerBucket = 1)
+      }
       dropTable(T); dropTable(s"${T}_stats")
-      Phases(rebuild, append, query)
+      Phases(rebuild, append, query, compact)
     }
 
     // q125: the cell-partitioned IVF+PQ code directories. rebuild =
@@ -154,8 +163,11 @@ object IndexCosts {
         Similarity.appendIvfPqIndex(
           base, q.filter(col("vec_id") > cut), IvfPqCells, PqSubspaces, PqSubDim, PqCodewords, P)
       }
+      val compact = timed {
+        Similarity.compactIvfPqIndex(spark, P, maxFilesPerCell = 1)
+      }
       dropPath(P)
-      Phases(rebuild, append, query)
+      Phases(rebuild, append, query, compact)
     }
 
     // the shared cell partition (q82/q129/q133/q138/q142): rebuild =
@@ -233,8 +245,11 @@ object IndexCosts {
       val append = timed {
         graft.dedup.Dedup.appendSignatureIndex(sigsFor(docs.filter(col("doc_id") % mod === 0)), T, NumPerms, RowsPerBand)
       }
+      val compact = timed {
+        graft.dedup.Dedup.compactSignatureIndex(spark, T, maxFilesPerBucket = 1)
+      }
       dropTable(T)
-      Phases(rebuild, append, query)
+      Phases(rebuild, append, query, compact)
     }
 
     // q107: the cent_id-partitioned IVF directories. rebuild =
@@ -267,8 +282,11 @@ object IndexCosts {
       val append = timed {
         Similarity.appendIvfIndex(baseCents, e.filter(col("vec_id") > cut), P)
       }
+      val compact = timed {
+        Similarity.compactIvfIndex(spark, P, maxFilesPerCell = 1)
+      }
       dropPath(P)
-      Phases(rebuild, append, query)
+      Phases(rebuild, append, query, compact)
     }
 
     Seq(

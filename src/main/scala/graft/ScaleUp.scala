@@ -198,7 +198,24 @@ object ScaleUp {
     // one partner DOC per planted embedding partner: specs carry
     // (doc_id = the base, partner_id = the twin's id, tag_every = the
     // token-overlap knob — 1 re-tags everything, 2/4 leave half/three
-    // quarters of the tokens shared for the cross-modal families)
+    // quarters of the tokens shared for the cross-modal families).
+    //
+    // MARKER (round 15): the corpus's vocabulary is small and common
+    // (measured: BM25 over it is tf-of-ubiquitous-tokens dominated —
+    // a 50%-overlap twin ranked ~4000th of 5192), so token overlap
+    // alone gives the lexical channel no usable signal. Real
+    // re-encodings of one document share its DISTINCTIVE rare terms
+    // (names, ids, numbers); the cross-modal base and its X/T twins
+    // therefore share one unique marker token ("xm<base>q", df = 3)
+    // while the semantic-noise twin S stays marker-free — exactly the
+    // rare-term structure the lexical channel exists to exploit.
+    val marker = concat(lit(" xm"), col("doc_id").cast("string"), lit("q"))
+    val xBases = plantedSpecs.filter(col("tag_every") === 2).select(col("doc_id")).distinct()
+    val markedBase = d
+      .join(xBases, Seq("doc_id"), "left_semi")
+      .withColumn("text", concat(col("text"), marker))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val base = d.join(xBases, Seq("doc_id"), "left_anti").unionByName(markedBase)
     val sel = d.join(plantedSpecs, Seq("doc_id"))
     val tagged = array_join(
       transform(
@@ -207,13 +224,17 @@ object ScaleUp {
       ),
       " "
     )
-    d.unionByName(
+    // X (tag_every 2) and T (tag_every 4) carry the base's marker,
+    // appended AFTER tagging so it is shared verbatim; S (tag_every 1)
+    // stays lexically disjoint from the marked base
+    val partnerText = when(col("tag_every") === 1, tagged).otherwise(concat(tagged, marker))
+    base.unionByName(
       sel.select(
         col("partner_id").as("doc_id"),
-        tagged.as("text"),
+        partnerText.as("text"),
         col("lang"),
         col("source"),
-        length(tagged).cast("long").as("n_chars")
+        length(partnerText).cast("long").as("n_chars")
       )
     )
   }
