@@ -292,7 +292,14 @@ object ScaleUp {
     val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     require(replicas >= 1, s"replicas must be >= 1, got $replicas")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    // maxResultSize: the replica union has `replicas` branches and the
+    // planting hooks read it several times — at 1024+ replicas the
+    // write jobs' per-task commit stats alone exceed the 1g default
+    // (measured: aborted at 751 tasks / 1025 MiB). Generator-only.
+    val spark = GraftSession
+      .builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.driver.maxResultSize", "8g")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def shifted(df: DataFrame, keyCols: Seq[String], i: Int): DataFrame =
@@ -388,8 +395,12 @@ object ScaleUp {
       // from its own decorrelated vectors — replica-local pairs,
       // linear truth) and ONCE over the union: the construction reads
       // only the row, and the residue/offset arithmetic is identical
-      // whether applied per branch or to the whole frame
-      finish = d => if (plant) withPlantedPartners(d, dims) else d
+      // whether applied per branch or to the whole frame. The union
+      // is CHECKPOINTED first: the four partner branches (classic +
+      // X/S/T) would otherwise each re-run the `replicas`-way union
+      // scan — at 1024 replicas the multiplied write-task commit
+      // stats alone blew the driver result-size cap
+      finish = d => if (plant) withPlantedPartners(d.localCheckpoint(), dims) else d
     )
     // documents are replicated AFTER embeddings so the planted doc
     // twins can semi-join on the ids that ACTUALLY received embedding
@@ -423,8 +434,10 @@ object ScaleUp {
       // partner docs AFTER the replica tag (the partner re-tags the
       // replica's own tokens, so it is lexically disjoint from its
       // base within the replica and from every other replica), and
-      // ONCE over the union — replica-agnostic by construction
-      finish = d => if (plant) withPlantedPartnerDocs(d, plantedDocIds) else d
+      // ONCE over the union — replica-agnostic by construction; the
+      // union checkpointed for the same multi-read reason as the
+      // embeddings (marker anti/semi branches + the partner join)
+      finish = d => if (plant) withPlantedPartnerDocs(d.localCheckpoint(), plantedDocIds) else d
     )
     spark.stop()
   }
