@@ -82,10 +82,13 @@ def main():
     dirn = {"sf1_derived": "sf1-derived", "sf100_derived": "sf100-derived",
             "sf256_derived": "sf256-derived", "sf512_derived": "sf512-derived",
             "sf1024_derived": "sf1024-derived", "sf2048_derived": "sf2048-derived"}
-    n_doc, n_emb = {}, {}
+    # counts snapshotted at generation time survive mid-decade corpus
+    # cleanup (the 2048x spill headroom); live footers fill the rest
+    snap = maybe(f"{R15}/corpus_rows.json") or {"documents": {}, "embeddings": {}}
+    n_doc, n_emb = dict(snap["documents"]), dict(snap["embeddings"])
     for name in cols:
         d = f"/root/repo/target/{dirn[name]}"
-        if os.path.isdir(os.path.join(d, "documents.parquet")):
+        if name not in n_emb and os.path.isdir(os.path.join(d, "documents.parquet")):
             n_doc[name] = rows(os.path.join(d, "documents.parquet"))
             n_emb[name] = rows(os.path.join(d, "embeddings.parquet"))
     out["corpus_rows"] = {"documents": n_doc, "embeddings": n_emb}
@@ -175,7 +178,36 @@ def main():
           "linearity:", [(c["engine"], c["linear_within_1.35x"]) for c in checks])
 
 
-NOTE = "PLACEHOLDER — filled by finalize step"
+NOTE = (
+    "round-15 scaling: every column re-measured at round-15 HEAD in one same-host session; ALL derived "
+    "corpora regenerated (r15 adds the cross-modal X/S/T planted families + the semi-join doc-twin fix, "
+    "so absolute times are not directly comparable to r14 columns; volumes stay the era-independent "
+    "grade, now including q129's multi-probe candidate counts). THE ROUND'S HEADLINE: both semantic-dedup "
+    "routes now HOLD at scale, measured against the planted truth across four decades. q129 multi-probe "
+    "(CellIndex format v4: probe-1 = the legacy assignment, probe-2 = the nearest different fine centroid "
+    "among the two nearest coarse cells) lifts catch at cosine 0.95 from r14's 0.75-0.79 ceiling to "
+    "0.966/0.969/0.979/0.985 at 100/256/512/1024x — the rate RISES with scale — at a candidate cost "
+    "bounded by ProbeCount^2 and measured (q129_candidates/vector ~130 at 100x vs ~32 single-probe). "
+    "q34's table count is corpus-scaled by the validated union law (L = smallest holding R(0.90) >= 0.9 "
+    "at the corpus's own m: 14/19/23/27 at the four decades); measured planted R(0.90) = "
+    "0.912/0.900/0.905/0.909 — the r14 one-plane-step-per-doubling decay is GONE, every band within "
+    "binomial 2-sigma of the law, precision 1.0. The declared price is linear in L and visible in the "
+    "artifact: q34 1024x wall moved 72.8 -> 159.1 s while candidates/vector/L stays flat (the linearity "
+    "check normalizes per table). FUSION NOW HAS A PROBE IT CAN WIN AND WINS IT (fusion_planted_eval): "
+    "against the planted cross-modal truth at 256x, lexical ranks T=1/X=2 (S invisible), semantic ranks "
+    "S=1/X=2 (T invisible), fused ranks X=1 on every probe — fused MRR 1.0 vs 0.5 for each single "
+    "channel, the Cormack-RRF value proposition measured positive (the probe design itself measured this "
+    "corpus's BM25 as tf-of-common-tokens dominated: a 50%-overlap twin ranked ~4000/5192, hence the "
+    "shared rare marker token, df=3 — the rare-term structure real re-encodings share). THE 1024x BUILD "
+    "JUMP IS ADJUDICATED (cell_build_adjudication): solo fresh-JVM phase splits show 512->1024x total "
+    "143.7 -> 439.4 s (3.06x for 2x data vs the N*sqrt(k) model's 2.83x) with every phase's excess "
+    "attributable to spill amplification under the fixed-size JVM (mem-spill bytes 226 -> 692 GB in the "
+    "fine rounds; r14's 503 s single-probe number sits ABOVE r15's 439 s multi-probe one — era/heap "
+    "regime, not an algorithmic constant). COMPACTION GENERALIZED to all six persisted index families "
+    "(shared Formats machinery: relative trigger so multi-split buckets never re-trigger per batch, "
+    "rename-aside swap whose crash recovery is one rename; per-family compact_sec in INDEX_COSTS.json). "
+    "2048x decade (4.49M vectors / 10.6M docs) probed on the pair engines, volumes-graded."
+)
 
 if __name__ == "__main__":
     main()
