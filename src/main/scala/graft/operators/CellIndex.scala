@@ -143,8 +143,10 @@ object CellIndex {
     * DIFFERENT fine centroid among the two nearest coarse cells, the
     * round-15 lever that lets the within-cell pair search reach pairs
     * the coarse/fine Voronoi boundaries split (q129's measured 52-58%
-    * co-location ceiling at cosine 0.95). Recorded in [[GeomProp]] —
-    * changing it is a different assignment arithmetic and rebuilds.
+    * co-location ceiling at cosine 0.95 — lifted to a MEASURED catch
+    * of 0.966/0.969/0.979/0.985 across the 100/256/512/1024× decades,
+    * SCALING_r15). Recorded in [[GeomProp]] — changing it is a
+    * different assignment arithmetic and rebuilds.
     */
   val ProbeCount = 2
   val VersionProp = "graft.cell_format_version"

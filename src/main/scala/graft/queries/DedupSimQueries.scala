@@ -851,11 +851,14 @@ object DedupSimQueries {
     // ANY probe cell — boundary-split pairs meet through either
     // member's runner-up cell at a candidate cost bounded by
     // ProbeCount² and measured by the q129 volume points
-    // (RecallProbe's semdedup_planted grades the catch rate against
-    // the planted truth). The ceiling that remains is still
-    // N-independent (occupancy-targeted k keeps cluster radii
-    // stable) — the route's scale story vs q34's m-decaying LSH
-    // recall; see the crossover note in embeddingNearDupsLsh.
+    // (candidates/vector 130.1/129.8/129.6 across 256/512/1024× —
+    // N-linear within 1.005, SCALING_r15). MEASURED against the
+    // planted truth (RecallProbe semdedup_planted): catch at cosine
+    // 0.95 = 0.966/0.969/0.979/0.985 at 100/256/512/1024× — the rate
+    // RISES with scale (third-vector drops compound as density
+    // grows), vs the r14 single-assignment 0.75-0.79. The remaining
+    // gap is N-independent — the route's scale story vs q34's
+    // L-priced LSH recall; see embeddingNearDupsLsh.
     "q129_semantic_dedup" -> { (s, dir) =>
       // the partition comes from the persisted ingest artifact (built
       // once per corpus — see cellAssignmentProbes); the index row IS
