@@ -126,6 +126,14 @@ object GraftFunctions {
       }
     ),
     (
+      FunctionIdentifier("graft_min2p"),
+      new ExpressionInfo(classOf[Min2PackedAgg].getName, "graft_min2p"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"graft_min2p(packedKey) takes 1 argument, got ${children.size}")
+        Min2PackedAgg(children.head)
+      }
+    ),
+    (
       FunctionIdentifier("graft_lshbuckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lshbuckets"),
       (children: Seq[Expression]) => {
@@ -193,6 +201,12 @@ object GraftFunctions {
     * array<bigint> [k1, id1, k2, id2] (Long.MaxValue sentinels).
     */
   def min2(key: Column, id: Column): Column = call_function("graft_min2", key, id)
+
+  /** Two smallest values of a packed BIGINT key, as array<bigint>
+    * [m1, m2] (Long.MaxValue sentinels) — the HashAggregate-friendly
+    * top-2 (see [[Min2PackedAgg]] for when to prefer it over min2).
+    */
+  def min2p(packed: Column): Column = call_function("graft_min2p", packed)
 
   /** All LSH table buckets of `v` from a constant plane matrix (rows
     * in table-major order: table t's planes occupy rows

@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   *     sum and floor-divide is exact BIGINT arithmetic with no
   *     negative-division semantics to disagree on;
   *   - assignment is a broadcast of the K (centroid) rows against the
-  *     vector scan, L2² as an unrolled integer Column tree, argmin as
-  *     ONE min(struct(dist2, cid)) aggregate (map-side combinable —
-  *     the K-way fan-out collapses back to one row per vector before
-  *     the shuffle);
+  *     vector scan, L2² as a native integer kernel, argmin as ONE
+  *     min over a PACKED (dist2 · 2^bits + cid) long key — a
+  *     primitive min that stays in whole-stage-codegen
+  *     HashAggregateExec with map-side combine, so the K-way fan-out
+  *     collapses back to one row per vector before the shuffle and
+  *     nothing fan-out-sized is ever sorted (min(struct(d2, cid))
+  *     planned as SortAggregateExec and externally sorted the whole
+  *     fan-out — the dominant spill term of the r15 1024× build);
   *   - update is ONE groupBy(cluster) aggregate of D coordinate sums
   *     (+count), new coordinates by integral `div`; clusters that lose
   *     every member keep their previous centroid (declared contract);
@@ -77,18 +81,77 @@ object KMeans {
     graft.functions.GraftFunctions.dist2i(a, b)
   }
 
+  /** Packed (d2, cid) argmin key: `min(d2 · 2^bits + cid)` over longs
+    * IS `min(struct(d2, cid))` when cid < 2^bits — and unlike the
+    * struct min (whose non-mutable buffer forces SortAggregateExec,
+    * i.e. an external sort of the whole N·k candidate fan-out; the
+    * dominant term of the r15 1024× build spill), a primitive long
+    * min plans into whole-stage-codegen HashAggregateExec with
+    * map-side partial aggregation — the fan-out collapses to one row
+    * per vector per task and nothing fan-out-sized is sorted.
+    *
+    * d2 saturates at `d2Cap` inside the key (order among saturated
+    * entries then falls back to cid) — reachable only when a vector
+    * is ≥16× outside the quantization scale (the static headroom
+    * check below), i.e. far out of the append contract; in-scale
+    * corpora have d2 ≤ dims·254², orders of magnitude under the cap.
+    */
+  private case class ArgminPack(bits: Int, d2Cap: Long) {
+    def key(d2: Column, cid: Column): Column = least(d2, lit(d2Cap)) * lit(1L << bits) + cid
+    def cidOf(p: Column): Column = p.bitwiseAND(lit((1L << bits) - 1))
+    def d2Of(p: Column): Column = shiftright(p, bits)
+  }
+
+  /** Packing spec for a centroid frame, or None when the id space is
+    * too wide (or negative) for the packed key to order correctly —
+    * callers then keep the struct-min formulation. The max-cid probe
+    * is one tiny job over the K-row centroid frame, paid per assign
+    * call and dwarfed by the N·K job it shapes.
+    */
+  private def argminPackFor(cents: DataFrame, dims: Int): Option[ArgminPack] = {
+    val row = cents.agg(max(col("cid"))).head
+    if (row.isNullAt(0)) return None
+    val maxCid = row.getLong(0)
+    if (maxCid < 0) return None
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(maxCid | 1L)
+    if (bits > 62) return None
+    val d2Cap = (Long.MaxValue >> bits) - 1
+    val d2Static = dims.toLong * 254L * 254L
+    if (d2Cap >= 16L * d2Static) Some(ArgminPack(bits, d2Cap)) else None
+  }
+
+  /** Skinny argmin (vec_id, cluster, d2) — no vector payload through
+    * the aggregate (a carried `first(qa)` array forces the same
+    * sort-based fallback the packed key exists to avoid; consumers
+    * that need qa re-join it from the N-row source, linear work vs
+    * the fan-out-sized sort it replaces).
+    */
+  private def argmin(q: DataFrame, cents: DataFrame, dims: Int): DataFrame =
+    argminPackFor(cents, dims) match {
+      case Some(pk) =>
+        q.crossJoin(broadcast(cents))
+          .select(col("vec_id"), pk.key(dist2(col("qa"), col("ca"), dims), col("cid")).as("p"))
+          .groupBy(col("vec_id"))
+          .agg(min(col("p")).as("p"))
+          .select(col("vec_id"), pk.cidOf(col("p")).as("cluster"), pk.d2Of(col("p")).as("d2"))
+      case None =>
+        q.crossJoin(broadcast(cents))
+          .withColumn("d2", dist2(col("qa"), col("ca"), dims))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d2").as("d2"))
+    }
+
   private def assign(q: DataFrame, cents: DataFrame, dims: Int): DataFrame =
-    q.crossJoin(broadcast(cents))
-      .withColumn("d2", dist2(col("qa"), col("ca"), dims))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("qa")).as("qa"))
-      .select(col("vec_id"), col("qa"), col("m.cid").as("cluster"), col("m.d2").as("d2"))
+    argmin(q, cents, dims)
+      .join(q.select(col("vec_id"), col("qa")), Seq("vec_id"))
+      .select(col("vec_id"), col("qa"), col("cluster"), col("d2"))
 
   /** T rounds of (assign, update) + a final assignment. Returns
     * (vec_id, cluster, dist2) — all BIGINT, bit-deterministic.
     */
   def refine(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame =
-    assign(q, refineCentroids(q, k, iters, dims), dims)
+    argmin(q, refineCentroids(q, k, iters, dims), dims)
       .select(col("vec_id"), col("cluster"), col("d2").as("dist2"))
 
   /** Two-level (coarse IVF → cell-local fine) Lloyd refinement — the
@@ -222,13 +285,31 @@ object KMeans {
       .select(col("vec_id"), col("qa"), col("cluster").as("cell"))
       .localCheckpoint()
     tick("coarse_assign")
-    def fineAssign(f: DataFrame): DataFrame =
-      vcell
-        .join(f, Seq("cell"))
-        .withColumn("d2", dist2(col("qa"), col("ca"), dims))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("qa")).as("qa"))
-        .select(col("vec_id"), col("qa"), col("m.cid").as("cluster"), col("m.d2").as("d2"))
+    // skinny packed argmin over the cell-local fan-out + qa re-join
+    // from the checkpointed vcell (same shape rationale as [[argmin]]:
+    // the struct-min/first(qa) formulation sort-spilled the N·√k
+    // fan-out with the 64-dim payload attached — the r15 "fine
+    // rounds" 692 GB)
+    def fineAssign(f: DataFrame): DataFrame = {
+      val fanout = vcell.join(f, Seq("cell"))
+      val core = argminPackFor(f, dims) match {
+        case Some(pk) =>
+          fanout
+            .select(col("vec_id"), pk.key(dist2(col("qa"), col("ca"), dims), col("cid")).as("p"))
+            .groupBy(col("vec_id"))
+            .agg(min(col("p")).as("p"))
+            .select(col("vec_id"), pk.cidOf(col("p")).as("cluster"), pk.d2Of(col("p")).as("d2"))
+        case None =>
+          fanout
+            .withColumn("d2", dist2(col("qa"), col("ca"), dims))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(col("d2"), col("cid"))).as("m"))
+            .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d2").as("d2"))
+      }
+      core
+        .join(vcell.select(col("vec_id"), col("qa")), Seq("vec_id"))
+        .select(col("vec_id"), col("qa"), col("cluster"), col("d2"))
+    }
     for (_ <- 1 to iters) {
       val a = fineAssign(fine)
       val sums = a
@@ -263,14 +344,29 @@ object KMeans {
     * Returns (vec_id, cluster, qa).
     */
   def assignFrozen(q: DataFrame, fine: DataFrame, activeCoarse: DataFrame, dims: Int): DataFrame = {
+    // checkpointed: referenced by the fan-out AND the qa re-join —
+    // batch-sized by contract (the append path), so the cut is cheap
     val vcell = assign(q, activeCoarse.select(col("cid"), col("ca")), dims)
       .select(col("vec_id"), col("qa"), col("cluster").as("cell"))
-    vcell
-      .join(fine, Seq("cell"))
-      .withColumn("d2", dist2(col("qa"), col("ca"), dims))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("qa")).as("qa"))
-      .select(col("vec_id"), col("m.cid").as("cluster"), col("qa"))
+      .localCheckpoint()
+    val fanout = vcell.join(fine, Seq("cell"))
+    val core = argminPackFor(fine, dims) match {
+      case Some(pk) =>
+        fanout
+          .select(col("vec_id"), pk.key(dist2(col("qa"), col("ca"), dims), col("cid")).as("p"))
+          .groupBy(col("vec_id"))
+          .agg(min(col("p")).as("p"))
+          .select(col("vec_id"), pk.cidOf(col("p")).as("cluster"))
+      case None =>
+        fanout
+          .withColumn("d2", dist2(col("qa"), col("ca"), dims))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cluster"))
+    }
+    core
+      .join(vcell.select(col("vec_id"), col("qa")), Seq("vec_id"))
+      .select(col("vec_id"), col("cluster"), col("qa"))
   }
 
   /** MULTI-PROBE assignment under a frozen two-level geometry — the
@@ -310,13 +406,111 @@ object KMeans {
     * over the candidate fan-out, no argmin re-join.
     *
     * Returns (vec_id, probe, cluster, qa), probe ∈ {1, 2}.
+    *
+    * Since round 16 the aggregates run PACKED (the [[ArgminPack]] key
+    * + the declarative graft_min2p top-2) and skinny (qa re-joined
+    * from the N-row source after each aggregate): the typed
+    * graft_min2 + first(qa) formulation planned as
+    * ObjectHashAggregateExec, whose 128-key sort-based fallback
+    * externally sorted the entire N·√k fan-out WITH the 64-dim
+    * payload attached — measured 722 GB of spill / 180 s in this
+    * phase alone at the 1024× decade (r15 verdict #3). Same
+    * candidates, same lexicographic (d2, cid) order, bit-identical
+    * output; the structs path below is kept for id spaces the pack
+    * can't order (never the engine's own corpora) and as the
+    * semantics reference.
     */
   def assignMultiProbe(q: DataFrame, fine: DataFrame, activeCoarse: DataFrame, dims: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(q.sparkSession)
+    val ac = activeCoarse.select(col("cid"), col("ca"))
+    (argminPackFor(ac, dims), argminPackFor(fine, dims)) match {
+      case (Some(cPk), Some(fPk)) => assignMultiProbePacked(q, fine, ac, dims, cPk, fPk)
+      case _ => assignMultiProbeStructs(q, fine, ac, dims)
+    }
+  }
+
+  private def assignMultiProbePacked(
+      q: DataFrame,
+      fine: DataFrame,
+      ac: DataFrame,
+      dims: Int,
+      cPk: ArgminPack,
+      fPk: ArgminPack
+  ): DataFrame = {
+    import graft.functions.GraftFunctions.min2p
+    val sentinel = Long.MaxValue
+    val qa2 = q.select(col("vec_id"), col("qa"))
+    val cd = q
+      .crossJoin(broadcast(ac))
+      .select(col("vec_id"), cPk.key(dist2(col("qa"), col("ca"), dims), col("cid")).as("p"))
+    val top2 = cd.groupBy(col("vec_id")).agg(min2p(col("p")).as("m2"))
+    val vcell = top2
+      .select(
+        col("vec_id"),
+        explode(
+          filter(
+            array(
+              struct(lit(1).as("crank"), element_at(col("m2"), 1).as("pp")),
+              struct(lit(2).as("crank"), element_at(col("m2"), 2).as("pp"))
+            ),
+            s => s.getField("pp") =!= lit(sentinel)
+          )
+        ).as("pc")
+      )
+      .select(col("vec_id"), col("pc.crank").as("crank"), cPk.cidOf(col("pc.pp")).as("cell"))
+      .join(qa2, Seq("vec_id"))
+    val cand = vcell
+      .join(fine, Seq("cell"))
+      .select(col("vec_id"), col("crank"), fPk.key(dist2(col("qa"), col("ca"), dims), col("cid")).as("p"))
+    // ONE aggregate carries both the legacy argmin (null-skipping min
+    // over the crank-1 candidates) and the union top-2; the secondary
+    // is then min-over-union-excluding-primary by case analysis (per
+    // vector all candidate cids are distinct — fine seeds pin to one
+    // cell and the two probed cells differ — so packed equality IS
+    // cid equality and the union top-2 IS the top-2 distinct-cid
+    // minima)
+    val agg = cand
+      .groupBy(col("vec_id"))
+      .agg(
+        min(when(col("crank") === 1, col("p"))).as("pp"),
+        min2p(col("p")).as("u")
+      )
+    val u1 = element_at(col("u"), 1)
+    val u2 = element_at(col("u"), 2)
+    // if the union's best IS the primary, the runner-up is the union's
+    // second; otherwise the union's best already has a different cid
+    // and dominates every other non-primary candidate
+    val secP = when(
+      u1 === col("pp"),
+      when(u2 === lit(sentinel), lit(null).cast("long")).otherwise(u2)
+    ).otherwise(when(u1 === lit(sentinel), lit(null).cast("long")).otherwise(u1))
+    agg
+      .select(
+        col("vec_id"),
+        explode(
+          filter(
+            array(
+              struct(lit(1).as("probe"), fPk.cidOf(col("pp")).as("cluster")),
+              struct(lit(2).as("probe"), fPk.cidOf(secP).as("cluster"))
+            ),
+            s => s.getField("cluster").isNotNull
+          )
+        ).as("pr")
+      )
+      .select(col("vec_id"), col("pr.probe").as("probe"), col("pr.cluster").as("cluster"))
+      .join(qa2, Seq("vec_id"))
+      .select(col("vec_id"), col("probe"), col("cluster"), col("qa"))
+  }
+
+  /** The struct/typed-aggregate reference formulation (pre-r16 shape;
+    * see [[assignMultiProbe]] for why the packed path replaced it on
+    * packable id spaces).
+    */
+  private def assignMultiProbeStructs(q: DataFrame, fine: DataFrame, ac: DataFrame, dims: Int): DataFrame = {
     import graft.functions.GraftFunctions.min2
     val sentinel = Long.MaxValue
     val cd = q
-      .crossJoin(broadcast(activeCoarse.select(col("cid"), col("ca"))))
+      .crossJoin(broadcast(ac))
       .withColumn("d2", dist2(col("qa"), col("ca"), dims))
     val top2 = cd
       .groupBy(col("vec_id"))
@@ -339,11 +533,6 @@ object KMeans {
     val cand = vcell
       .join(fine, Seq("cell"))
       .withColumn("d2", dist2(col("qa"), col("ca"), dims))
-    // ONE aggregate carries both the legacy argmin (null-skipping min
-    // over the crank-1 candidates) and the union top-2; the secondary
-    // is then min-over-union-excluding-primary by case analysis (per
-    // vector all candidate cids are distinct — fine seeds pin to one
-    // cell — so the union top-2 IS the top-2 distinct-cid minima)
     val agg = cand
       .groupBy(col("vec_id"))
       .agg(
@@ -353,9 +542,6 @@ object KMeans {
       )
     val u1 = element_at(col("u"), 2)
     val u2 = element_at(col("u"), 4)
-    // if the union's best IS the primary, the runner-up is the union's
-    // second; otherwise the union's best already has a different cid
-    // and dominates every other non-primary candidate
     val secCid = when(
       u1 === col("prim").getField("cid"),
       when(u2 === lit(sentinel), lit(null).cast("long")).otherwise(u2)

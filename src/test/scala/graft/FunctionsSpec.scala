@@ -261,4 +261,41 @@ class FunctionsSpec extends AnyFunSuite {
       .toMap
     assert(merged == got, "partial-aggregate merge path diverges from the single-pass result")
   }
+
+  test("graft_min2p equals graft_min2 on packed distinct-id inputs and plans as a hash aggregate") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val M = Long.MaxValue
+    val rnd = new scala.util.Random(7)
+    // distinct ids per group (the KMeans precondition: a centroid id
+    // appears at most once per vector), packed key = k * 2^8 + id
+    val rows = (0 until 3000).flatMap { g =>
+      rnd.shuffle((1L to 9L).toList).take(1 + rnd.nextInt(9)).map(id => (g.toLong, rnd.nextInt(25).toLong, id))
+    } ++ Seq((9001L, 7L, 3L)) // singleton group: second slot stays sentinel
+    val df = rows.toDF("g", "k", "id").withColumn("p", col("k") * 256 + col("id")).repartition(16)
+    val got = df
+      .groupBy(col("g"))
+      .agg(GraftFunctions.min2p(col("p")).as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList)
+      .toMap
+    val viaMin2 = df
+      .groupBy(col("g"))
+      .agg(GraftFunctions.min2(col("k"), col("id")).as("m"))
+      .collect()
+      .map { r =>
+        val m = r.getSeq[Long](1)
+        val p1 = if (m(0) == M) M else m(0) * 256 + m(1)
+        val p2 = if (m(2) == M) M else m(2) * 256 + m(3)
+        r.getLong(0) -> List(p1, p2)
+      }
+      .toMap
+    assert(got == viaMin2, "packed declarative top-2 diverges from the typed distinct-id aggregate")
+    // the whole point: the declarative two-long buffer must plan into
+    // HashAggregate (ObjectHashAggregate's 128-key fallback sorts the
+    // entire fan-out — the r15 722 GB build spill)
+    val plan = df.groupBy(col("g")).agg(GraftFunctions.min2p(col("p"))).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected HashAggregate, plan:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"), s"fallback-prone plan:\n$plan")
+  }
 }
