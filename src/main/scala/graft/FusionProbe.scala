@@ -22,6 +22,13 @@ import graft.sources.Tables
   * truths (planted / exact cosine / exact bm25), plus the per-channel
   * ranks of X, S, T — the construction's premise made auditable.
   *
+  * Round 16 (r15 verdict #5 — "8 probes / 1 decade proves the
+  * mechanism, not the measurement"): probes draw from EVERY replica's
+  * planted X bases (not just replica 0), nProbes=0 means all eligible
+  * bases, and the X/S/T ranks are reported as DISTRIBUTIONS
+  * (mean/p50/p90/max + found count + fused win rate), not means
+  * alone.
+  *
   * Usage: sbt "runMain graft.FusionProbe [derivedDir] [nProbes]"
   *   output: one JSON line + SPARK_GRAFT_FUSION_OUT
   *   (default /tmp/r15/fusion_<basename>.json)
@@ -44,17 +51,23 @@ object FusionProbe {
     // three embedding partners actually landed (guard drops are rare
     // but the truth must be exact)
     val vecIds = emb.select(col("vec_id")).localCheckpoint()
+    // X bases from EVERY replica (planting is replica-local with the
+    // same within-replica offset; KeyStride is divisible by PlantMod,
+    // so the residue arithmetic is replica-agnostic)
     val bases = vecIds
-      .filter(col("vec_id") < ScaleUp.PlantOffset && pmod(col("vec_id"), lit(ScaleUp.PlantMod)) === ScaleUp.CrossModalResidue)
+      .filter(
+        pmod(col("vec_id"), lit(ScaleUp.KeyStride)) < ScaleUp.PlantOffset &&
+          pmod(col("vec_id"), lit(ScaleUp.PlantMod)) === ScaleUp.CrossModalResidue
+      )
       .select(col("vec_id").as("base"))
     def having(shift: Long): DataFrame =
       bases.join(vecIds.select((col("vec_id") - ScaleUp.PlantOffset - shift).as("base")), Seq("base"), "left_semi")
-    val probeIds = having(0)
+    val eligible = having(0)
       .join(having(1), Seq("base"), "left_semi")
       .join(having(2), Seq("base"), "left_semi")
       .join(docs.select((col("doc_id") - ScaleUp.PlantOffset).as("base")), Seq("base"), "left_semi")
       .orderBy(col("base"))
-      .limit(nProbes)
+    val probeIds = (if (nProbes > 0) eligible.limit(nProbes) else eligible)
       .collect()
       .map(_.getLong(0))
       .toSeq
@@ -98,7 +111,10 @@ object FusionProbe {
         f""""bm25":{"mean_hits":$hB%.4f,"mrr":$mB%.4f}}"""
     }
 
-    // the construction's premise, audited: per-channel ranks of X/S/T
+    // the construction's premise, audited: per-channel rank
+    // DISTRIBUTIONS of X/S/T (r16 — means alone hid the tails), plus
+    // the fused win rate on X (rank 1 = the cross-modal twin outranks
+    // both channels' noise docs)
     def rankOf(cand: DataFrame, rankCol: String, shift: Long): String = {
       val t = pairsDF(spark, probeIds.map(b => (b, b + ScaleUp.PlantOffset + shift)))
       val rs = cand
@@ -106,11 +122,17 @@ object FusionProbe {
         .select(col(rankCol))
         .collect()
         .map(_.getInt(0))
+        .sorted
       if (rs.isEmpty) "null"
-      else f"${rs.sum.toDouble / rs.length}%.2f"
+      else {
+        def q(p: Double) = rs(math.min(rs.length - 1, (p * rs.length).toInt))
+        val winRate = rs.count(_ == 1).toDouble / probeIds.length
+        f"""{"n_found":${rs.length},"mean":${rs.sum.toDouble / rs.length}%.2f,""" +
+          f""""p50":${q(0.5)},"p90":${q(0.9)},"max":${rs.last},"rank1_rate":$winRate%.4f}"""
+      }
     }
     val premise =
-      s""""mean_rank":{"lexical":{"X":${rankOf(lexC, "lex_rank", 0)},"S":${rankOf(lexC, "lex_rank", 1)},""" +
+      s""""rank_dist":{"lexical":{"X":${rankOf(lexC, "lex_rank", 0)},"S":${rankOf(lexC, "lex_rank", 1)},""" +
         s""""T":${rankOf(lexC, "lex_rank", 2)}},""" +
         s""""semantic":{"X":${rankOf(semC, "sem_rank", 0)},"S":${rankOf(semC, "sem_rank", 1)},""" +
         s""""T":${rankOf(semC, "sem_rank", 2)}},""" +

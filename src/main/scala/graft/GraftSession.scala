@@ -47,6 +47,19 @@ object GraftSession {
         s"${sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_MB", "64")}m"
       )
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ObjectHashAggregate falls back to SORT-BASED aggregation after
+      // this many distinct keys per task — and the default (128) makes
+      // EVERY per-doc/per-vector typed aggregate (graft_minhash,
+      // graft_simhash, graft_min2, graft_topk) externally sort its
+      // whole input: the corpus's heaviest frames re-sorted for
+      // aggregates whose map-side state is tiny and fixed (minhash
+      // 512 B/doc; the 256× q32 signature pass OOM'd inside exactly
+      // this fallback sorter, r16). 128k keys bounds the untracked
+      // hash map at ~128 MB/task for ≤1 KB state — safe at the 8 GB
+      // test heap — while input splits scale with corpus size, so
+      // keys-per-task stays well under the bound at every measured
+      // decade (docs/task ≈ 40-80k from 64 MB splits).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       // accept SUBSET co-partitioning for joins: a table bucketed by
       // its block key (CellIndex's `cluster`) must serve joins whose

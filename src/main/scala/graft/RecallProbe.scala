@@ -239,6 +239,75 @@ object RecallProbe {
           s""""probes":${graft.operators.CellIndex.ProbeCount},"by_cosine":{$rows}}"""
       }
 
+    // 5b. (optional, SPARK_GRAFT_RECALL_PSWEEP="2,3") the PROBE-COUNT
+    // contract sweep (r15 verdict #4): under the SAME frozen geometry
+    // (persisted cents — no retraining), assign the corpus at each
+    // probe count P and measure what another probe buys (catch +
+    // probe-shared coverage per planted cosine) and what it costs
+    // (within-cell pair candidates per vector — the quantity bounded
+    // by P²·occupancy). P=2 reproduces the shipped index's assignment
+    // bit-for-bit, so its row doubles as an in-memory/persisted
+    // cross-check against section 5.
+    val psweepJson = sys.env
+      .get("SPARK_GRAFT_RECALL_PSWEEP")
+      .filter(_ => runQ129)
+      .map { spec =>
+        import DedupSimQueries.{SemDedupTauDen, SemDedupTauNum}
+        val table = DedupSimQueries.cellIndexTable(dir)
+        val cents = spark.table(s"${table}_cents").localCheckpoint()
+        val fine = cents.filter(col("level") === "fine").select(col("cid"), col("cell"), col("ca"))
+        val coarse = cents.filter(col("level") === "coarse").select(col("cid"), col("ca"))
+        val q = graft.operators.KMeans.quantizeShifted(emb, "vec_id", "embedding").localCheckpoint()
+        val entries = spec.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).map { p =>
+          val (asg, asgSec) = timed {
+            graft.operators.KMeans
+              .assignMultiProbe(q, fine, coarse, Dims, p)
+              .localCheckpoint()
+          }
+          val nAsg = asg.count()
+          val candRow = asg
+            .groupBy(col("cluster"))
+            .agg(count(lit(1)).as("m"))
+            .agg(sum(expr("m * (m - 1) div 2")))
+            .head()
+          val candPerVec = (if (candRow.isNullAt(0)) 0L else candRow.getLong(0)).toDouble / math.max(n, 1L)
+          val idxp = asg.select(col("vec_id"), col("cluster"))
+          val pshared = partner
+            .join(idxp.select(col("vec_id").as("vec_a"), col("cluster").as("pc")), Seq("vec_a"))
+            .join(idxp.select(col("vec_id").as("vec_b"), col("cluster").as("pc")), Seq("vec_b", "pc"))
+            .select(col("vec_a"), col("vec_b"))
+            .distinct()
+            .withColumn("pshared", lit(1))
+          val (kept, dedupSec) = timed {
+            graft.dedup.DedupPipeline
+              .semDedup(asg, Dims, SemDedupTauNum, SemDedupTauDen)
+              .select(col("vec_id"), col("kept"))
+              .localCheckpoint()
+          }
+          val rows = partner
+            .join(kept.select(col("vec_id").as("vec_b"), col("kept")), Seq("vec_b"))
+            .join(pshared, Seq("vec_a", "vec_b"), "left_outer")
+            .groupBy(col("c_target"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(coalesce(col("pshared"), lit(0))).as("n_ps"),
+              sum(when(!col("kept"), 1).otherwise(0)).as("n_caught")
+            )
+            .orderBy(col("c_target"))
+            .collect()
+            .map { r =>
+              val (c, nP, nPs, nC) = (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3))
+              s""""${f"$c%.2f"}":{"n_true":$nP,"probe_shared_rate":${f"${nPs.toDouble / math.max(nP, 1L)}%.4f"},""" +
+                s""""catch_rate":${f"${nC.toDouble / math.max(nP, 1L)}%.4f"}}"""
+            }
+            .mkString(",")
+          s"""{"probes":$p,"n_probe_rows":$nAsg,"assign_sec":${f"$asgSec%.3f"},"dedup_sec":${f"$dedupSec%.3f"},""" +
+            s""""candidates_per_vector":${f"$candPerVec%.2f"},"by_cosine":{$rows}}"""
+        }
+        s""","probe_sweep":[${entries.mkString(",")}]"""
+      }
+      .getOrElse("")
+
     // 6. (optional, SPARK_GRAFT_RECALL_TARGET_MULT=m) the ceiling's
     // KNOB: co-location rises with cluster size, so price the trade —
     // build a second cell partition at m× the standard target and
@@ -283,7 +352,7 @@ object RecallProbe {
          |"false_pairs":$falsePairs,"precision":${f"$precision%.6f"},
          |"bands":{$bands},
          |"planted_recall":{$planted},
-         |"semdedup_planted":$q129Json$targetMultJson}""".stripMargin.replace("\n", "")
+         |"semdedup_planted":$q129Json$psweepJson$targetMultJson}""".stripMargin.replace("\n", "")
     val outFile = sys.env.getOrElse(
       "SPARK_GRAFT_RECALL_OUT",
       s"/tmp/r14/recall_${new java.io.File(dir).getName}.json"

@@ -126,11 +126,11 @@ object GraftFunctions {
       }
     ),
     (
-      FunctionIdentifier("graft_min2p"),
-      new ExpressionInfo(classOf[Min2PackedAgg].getName, "graft_min2p"),
+      FunctionIdentifier("graft_minkp"),
+      new ExpressionInfo(classOf[MinKPackedAgg].getName, "graft_minkp"),
       (children: Seq[Expression]) => {
-        require(children.size == 1, s"graft_min2p(packedKey) takes 1 argument, got ${children.size}")
-        Min2PackedAgg(children.head)
+        require(children.size == 2, s"graft_minkp(packedKey, k) takes 2 arguments, got ${children.size}")
+        MinKPackedAgg(children.head, children(1))
       }
     ),
     (
@@ -202,11 +202,13 @@ object GraftFunctions {
     */
   def min2(key: Column, id: Column): Column = call_function("graft_min2", key, id)
 
-  /** Two smallest values of a packed BIGINT key, as array<bigint>
-    * [m1, m2] (Long.MaxValue sentinels) — the HashAggregate-friendly
-    * top-2 (see [[Min2PackedAgg]] for when to prefer it over min2).
+  /** K smallest values of a packed BIGINT key, ascending, as
+    * array<bigint> (Long.MaxValue sentinels) — the
+    * HashAggregate-friendly top-K (see [[MinKPackedAgg]] for when to
+    * prefer it over the typed min2).
     */
-  def min2p(packed: Column): Column = call_function("graft_min2p", packed)
+  def minkp(packed: Column, k: Int): Column =
+    call_function("graft_minkp", packed, org.apache.spark.sql.functions.lit(k))
 
   /** All LSH table buckets of `v` from a constant plane matrix (rows
     * in table-major order: table t's planes occupy rows

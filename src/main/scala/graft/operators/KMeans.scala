@@ -420,12 +420,24 @@ object KMeans {
     * can't order (never the engine's own corpora) and as the
     * semantics reference.
     */
-  def assignMultiProbe(q: DataFrame, fine: DataFrame, activeCoarse: DataFrame, dims: Int): DataFrame = {
+  def assignMultiProbe(
+      q: DataFrame,
+      fine: DataFrame,
+      activeCoarse: DataFrame,
+      dims: Int,
+      probes: Int = 2
+  ): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(q.sparkSession)
+    require(
+      probes >= 2 && probes <= graft.functions.MinKPackedAgg.MaxK,
+      s"probes must be in [2, ${graft.functions.MinKPackedAgg.MaxK}], got $probes"
+    )
     val ac = activeCoarse.select(col("cid"), col("ca"))
     (argminPackFor(ac, dims), argminPackFor(fine, dims)) match {
-      case (Some(cPk), Some(fPk)) => assignMultiProbePacked(q, fine, ac, dims, cPk, fPk)
-      case _ => assignMultiProbeStructs(q, fine, ac, dims)
+      case (Some(cPk), Some(fPk)) => assignMultiProbePacked(q, fine, ac, dims, probes, cPk, fPk)
+      case _ =>
+        require(probes == 2, s"probes=$probes needs a packable centroid id space (got ids the pack can't order)")
+        assignMultiProbeStructs(q, fine, ac, dims)
     }
   }
 
@@ -434,70 +446,46 @@ object KMeans {
       fine: DataFrame,
       ac: DataFrame,
       dims: Int,
+      probes: Int,
       cPk: ArgminPack,
       fPk: ArgminPack
   ): DataFrame = {
-    import graft.functions.GraftFunctions.min2p
+    import graft.functions.GraftFunctions.minkp
     val sentinel = Long.MaxValue
     val qa2 = q.select(col("vec_id"), col("qa"))
     val cd = q
       .crossJoin(broadcast(ac))
       .select(col("vec_id"), cPk.key(dist2(col("qa"), col("ca"), dims), col("cid")).as("p"))
-    val top2 = cd.groupBy(col("vec_id")).agg(min2p(col("p")).as("m2"))
-    val vcell = top2
-      .select(
-        col("vec_id"),
-        explode(
-          filter(
-            array(
-              struct(lit(1).as("crank"), element_at(col("m2"), 1).as("pp")),
-              struct(lit(2).as("crank"), element_at(col("m2"), 2).as("pp"))
-            ),
-            s => s.getField("pp") =!= lit(sentinel)
-          )
-        ).as("pc")
-      )
-      .select(col("vec_id"), col("pc.crank").as("crank"), cPk.cidOf(col("pc.pp")).as("cell"))
+    // the `probes` nearest coarse cells, ascending (slot i = crank i)
+    val topP = cd.groupBy(col("vec_id")).agg(minkp(col("p"), probes).as("mk"))
+    val vcell = topP
+      .select(col("vec_id"), posexplode(filter(col("mk"), s => s =!= lit(sentinel))))
+      .select(col("vec_id"), (col("pos") + 1).as("crank"), cPk.cidOf(col("col")).as("cell"))
       .join(qa2, Seq("vec_id"))
     val cand = vcell
       .join(fine, Seq("cell"))
       .select(col("vec_id"), col("crank"), fPk.key(dist2(col("qa"), col("ca"), dims), col("cid")).as("p"))
     // ONE aggregate carries both the legacy argmin (null-skipping min
-    // over the crank-1 candidates) and the union top-2; the secondary
-    // is then min-over-union-excluding-primary by case analysis (per
+    // over the crank-1 candidates) and the union top-P; probes 2..P
+    // are then the union's best entries excluding the primary (per
     // vector all candidate cids are distinct — fine seeds pin to one
-    // cell and the two probed cells differ — so packed equality IS
-    // cid equality and the union top-2 IS the top-2 distinct-cid
-    // minima)
+    // cell and the probed cells differ — so packed equality IS cid
+    // equality and the union top-P IS the top-P distinct-cid minima)
     val agg = cand
       .groupBy(col("vec_id"))
       .agg(
         min(when(col("crank") === 1, col("p"))).as("pp"),
-        min2p(col("p")).as("u")
+        minkp(col("p"), probes).as("u")
       )
-    val u1 = element_at(col("u"), 1)
-    val u2 = element_at(col("u"), 2)
-    // if the union's best IS the primary, the runner-up is the union's
-    // second; otherwise the union's best already has a different cid
-    // and dominates every other non-primary candidate
-    val secP = when(
-      u1 === col("pp"),
-      when(u2 === lit(sentinel), lit(null).cast("long")).otherwise(u2)
-    ).otherwise(when(u1 === lit(sentinel), lit(null).cast("long")).otherwise(u1))
+    val others = slice(
+      filter(col("u"), s => s =!= coalesce(col("pp"), lit(sentinel)) && s =!= lit(sentinel)),
+      1,
+      probes - 1
+    )
     agg
-      .select(
-        col("vec_id"),
-        explode(
-          filter(
-            array(
-              struct(lit(1).as("probe"), fPk.cidOf(col("pp")).as("cluster")),
-              struct(lit(2).as("probe"), fPk.cidOf(secP).as("cluster"))
-            ),
-            s => s.getField("cluster").isNotNull
-          )
-        ).as("pr")
-      )
-      .select(col("vec_id"), col("pr.probe").as("probe"), col("pr.cluster").as("cluster"))
+      .select(col("vec_id"), posexplode(concat(array(col("pp")), others)))
+      .filter(col("col").isNotNull)
+      .select(col("vec_id"), (col("pos") + 1).as("probe"), fPk.cidOf(col("col")).as("cluster"))
       .join(qa2, Seq("vec_id"))
       .select(col("vec_id"), col("probe"), col("cluster"), col("qa"))
   }

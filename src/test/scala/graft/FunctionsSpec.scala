@@ -262,7 +262,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(merged == got, "partial-aggregate merge path diverges from the single-pass result")
   }
 
-  test("graft_min2p equals graft_min2 on packed distinct-id inputs and plans as a hash aggregate") {
+  test("graft_minkp equals graft_min2 on packed distinct-id inputs and plans as a hash aggregate") {
     import spark.implicits._
     GraftFunctions.ensureRegistered(spark)
     val M = Long.MaxValue
@@ -271,11 +271,11 @@ class FunctionsSpec extends AnyFunSuite {
     // appears at most once per vector), packed key = k * 2^8 + id
     val rows = (0 until 3000).flatMap { g =>
       rnd.shuffle((1L to 9L).toList).take(1 + rnd.nextInt(9)).map(id => (g.toLong, rnd.nextInt(25).toLong, id))
-    } ++ Seq((9001L, 7L, 3L)) // singleton group: second slot stays sentinel
+    } ++ Seq((9001L, 7L, 3L)) // singleton group: later slots stay sentinel
     val df = rows.toDF("g", "k", "id").withColumn("p", col("k") * 256 + col("id")).repartition(16)
     val got = df
       .groupBy(col("g"))
-      .agg(GraftFunctions.min2p(col("p")).as("m"))
+      .agg(GraftFunctions.minkp(col("p"), 2).as("m"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toList)
       .toMap
@@ -291,10 +291,29 @@ class FunctionsSpec extends AnyFunSuite {
       }
       .toMap
     assert(got == viaMin2, "packed declarative top-2 diverges from the typed distinct-id aggregate")
-    // the whole point: the declarative two-long buffer must plan into
+    // general K against a reference scan, exercising update AND merge
+    // (repartition forces partial aggregation)
+    for (k <- Seq(1, 3, 5)) {
+      val gotK = df
+        .groupBy(col("g"))
+        .agg(GraftFunctions.minkp(col("p"), k).as("m"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toList)
+        .toMap
+      val refK = rows
+        .groupBy(_._1)
+        .map { case (g, rs) =>
+          val sorted = rs.map(e => e._2 * 256 + e._3).sorted
+          g -> (sorted.take(k).toList ++ List.fill(k)(M)).take(k)
+        }
+      assert(gotK.keySet == refK.keySet)
+      gotK.foreach { case (g, m) => assert(m == refK(g), s"k=$k group $g: $m != ${refK(g)}") }
+    }
+    // the whole point: the declarative K-long buffer must plan into
     // HashAggregate (ObjectHashAggregate's 128-key fallback sorts the
     // entire fan-out — the r15 722 GB build spill)
-    val plan = df.groupBy(col("g")).agg(GraftFunctions.min2p(col("p"))).queryExecution.executedPlan.toString
+    val plan =
+      df.groupBy(col("g")).agg(GraftFunctions.minkp(col("p"), 3)).queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"), s"expected HashAggregate, plan:\n$plan")
     assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"), s"fallback-prone plan:\n$plan")
   }
