@@ -49,17 +49,29 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // ObjectHashAggregate falls back to SORT-BASED aggregation after
       // this many distinct keys per task — and the default (128) makes
-      // EVERY per-doc/per-vector typed aggregate (graft_minhash,
-      // graft_simhash, graft_min2, graft_topk) externally sort its
-      // whole input: the corpus's heaviest frames re-sorted for
-      // aggregates whose map-side state is tiny and fixed (minhash
-      // 512 B/doc; the 256× q32 signature pass OOM'd inside exactly
-      // this fallback sorter, r16). 128k keys bounds the untracked
-      // hash map at ~128 MB/task for ≤1 KB state — safe at the 8 GB
-      // test heap — while input splits scale with corpus size, so
-      // keys-per-task stays well under the bound at every measured
-      // decade (docs/task ≈ 40-80k from 64 MB splits).
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // EVERY per-doc/per-vector typed aggregate (graft_simhash,
+      // graft_min2, graft_topk) externally sort its whole input: the
+      // corpus's heaviest frames re-sorted for aggregates whose
+      // map-side state is tiny and fixed. 32k keys bounds the
+      // UNTRACKED object map at ~16 MB/task for ≤0.5 KB state (32
+      // tasks ≈ 0.5 GB live — measured: 128k entries of 512 B minhash
+      // buffers OOM'd the 8 GB heap during the map→sorter dump, so
+      // the bound must leave dump headroom); past the threshold the
+      // sort fallback is survivable, just slow — the hot signature
+      // aggregate (graft_minhash) is DECLARATIVE since r16 and never
+      // takes this path at all.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "32768")
+      // Scan-split size: the 128 MB default assumes scan-bound work,
+      // but graft's hot pipelines are compute-AMPLIFYING — a shingle
+      // explode turns each input row into ~150, so a 470 MB documents
+      // scan (100× decade) became 4 tasks each partial-aggregating
+      // ~20M exploded rows (1 GB+ hash maps → 17 GB spill, 28 of 32
+      // cores idle through q32's heaviest stage). 16 MB splits give
+      // the explosion ~30+ upstream tasks at that size and scale with
+      // the corpus; every sf0.1 table is a single ≤16 MB file, so the
+      // driver-gate plans and timings are untouched. Map-side combine
+      // output is unchanged — only the pre-shuffle parallelism moves.
+      .config("spark.sql.files.maxPartitionBytes", s"${sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_MB", "16")}m")
       .config("spark.sql.session.timeZone", "UTC")
       // accept SUBSET co-partitioning for joins: a table bucketed by
       // its block key (CellIndex's `cluster`) must serve joins whose

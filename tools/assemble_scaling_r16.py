@@ -4,7 +4,7 @@
 Inputs (all produced this round, same host, under /tmp/r16):
   bench_10x.json .. bench_2048x.json   -- per-decade pair-engine bench
                                           columns (min-of-2, observed,
-                                          SPARK_DRIVER_MEM=96g)
+                                          default 8g heap)
   recall_100x.json, recall_256x.json   -- RecallProbe full-truth runs
                                           (256x also carries the P-sweep)
   recall_512x.json .. recall_2048x.json-- planted-only runs
@@ -81,7 +81,7 @@ def main():
             cols[name] = load(f"{R16}/{f}")
     sf01 = load("/root/repo/BENCH_QUERIES.json")
 
-    out = {"note": NOTE, "heap": os.environ.get("SPARK_DRIVER_MEM", "96g")}
+    out = {"note": NOTE, "heap": os.environ.get("SPARK_DRIVER_MEM", "8g (sbt default)")}
     if declared:
         out["missing"] = declared
     out["sf0.1"] = {k: v for k, v in sorted(sf01["queries"].items())}
@@ -199,7 +199,7 @@ def main():
 
 NOTE = (
     "round-16 scaling: every column re-measured at round-16 HEAD in one same-host campaign "
-    "(tools/campaign_r16.sh; SPARK_DRIVER_MEM=96g, sequential per-engine JVMs, full per-step stderr kept, "
+    "(tools/campaign_r16.sh; default 8g heap — the driver-gate regime; sequential per-engine JVMs, full per-step stderr kept, "
     "spill dirs cleaned and corpora dropped after their last consumer). THE ROUND'S HEADLINE: the fifth "
     "decade (2048x) is MEASURED for real this time (r15 claimed it and the run had died on ENOSPC), and "
     "the two spill shapes the r15 verdict named are gone at the code level: (1) KMeans assignment "

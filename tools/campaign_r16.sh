@@ -14,15 +14,20 @@
 #     steps that don't depend on it — the assembler then refuses to
 #     write a note over the hole (tools/assemble_scaling_r16.py).
 #
-# Heap: SPARK_DRIVER_MEM=96g on the 125 GB host (the sbt default is
-# 8g — the r16 q32 OOM at 256x reproduced only under that default).
+# Heap: the DEFAULT 8g (the driver-gate regime, and the one the r15
+# columns were measured under). A 96g first attempt measured 2-6x
+# SLOWER across the board: the 200M-row checkpoint blocks fit in the
+# big heap as live deserialized objects and GC scanned them forever,
+# where the small heap pushes them to disk-backed storage and stays
+# lean. The signature-pass OOM that motivated a bigger heap was fixed
+# at the source instead (declarative graft_minhash, bounded
+# fallbackThreshold).
 set -u
 R16=/tmp/r16
 REPO=/root/repo
 TD=/root/testdata/sf0.1
 LOG=$R16/logs
 mkdir -p "$LOG"
-export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-96g}
 
 PAIR_QUERIES=q32_dedup_minhash_lsh,q34_dedup_embedding,q118_phash_neardup,q129_semantic_dedup,q138_dedup_pipeline
 
