@@ -51,12 +51,16 @@ object FusionProbe {
     // three embedding partners actually landed (guard drops are rare
     // but the truth must be exact)
     val vecIds = emb.select(col("vec_id")).localCheckpoint()
-    // X bases from EVERY replica (planting is replica-local with the
-    // same within-replica offset; KeyStride is divisible by PlantMod,
-    // so the residue arithmetic is replica-agnostic)
+    // X bases from every INT-RANGE replica (planting is replica-local
+    // with the same within-replica offset; KeyStride is divisible by
+    // PlantMod, so the residue arithmetic is replica-agnostic). The
+    // Bm25 query-id type caps probe ids at Int.MaxValue — replicas
+    // 0-2 qualify, supplying ~102 X bases at any decade (n ≥ 64, the
+    // r15 verdict's floor; r15 itself used 8 replica-0 probes).
     val bases = vecIds
       .filter(
-        pmod(col("vec_id"), lit(ScaleUp.KeyStride)) < ScaleUp.PlantOffset &&
+        col("vec_id") <= Int.MaxValue.toLong &&
+          pmod(col("vec_id"), lit(ScaleUp.KeyStride)) < ScaleUp.PlantOffset &&
           pmod(col("vec_id"), lit(ScaleUp.PlantMod)) === ScaleUp.CrossModalResidue
       )
       .select(col("vec_id").as("base"))

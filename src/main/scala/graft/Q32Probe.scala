@@ -37,6 +37,17 @@ object Q32Probe {
         val m = e.taskMetrics
         if (m != null) { mem.addAndGet(m.memoryBytesSpilled); disk.addAndGet(m.diskBytesSpilled) }
       }
+      // per-STAGE attribution (the phases span several stages each —
+      // phase sums alone kept competing spill hypotheses alive)
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val ms = si.taskMetrics
+        if (ms != null && ms.memoryBytesSpilled > 0)
+          println(
+            f"[q32probe]   stage ${si.stageId}%4d ${si.numTasks}%4d tasks  mem ${ms.memoryBytesSpilled / 1e9}%7.2f GB" +
+              f"  disk ${ms.diskBytesSpilled / 1e9}%6.2f GB  ${si.name.takeWhile(_ != '\n').take(80)}"
+          )
+      }
     })
 
     val phases = scala.collection.mutable.ArrayBuffer[String]()
@@ -54,9 +65,13 @@ object Q32Probe {
     }
 
     val docs = Tables.documents(spark, dir)
-    val rows = phase("shingle_rows")(Dedup.shingleRows(docs, "doc_id", "text", 3))
-    val dist = phase("distinct")(rows.distinct())
-    val capped = phase("df_cap")(Dedup.dfCapped(dist, MaxShingleDf))
+    // ONE fused phase for the shared checkpoint, exactly as
+    // DedupSimQueries.shingles3 builds it — phase-per-operator here
+    // pinned an extra 139M-row checkpoint in storage at 512× and
+    // OOM'd a stage production never runs
+    val capped = phase("shingles3")(
+      Dedup.dfCapped(Dedup.shingleRows(docs, "doc_id", "text", 3).distinct(), MaxShingleDf)
+    )
     val sigs = phase("signatures")(Dedup.minhashSignatures(capped, NumPerms))
     val cands = phase("candidates")(Dedup.lshCandidates(sigs, NumPerms, RowsPerBand))
     val out = phase("verify")(Dedup.verifyJaccard(capped, cands, JaccardThreshold))
