@@ -53,8 +53,12 @@ object Bench {
     // QUERIES still run cold (their plan compilation is part of the
     // measurement).
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    // tolerate subset corpora (SPARK_GRAFT_SCALE_TABLES generations):
+    // a missing table's warmup is skipped — queries over it would fail
+    // anyway, and a restricted pair-engine sweep never reads it
     graft.sources.Tables.All.foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
+      try spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
     // SPARK_GRAFT_BENCH_ONLY=q97_link_pagerank,q31_... restricts the
     // sweep (the sf1 scaling runs time only the top-10 most expensive

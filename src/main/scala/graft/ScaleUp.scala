@@ -341,16 +341,29 @@ object ScaleUp {
       println(s"[scaleup] $name x$replicas -> $out/$name.parquet")
     }
 
+    // SPARK_GRAFT_SCALE_TABLES=documents,embeddings restricts the
+    // generation to a table subset (r16 — a 2048× pair-engine probe
+    // needs ~3 GB of documents+embeddings, not lineitem's 22 GB; the
+    // full-table default is unchanged). documents implies embeddings:
+    // the planted doc twins semi-join on the ids whose embedding
+    // partners actually landed.
+    val onlyTables: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_TABLES").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = onlyTables.forall(_.contains(name))
+    require(
+      !wanted("documents") || wanted("embeddings"),
+      "SPARK_GRAFT_SCALE_TABLES with documents requires embeddings (the planted doc twins read them)"
+    )
     // dims stay fixed
-    Seq("region", "nation").foreach { t =>
+    Seq("region", "nation").filter(wanted).foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
     }
-    replicate("customer", Seq("c_custkey"))
-    replicate("supplier", Seq("s_suppkey"))
-    replicate("part", Seq("p_partkey"))
-    replicate("orders", Seq("o_orderkey", "o_custkey"))
-    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
-    replicate("events", Seq("event_id", "user_id"))
+    if (wanted("customer")) replicate("customer", Seq("c_custkey"))
+    if (wanted("supplier")) replicate("supplier", Seq("s_suppkey"))
+    if (wanted("part")) replicate("part", Seq("p_partkey"))
+    if (wanted("orders")) replicate("orders", Seq("o_orderkey", "o_custkey"))
+    if (wanted("lineitem")) replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    if (wanted("events")) replicate("events", Seq("event_id", "user_id"))
     // SPARK_GRAFT_PLANT=0 disables the planted controlled-cosine
     // families (continuity probes against pre-r14 derived corpora)
     val plant = !sys.env.get("SPARK_GRAFT_PLANT").contains("0")
@@ -368,7 +381,7 @@ object ScaleUp {
     // cosines decorrelate. Epoch 0 is the identity mask — replicas
     // 0..dims-1 are bit-identical to what earlier rounds measured.
     val dims = spark.read.parquet(s"$src/embeddings.parquet").select(size(col("embedding"))).head.getInt(0)
-    replicate(
+    if (wanted("embeddings")) replicate(
       "embeddings",
       Seq("vec_id"),
       (d, i) => {
@@ -407,6 +420,7 @@ object ScaleUp {
     // partners (read back from the written output — the id-residue
     // arithmetic alone cannot see withPlantedPartners' xx/pp
     // degenerate-vector drops)
+    if (wanted("documents")) {
     val plantedDocIds = plantedDocSpecs(spark.read.parquet(s"$out/embeddings.parquet"))
     replicate(
       "documents",
@@ -439,6 +453,7 @@ object ScaleUp {
       // embeddings (marker anti/semi branches + the partner join)
       finish = d => if (plant) withPlantedPartnerDocs(d.localCheckpoint(), plantedDocIds) else d
     )
+    }
     spark.stop()
   }
 }

@@ -33,7 +33,9 @@ step() {
 # disk headroom for the 35 GB corpus + q32's spill
 rm -rf "$REPO/target/sf1-derived" "$REPO/target/sf256-derived" "$REPO/target/sf512-derived"
 
-SPARK_GRAFT_SCALE_REPLICAS=2048 \
+# pair engines read documents+embeddings only — lineitem alone is
+# 22 GB at 2048x and none of the five queries touches it
+SPARK_GRAFT_SCALE_REPLICAS=2048 SPARK_GRAFT_SCALE_TABLES=documents,embeddings \
   step gen_2048 sbt -batch "runMain graft.ScaleUp $TD $REPO/target/sf2048-derived" || exit 1
 python3 "$REPO/tools/snapshot_rows.py" sf2048_derived "$REPO/target/sf2048-derived" "$R16/corpus_rows.json"
 
