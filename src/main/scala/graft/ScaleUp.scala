@@ -351,8 +351,10 @@ object ScaleUp {
       sys.env.get("SPARK_GRAFT_SCALE_TABLES").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def wanted(name: String): Boolean = onlyTables.forall(_.contains(name))
     require(
-      !wanted("documents") || wanted("embeddings"),
-      "SPARK_GRAFT_SCALE_TABLES with documents requires embeddings (the planted doc twins read them)"
+      !wanted("documents") || wanted("embeddings") ||
+        new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists(),
+      "SPARK_GRAFT_SCALE_TABLES with documents requires embeddings in the set OR already generated at " +
+        "the output (the planted doc twins semi-join on the written embedding partners)"
     )
     // dims stay fixed
     Seq("region", "nation").filter(wanted).foreach { t =>

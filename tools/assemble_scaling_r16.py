@@ -28,7 +28,36 @@ import sys
 R16 = "/tmp/r16"
 
 # (key, reason) — holes the round explicitly declares instead of measuring.
-EXPECTED_MISSING: list[tuple[str, str]] = []
+# The round was time-boxed hard: two heap-regime A/Bs, a per-stage q32 spill
+# hunt, and two campaign-script bugs (a bash assignment-prefix gotcha and an
+# env-vs-shell-function exec that burned one 19-minute 2048x generation)
+# consumed the budget the full matrix needed. Each hole below states what
+# stands in its place; none is silently claimed anywhere in this artifact.
+EXPECTED_MISSING: list[tuple[str, str]] = [
+    ("bench_1024x.json",
+     "time-boxed out; the 512x and 2048x columns bracket it at r16 HEAD, and SCALING_r15's 1024x column "
+     "measured byte-identical q34/q118/q129/q138 query code over the identical (deterministic) corpus"),
+    ("recall_256x.json",
+     "the campaign step silently no-op'd on a bash gotcha (expansion words are not assignment prefixes) "
+     "and the re-run was time-boxed out; r16's measured 100x/512x/2048x planted-recall points plus "
+     "SCALING_r15's 256x point (identical q34 code + corpus) bracket it; the q129 P-sweep that rode this "
+     "step (SPARK_GRAFT_RECALL_PSWEEP, implemented + spec-covered this round) is the next round's first "
+     "measurement"),
+    ("recall_1024x.json",
+     "time-boxed out; SCALING_r15's 1024x planted recall (R(0.90)=0.909 at L=27, precision 1.0) measured "
+     "byte-identical q34 code over the identical corpus and remains the operative point"),
+    ("fusion_100x.json",
+     "the widened probe (all int-range replicas' X bases, n=128, rank distributions) landed in code this "
+     "round but its first campaign run require()-failed on the Bm25 Int query-id contract before the cap "
+     "was added, and the re-run was time-boxed out; SCALING_r15's 8-probe 256x fusion win stands; the "
+     "n>=64 multi-decade measurement is a next-round deliverable"),
+    ("fusion_1024x.json", "same as fusion_100x.json"),
+    ("cellbuild_512x.json",
+     "the phase-split probe was time-boxed out, but the packed-argmin rebuild effect it was to adjudicate "
+     "is already measured in THIS artifact's cell_index_build_sec: 512x build 66.3 s vs r15's 176.3 s "
+     "(2.66x faster), 512x/256x ratio 1.59 vs r15's 2.47 for 2x data"),
+    ("cellbuild_1024x.json", "same as cellbuild_512x.json (no 1024x corpus was staged this round)"),
+]
 
 REQUIRED = [
     "bench_10x.json", "bench_100x.json", "bench_256x.json",
@@ -188,6 +217,16 @@ def main():
         for name, col in cols.items()
         if col.get("cell_index_build_sec") is not None
     }
+    # q32's per-stage spill attribution (the r16 fix evidence): phase
+    # wall/spill/rows from the Q32Probe main at the decades it ran
+    probes = {}
+    for label, f in (("100x", "q32probe_sf100-derived.json"), ("512x", "q32probe_512x.json")):
+        pth = os.path.join(R16, f)
+        if os.path.exists(pth):
+            probes[f"at_{label}"] = load(pth).get("phases", {})
+    if probes:
+        out["q32_stage_attribution"] = probes
+
     out["index_phases_sf0.1"] = sf01.get("index_phases", {})
     out["resources"] = {name: col.get("resources", {}) for name, col in cols.items()}
 
@@ -198,22 +237,28 @@ def main():
 
 
 NOTE = (
-    "round-16 scaling: every column re-measured at round-16 HEAD in one same-host campaign "
-    "(tools/campaign_r16.sh; default 8g heap — the driver-gate regime; sequential per-engine JVMs, full per-step stderr kept, "
-    "spill dirs cleaned and corpora dropped after their last consumer). THE ROUND'S HEADLINE: the fifth "
-    "decade (2048x) is MEASURED for real this time (r15 claimed it and the run had died on ENOSPC), and "
-    "the two spill shapes the r15 verdict named are gone at the code level: (1) KMeans assignment "
-    "aggregates run on a packed (d2*2^bits+cid) long key inside whole-stage-codegen HashAggregate with "
-    "qa re-joined after the aggregate, so nothing candidate-fan-out-sized is sorted (the 1024x build's "
-    "722 GB assign-phase spill and the fine rounds' 692 GB were exactly those sorts); (2) q32's exact "
-    "verify semi-joins the shingle universe down to candidate docs before the intersection joins, and "
-    "graft's small-fixed-state typed aggregates stay on ObjectHashAggregate's hash path via a bounded "
-    "fallbackThreshold=128k (the 128-key default sort-sorted the whole corpus per aggregate — q32's "
-    "28 GB spill at 256x, and the OOM that killed the first r16 256x probe at the 8g test heap). "
-    "The q129 probe-count contract is now a measured sweep (q129_probe_sweep: P in {2,3} at 256x under "
-    "the same frozen geometry — catch + probe-shared coverage per cosine vs candidates/vector), and the "
-    "fusion eval is a distributional measurement (n=128 probes across every replica's planted X bases at "
-    "100x and 1024x, rank p50/p90/max + rank-1 rates per channel) instead of 8 means at one decade."
+    "round-16 scaling: columns re-measured at round-16 HEAD, same host (tools/campaign_r16*.sh; default "
+    "8g heap — the driver-gate regime, chosen by A/B: a 96g attempt ran 2-6x SLOWER with checkpoint "
+    "blocks resident as live objects; sequential per-engine JVMs, full per-step stderr kept, corpora "
+    "dropped after their last consumer; the 2048x bench is SINGLE-pass in per-engine JVMs so one death "
+    "cannot lose the rest — see `missing` for the declared holes and what stands in each one's place). "
+    "THE ROUND'S HEADLINE: the two r15 spill shapes are dead at the source, and the fifth decade is "
+    "measured for real this time. (1) Every k-means assignment now runs on a packed (d2*2^bits+cid) long "
+    "key — a primitive min / declarative graft_minkp top-K inside whole-stage-codegen HashAggregate, qa "
+    "re-joined after the aggregate — because min(struct)+first(qa)/typed-min2 planned as SortAggregate / "
+    "ObjectHashAggregate's 128-key sort fallback and externally sorted the whole N*sqrt(k) fan-out WITH "
+    "the 64-dim payload (r15's 722 GB assign + 692 GB fine-round spills). Rebuild totals: 256x 71.5->41.8 s, "
+    "512x 176.3->66.3 s (2.66x faster), 512x/256x ratio 2.47->1.59 for 2x data. (2) q32's spill was "
+    "stage-attributed by the new Q32Probe (q32_stage_attribution): the exact verify now semi-joins the "
+    "shingle universe down to candidate docs, the signature aggregate repartitions by doc_id first (its "
+    "partial maps covered the whole doc key space — 26 GB spill / 87 of 97 s in ONE stage at 100x), and "
+    "the typed-aggregate fallback threshold is bounded at 32k keys. q32 at 100x: 97.7 -> 20.4 s, zero "
+    "spill; residual >=256x spill is the shared distinct+df-cap checkpoint's aggregate state vs the "
+    "0.25 GB/core local heap (53 of 69 GB at 512x; a 24g A/B halves it; the declared next lever is the "
+    "in-row array_distinct shingle set — intra-doc dupes are the only dupes, so the corpus-wide distinct "
+    "shuffle is algorithmically removable). The q129 probe-count sweep and the widened fusion eval landed "
+    "as code (assignMultiProbe(P), SPARK_GRAFT_RECALL_PSWEEP, FusionProbe rank distributions over n=128 "
+    "int-range bases) but their measurements were time-boxed out — declared in `missing`, NOT claimed."
 )
 
 if __name__ == "__main__":
