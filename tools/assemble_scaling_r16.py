@@ -57,6 +57,13 @@ EXPECTED_MISSING: list[tuple[str, str]] = [
      "is already measured in THIS artifact's cell_index_build_sec: 512x build 66.3 s vs r15's 176.3 s "
      "(2.66x faster), 512x/256x ratio 1.59 vs r15's 2.47 for 2x data"),
     ("cellbuild_1024x.json", "same as cellbuild_512x.json (no 1024x corpus was staged this round)"),
+    ("recall_2048x.json",
+     "the planted-only probe DIED on ENOSPC (SPILL_OUT_OF_MEMORY: No space left on device, 06:15) while "
+     "the campaign's own spill competed with the 2048x corpus for the last ~45-75 GB of disk; q34's 2048x "
+     "bench had died on the same ENOSPC seven minutes earlier (stage 286) and q32's 2048x run OOM'd the "
+     "8g heap (stage 15, the shingle distinct) — so the fifth decade is UNMEASURED for exactly the two "
+     "engines it was to certify (both failures are carried verbatim in this artifact's "
+     "sf2048_derived_failed). Round 17's first measurement, with pre-flight disk-headroom checks"),
 ]
 
 REQUIRED = [
@@ -116,6 +123,10 @@ def main():
     out["sf0.1"] = {k: v for k, v in sorted(sf01["queries"].items())}
     for name, col in cols.items():
         out[name] = {k: v for k, v in sorted(col["queries"].items())}
+        # a decade column that carries per-query failures must surface them —
+        # a missing key in the column must never read as "not attempted"
+        if col.get("failed"):
+            out[f"{name}_failed"] = col["failed"]
 
     for name, mult, _ in decades:
         if name not in out:
@@ -243,7 +254,10 @@ NOTE = (
     "dropped after their last consumer; the 2048x bench is SINGLE-pass in per-engine JVMs so one death "
     "cannot lose the rest — see `missing` for the declared holes and what stands in each one's place). "
     "THE ROUND'S HEADLINE: the two r15 spill shapes are dead at the source, and the fifth decade is "
-    "measured for real this time. (1) Every k-means assignment now runs on a packed (d2*2^bits+cid) long "
+    "measured for THREE of the five pair engines (q129 40.6 s = 2.7% of linear, q138 534 s = 9.5%, q118 "
+    "1214 s = 13.6%, cell build 288 s ~linear from 512x); q34's 2048x bench and recall probe both died on "
+    "ENOSPC and q32's OOM'd the 8g heap — carried in sf2048_derived_failed and `missing`, NOT claimed. "
+    "(1) Every k-means assignment now runs on a packed (d2*2^bits+cid) long "
     "key — a primitive min / declarative graft_minkp top-K inside whole-stage-codegen HashAggregate, qa "
     "re-joined after the aggregate — because min(struct)+first(qa)/typed-min2 planned as SortAggregate / "
     "ObjectHashAggregate's 128-key sort fallback and externally sorted the whole N*sqrt(k) fan-out WITH "

@@ -41,6 +41,9 @@ def main():
         merged["parts_missing"] = missing
         for m in missing:
             print(f"[merge] HOLE: {m}", file=sys.stderr)
+    # n_failed must be the UNION across parts, not whatever the first part
+    # carried (r16 shipped n_failed=1 while `failed` held two entries).
+    merged["n_failed"] = len(merged.get("failed") or {})
     merged["passes"] = 1
     merged["note"] = ("merged from per-engine JVM runs (a=q34/q129/q138 + cell build, b=q118, c=q32), "
                       "single pass — the decade bracket matters more than the min-of-2 noise floor "
