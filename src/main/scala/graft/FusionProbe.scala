@@ -47,9 +47,10 @@ object FusionProbe {
 
     val emb = Tables.embeddings(spark, dir)
     val docs = Tables.documents(spark, dir)
-    // probes: replica-0 cross-modal bases whose X partner doc AND all
-    // three embedding partners actually landed (guard drops are rare
-    // but the truth must be exact)
+    // probes: cross-modal X bases from all int-range replicas (see
+    // below) whose X partner doc AND all three embedding partners
+    // actually landed (guard drops are rare but the truth must be
+    // exact)
     val vecIds = emb.select(col("vec_id")).localCheckpoint()
     // X bases from every INT-RANGE replica (planting is replica-local
     // with the same within-replica offset; KeyStride is divisible by

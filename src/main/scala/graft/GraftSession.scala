@@ -47,6 +47,24 @@ object GraftSession {
         s"${sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_MB", "64")}m"
       )
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Runtime SMJ -> shuffled-hash conversion (r17): when AQE
+      // measures every post-shuffle partition of a sort-merge join
+      // under this threshold, the reduce stage runs as a hash join
+      // with NO sorts. For the payload-carrying self-joins (q34's
+      // exploded N·L×550 B frame) the sorts are the scale killer —
+      // 2 × ~77 GB through UnsafeExternalSorter at the 2048× decade,
+      // the r16 ENOSPC — while the hash build is one advisory-sized
+      // partition. 128 MB (compressed map output) ≈ 2× the 64 MB
+      // advisory target: fires whenever AQE had enough initial
+      // partitions to hit its own sizing target, stays off (safe,
+      // sort-merge) when a partition comes out oversized. Campaigns
+      // raise SPARK_GRAFT_AQE_INITIAL_FACTOR so decade shuffles
+      // split fine enough to convert; clusters size
+      // shuffle.partitions to the estate and get this for free.
+      .config(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        s"${sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP_MB", "128")}m"
+      )
       // ObjectHashAggregate falls back to SORT-BASED aggregation after
       // this many distinct keys per task — and the default (128) makes
       // EVERY per-doc/per-vector typed aggregate (graft_simhash,
@@ -60,7 +78,12 @@ object GraftSession {
       // sort fallback is survivable, just slow — the hot signature
       // aggregate (graft_minhash) is DECLARATIVE since r16 and never
       // takes this path at all.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "32768")
+      // env-overridable (r17, ADVICE): the safe value is heap-dependent
+      // — campaigns at other heap sizes retune without a rebuild
+      .config(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK_KEYS", "32768")
+      )
       // Scan-split size: the 128 MB default assumes scan-bound work,
       // but graft's hot pipelines are compute-AMPLIFYING — a shingle
       // explode turns each input row into ~150, so a 470 MB documents

@@ -68,9 +68,11 @@ object Q32Probe {
     // ONE fused phase for the shared checkpoint, exactly as
     // DedupSimQueries.shingles3 builds it — phase-per-operator here
     // pinned an extra 139M-row checkpoint in storage at 512× and
-    // OOM'd a stage production never runs
+    // OOM'd a stage production never runs. r17: Dedup.shingles now
+    // dedupes in-row (graft_shingleset) — the corpus-wide distinct
+    // this probe stage-attributed to death no longer exists.
     val capped = phase("shingles3")(
-      Dedup.dfCapped(Dedup.shingleRows(docs, "doc_id", "text", 3).distinct(), MaxShingleDf)
+      Dedup.dfCapped(Dedup.shingles(docs, "doc_id", "text", 3), MaxShingleDf)
     )
     val sigs = phase("signatures")(Dedup.minhashSignatures(capped, NumPerms))
     val cands = phase("candidates")(Dedup.lshCandidates(sigs, NumPerms, RowsPerBand))

@@ -356,6 +356,20 @@ object ScaleUp {
       "SPARK_GRAFT_SCALE_TABLES with documents requires embeddings in the set OR already generated at " +
         "the output (the planted doc twins semi-join on the written embedding partners)"
     )
+    if (wanted("documents") && !wanted("embeddings")) {
+      // r17 (ADVICE): the pre-written embeddings must come from the SAME
+      // replica count as this run — a mismatch silently plants a
+      // documents corpus whose decade/planted families diverge from the
+      // embeddings it is paired with. max(vec_id) div KeyStride + 1 is
+      // exactly the replica count that wrote them.
+      val writtenReplicas =
+        spark.read.parquet(s"$out/embeddings.parquet").agg(max(col("vec_id"))).head.getLong(0) / KeyStride + 1
+      require(
+        writtenReplicas == replicas,
+        s"pre-written embeddings at $out were generated with $writtenReplicas replicas, this run wants " +
+          s"$replicas — regenerate embeddings (add it to SPARK_GRAFT_SCALE_TABLES) or fix the decade"
+      )
+    }
     // dims stay fixed
     Seq("region", "nation").filter(wanted).foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")

@@ -134,6 +134,14 @@ object GraftFunctions {
       }
     ),
     (
+      FunctionIdentifier("graft_shingleset"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingleset"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_shingleset(tokens, n) takes 2 arguments, got ${children.size}")
+        ShingleSet(children.head, lit(children(1)))
+      }
+    ),
+    (
       FunctionIdentifier("graft_lshbuckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lshbuckets"),
       (children: Seq[Expression]) => {
@@ -209,6 +217,12 @@ object GraftFunctions {
     */
   def minkp(packed: Column, k: Int): Column =
     call_function("graft_minkp", packed, org.apache.spark.sql.functions.lit(k))
+
+  /** Sorted distinct word-n-gram hash set of a token array, in-row
+    * (the q32-family shuffle killer — see [[ShingleSet]]).
+    */
+  def shingleset(toks: Column, n: Int): Column =
+    call_function("graft_shingleset", toks, org.apache.spark.sql.functions.lit(n))
 
   /** All LSH table buckets of `v` from a constant plane matrix (rows
     * in table-major order: table t's planes occupy rows

@@ -131,10 +131,21 @@ object PortableHash {
   }
 
   /** The fold, callable from generated code (static forwarder). */
-  def hash(s: UTF8String): Long = {
-    val str = s.toString
-    var h1 = 0L
-    var h2 = 0L
+  def hash(s: UTF8String): Long = foldString(0L, s.toString)
+
+  /** Continuable form of [[hash]]: fold `str`'s code points into a
+    * running state and return the new state. The state IS the packed
+    * hash (h1 · 2³¹ + h2 = h1 << 31 | h2, since both halves are < P
+    * < 2³¹) — so `foldString(0, s) == hash(s)`, and a multi-token
+    * string can be hashed WITHOUT materializing the joined string:
+    * fold each token, with `foldCodePoint(state, ' ')` between them
+    * (exactly what concat_ws(" ", …) would have inserted). This is
+    * what lets [[ShingleSet]] hash every n-gram of a document in-row
+    * with zero string concatenation.
+    */
+  @inline def foldString(state: Long, str: String): Long = {
+    var h1 = state >>> 31
+    var h2 = state & Mask31
     var i = 0
     val n = str.length
     while (i < n) {
@@ -143,7 +154,14 @@ object PortableHash {
       h2 = (h2 * Base2 + cp) % P
       i += Character.charCount(cp)
     }
-    h1 * 2147483648L + h2
+    (h1 << 31) | h2
+  }
+
+  /** One code-point step of [[foldString]]. */
+  @inline def foldCodePoint(state: Long, cp: Int): Long = {
+    val h1 = ((state >>> 31) * Base1 + cp) % P
+    val h2 = ((state & Mask31) * Base2 + cp) % P
+    (h1 << 31) | h2
   }
 }
 

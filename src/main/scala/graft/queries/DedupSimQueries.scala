@@ -1146,8 +1146,10 @@ object DedupSimQueries {
   /** [[hybridFrames]] over an EXPLICIT probe-id set — the FusionProbe
     * measurement runs the identical machinery over the planted
     * cross-modal bases instead of the fixed doc_id < 5 convention.
-    * Probe ids must fit Int (the Bm25 query-id type); the planted
-    * bases are replica-0 original ids, well inside.
+    * Probe ids must fit Int (the Bm25 query-id type); FusionProbe
+    * feeds X bases from every int-range replica (replicas 0 and 1
+    * fully, replica 2 up to the ≤ Int.MaxValue cap), so the require
+    * below is a real gate, not a formality.
     */
   private[graft] def hybridFramesFor(
       s: SparkSession,

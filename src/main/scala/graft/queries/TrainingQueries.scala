@@ -838,9 +838,16 @@ object TrainingQueries {
     // each side's distinct total. Asymmetric on purpose: shared/|A| ≠
     // shared/|B| is exactly the containment direction.
     "q114_source_overlap" -> { (s, dir) =>
+      // Dedup.shingles dedupes IN-ROW (r17) — per document. Here the
+      // set key is `source`, which spans MANY documents, so the
+      // cross-document distinct must still run (its input is already
+      // per-doc-deduped, so it shuffles the same rows the pre-r17
+      // shared distinct did — no regression, and source-keyed sets
+      // genuinely need a cross-row pass).
       val grams = graft.dedup.Dedup
         .shingles(Tables.documents(s, dir), "source", "text", ContamN)
         .withColumnRenamed("doc_id", "source")
+        .distinct()
         .localCheckpoint() // feeds per-source totals + both join sides
       val totals = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
       grams

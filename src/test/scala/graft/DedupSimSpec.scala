@@ -715,4 +715,49 @@ class DedupSimSpec extends AnyFunSuite {
     // the twins must share a cluster — the prune is within-cluster
     assert(out(4L)._4.isDefined && out(4L)._4 == out(5L)._4, "semantic twins must share a cluster")
   }
+
+  test("in-row shingle sets equal the old explode-then-distinct formulation, with a zero-exchange plan") {
+    // r17: Dedup.shingles dedupes per-doc IN-ROW (graft_shingleset) and
+    // explodes after — this pins (a) exact set parity with the pre-r17
+    // corpus-wide-distinct formulation over the real corpus PLUS the
+    // adversarial edges, and (b) that the new plan has no shuffle at all.
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val edge = Seq(
+      (9001L, "a b a b a b a b"), // heavy intra-doc repetition
+      (9002L, "x y"), // shorter than n → one whole-doc shingle
+      (9003L, ""), // empty
+      (9004L, "   "), // whitespace-only
+      (9005L, null.asInstanceOf[String]), // null text
+      (9006L, "héllo wörld ünïcode 𝒳𝒴"), // non-BMP code points
+      (9007L, "solo"),
+      (9008L, "t t t") // n-gram equal to a repeated unigram context
+    ).toDF("doc_id", "text")
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text").unionByName(edge)
+    for (n <- Seq(3, 5)) {
+      val neu = Dedup
+        .shingles(docs, "doc_id", "text", n)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val old = Dedup
+        .shingleRows(docs, "doc_id", "text", n)
+        .distinct()
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(neu.length == neu.toSet.size, s"n=$n: in-row set emitted duplicate (doc, shingle) rows")
+      assert(neu.toSet == old, s"n=$n: in-row shingle set diverges from explode-then-distinct")
+    }
+    // the per-doc arrays are sorted ascending (the dedupe contract)
+    val arrs = Dedup.shingleSets(edge, "doc_id", "text", 3).collect()
+    arrs.foreach { r =>
+      val a = r.getSeq[Long](1)
+      assert(a == a.sorted && a.distinct == a, s"doc ${r.getLong(0)}: array not sorted-distinct: $a")
+    }
+    // plan shape: scan → project → explode, NO exchange anywhere
+    val plan = Dedup.shingles(graft.sources.Tables.documents(spark, sf), "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shingles plan gained a shuffle:\n$plan")
+  }
 }

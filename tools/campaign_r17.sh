@@ -1,0 +1,109 @@
+#!/bin/bash
+# Round-17 measurement campaign. Priorities from the r16 verdict:
+#   1. q32 zero-spill at 256x AND 512x (the r15 bar, now that the
+#      in-row array_distinct lever is executed) — Q32Probe evidence.
+#   2. q34 adjudicated per-stage at 512x (StageProbe) after the
+#      shuffle_hash join-shape change, then LANDED at 2048x.
+#   3. recall_2048x (planted-only) — the probe that ENOSPC'd twice.
+#   4. The three declared holes: 256x P-sweep, widened fusion eval
+#      (100x + 512x), CellBuildProbe phase splits at 512x.
+#   5. StageProbe q138 at 512x (spill attribution after the q32 fix).
+#
+# Hygiene contract (r16 verdict #6 — all three defects were
+# operational): every step (a) VERIFIES free-disk headroom before it
+# runs and refuses without it, (b) cleans spark spill dirs after, and
+# (c) the campaign NEVER overlaps the driver gate — run it, then stop
+# with buffer. Derived corpora are dropped right after their last
+# consumer. Steps are ordered so a deadline truncates from the
+# lowest-priority end.
+set -u
+R17=/tmp/r17
+REPO=/root/repo
+TD=/root/testdata/sf0.1
+LOG=$R17/logs
+mkdir -p "$LOG"
+
+require_disk() { # require_disk <GB> <label>
+  local need=$1 label=$2
+  local avail
+  avail=$(df --output=avail -BG / | tail -1 | tr -dc '0-9')
+  if [ "$avail" -lt "$need" ]; then
+    echo "[r17] REFUSING $label: ${avail}G free < ${need}G needed"
+    return 1
+  fi
+  echo "[r17] disk ok for $label: ${avail}G free (need ${need}G)"
+}
+
+step() { # step <name> <need_gb> <cmd...>
+  local name=$1 need=$2; shift 2
+  [ -f "$R17/STOP" ] && { echo "[r17] STOP file present — halting before $name"; exit 0; }
+  require_disk "$need" "$name" || return 1
+  echo "[r17] $(date +%H:%M:%S) START $name"
+  "$@" > "$LOG/$name.log" 2>&1
+  local rc=$?
+  if [ $rc -ne 0 ]; then
+    echo "[r17] $(date +%H:%M:%S) FAILED $name rc=$rc — tail:"
+    tail -5 "$LOG/$name.log" | cut -c1-200
+  else
+    echo "[r17] $(date +%H:%M:%S) done  $name"
+  fi
+  rm -rf /tmp/spark-* /tmp/blockmgr-* 2>/dev/null
+  df -h / | tail -1 | awk '{print "[r17] disk: used "$3" avail "$4}'
+  return $rc
+}
+
+gen() { # gen <replicas> <dir>
+  step "gen_$1" 20 env SPARK_GRAFT_SCALE_REPLICAS=$1 SPARK_GRAFT_SCALE_TABLES=documents,embeddings \
+    sbt -batch "runMain graft.ScaleUp $TD $REPO/target/sf$1-derived"
+  python3 "$REPO/tools/snapshot_rows.py" "sf$1_derived" "$REPO/target/sf$1-derived" "$R17/corpus_rows.json"
+}
+
+D() { echo "$REPO/target/sf$1-derived"; }
+
+# ---- 100x: q32 sanity + widened fusion eval -------------------------
+gen 100
+step q32probe_100x 30 env SPARK_GRAFT_Q32_OUT=$R17/q32probe_100x.json \
+  sbt -batch "runMain graft.Q32Probe $(D 100)"
+step fusion_100x 30 env SPARK_GRAFT_FUSION_OUT=$R17/fusion_100x.json \
+  sbt -batch "runMain graft.FusionProbe $(D 100) 128"
+rm -rf "$(D 100)"
+
+# ---- 256x: q32 zero-spill bar + P-sweep -----------------------------
+gen 256
+step q32probe_256x 40 env SPARK_GRAFT_Q32_OUT=$R17/q32probe_256x.json \
+  sbt -batch "runMain graft.Q32Probe $(D 256)"
+step recall_256x 40 env SPARK_GRAFT_RECALL_OUT=$R17/recall_256x.json SPARK_GRAFT_RECALL_PSWEEP=2,3 \
+  sbt -batch "runMain graft.RecallProbe $(D 256)"
+rm -rf "$(D 256)"
+
+# ---- 512x: q32 bar + q34/q138 stage adjudication + cell phases ------
+gen 512
+step q32probe_512x 50 env SPARK_GRAFT_Q32_OUT=$R17/q32probe_512x.json \
+  sbt -batch "runMain graft.Q32Probe $(D 512)"
+step stageprobe_q34_512x 50 env SPARK_GRAFT_STAGEPROBE_OUT=$R17/stageprobe_q34_512x.json \
+  sbt -batch "runMain graft.StageProbe q34_dedup_embedding $(D 512)"
+step cellbuild_512x 50 env SPARK_GRAFT_BUILD_OUT=$R17/cellbuild_512x.json \
+  sbt -batch "runMain graft.CellBuildProbe $(D 512)"
+step stageprobe_q138_512x 50 env SPARK_GRAFT_STAGEPROBE_OUT=$R17/stageprobe_q138_512x.json \
+  sbt -batch "runMain graft.StageProbe q138_dedup_pipeline $(D 512)"
+step fusion_512x 40 env SPARK_GRAFT_FUSION_OUT=$R17/fusion_512x.json \
+  sbt -batch "runMain graft.FusionProbe $(D 512) 128"
+step recall_512x 40 env SPARK_GRAFT_RECALL_OUT=$R17/recall_512x.json SPARK_GRAFT_RECALL_PLANTED_ONLY=1 \
+  sbt -batch "runMain graft.RecallProbe $(D 512)"
+rm -rf "$(D 512)"
+
+# ---- 2048x: the fifth decade for the two engines that died ----------
+gen 2048
+benchpart() { # benchpart <suffix> <queries>
+  step "bench_2048x_$1" 60 env SPARK_GRAFT_SF_DIR=$(D 2048) SPARK_GRAFT_OBSERVE=1 \
+    SPARK_GRAFT_BENCH_PASSES=1 SPARK_GRAFT_BENCH_ONLY=$2 SPARK_GRAFT_BENCH_OUT=$R17/bench_2048x_$1.json \
+    sbt -batch "runMain graft.Bench"
+}
+benchpart c q32_dedup_minhash_lsh
+benchpart a q34_dedup_embedding,q129_semantic_dedup,q138_dedup_pipeline
+step recall_2048x 60 env SPARK_GRAFT_RECALL_OUT=$R17/recall_2048x.json SPARK_GRAFT_RECALL_PLANTED_ONLY=1 \
+  sbt -batch "runMain graft.RecallProbe $(D 2048)"
+benchpart b q118_phash_neardup
+rm -rf "$(D 2048)"
+
+echo "[r17] campaign end $(date)"
