@@ -1,21 +1,9 @@
 #!/bin/bash
-# Round-17 measurement campaign. Priorities from the r16 verdict:
-#   1. q32 zero-spill at 256x AND 512x (the r15 bar, now that the
-#      in-row array_distinct lever is executed) — Q32Probe evidence.
-#   2. q34 adjudicated per-stage at 512x (StageProbe) after the
-#      shuffle_hash join-shape change, then LANDED at 2048x.
-#   3. recall_2048x (planted-only) — the probe that ENOSPC'd twice.
-#   4. The three declared holes: 256x P-sweep, widened fusion eval
-#      (100x + 512x), CellBuildProbe phase splits at 512x.
-#   5. StageProbe q138 at 512x (spill attribution after the q32 fix).
-#
-# Hygiene contract (r16 verdict #6 — all three defects were
-# operational): every step (a) VERIFIES free-disk headroom before it
-# runs and refuses without it, (b) cleans spark spill dirs after, and
-# (c) the campaign NEVER overlaps the driver gate — run it, then stop
-# with buffer. Derived corpora are dropped right after their last
-# consumer. Steps are ordered so a deadline truncates from the
-# lowest-priority end.
+# Resume of tools/campaign_r17.sh after the SHJ-threshold fix (the
+# first 128m bound let decade-scale builds convert and die on
+# execution memory — see GraftSession.scala). 100x/256x artifacts are
+# already in /tmp/r17; this picks up at the 512x decade. Same step(),
+# require_disk and hygiene contract as the main script.
 set -u
 R17=/tmp/r17
 REPO=/root/repo
@@ -23,7 +11,7 @@ TD=/root/testdata/sf0.1
 LOG=$R17/logs
 mkdir -p "$LOG"
 
-require_disk() { # require_disk <GB> <label>
+require_disk() {
   local need=$1 label=$2
   local avail
   avail=$(df --output=avail -BG / | tail -1 | tr -dc '0-9')
@@ -34,7 +22,7 @@ require_disk() { # require_disk <GB> <label>
   echo "[r17] disk ok for $label: ${avail}G free (need ${need}G)"
 }
 
-step() { # step <name> <need_gb> <cmd...>
+step() {
   local name=$1 need=$2; shift 2
   [ -f "$R17/STOP" ] && { echo "[r17] STOP file present — halting before $name"; exit 0; }
   require_disk "$need" "$name" || return 1
@@ -52,7 +40,7 @@ step() { # step <name> <need_gb> <cmd...>
   return $rc
 }
 
-gen() { # gen <replicas> <dir>
+gen() {
   step "gen_$1" 20 env SPARK_GRAFT_SCALE_REPLICAS=$1 SPARK_GRAFT_SCALE_TABLES=documents,embeddings \
     sbt -batch "runMain graft.ScaleUp $TD $REPO/target/sf$1-derived"
   python3 "$REPO/tools/snapshot_rows.py" "sf$1_derived" "$REPO/target/sf$1-derived" "$R17/corpus_rows.json"
@@ -60,29 +48,16 @@ gen() { # gen <replicas> <dir>
 
 D() { echo "$REPO/target/sf$1-derived"; }
 
-# ---- 100x: q32 sanity + widened fusion eval -------------------------
-gen 100
-step q32probe_100x 30 env SPARK_GRAFT_Q32_OUT=$R17/q32probe_100x.json \
-  sbt -batch "runMain graft.Q32Probe $(D 100)"
-step fusion_100x 30 env SPARK_GRAFT_FUSION_OUT=$R17/fusion_100x.json \
-  sbt -batch "runMain graft.FusionProbe $(D 100) 128"
-rm -rf "$(D 100)"
-
-# ---- 256x: q32 zero-spill bar + P-sweep -----------------------------
+# ---- 256x q32 probe (the step that died on the 128m threshold) ------
 gen 256
 step q32probe_256x 40 env SPARK_GRAFT_Q32_OUT=$R17/q32probe_256x.json \
   sbt -batch "runMain graft.Q32Probe $(D 256)"
-step recall_256x 40 env SPARK_GRAFT_RECALL_OUT=$R17/recall_256x.json SPARK_GRAFT_RECALL_PSWEEP=2,3 \
-  sbt -batch "runMain graft.RecallProbe $(D 256)"
 rm -rf "$(D 256)"
 
 # ---- 512x: q32 bar + q34/q138 stage adjudication + cell phases ------
 gen 512
 step q32probe_512x 50 env SPARK_GRAFT_Q32_OUT=$R17/q32probe_512x.json \
   sbt -batch "runMain graft.Q32Probe $(D 512)"
-# factor 32 -> ~1024 partitions puts q34's ~12 GB compressed exploded
-# shuffle at ~12 MB/partition, under the 16 MB SHJ-conversion bound
-# (builds ~48 MB raw/task — safe in the 32-way execution pool)
 step stageprobe_q34_512x 50 env SPARK_GRAFT_STAGEPROBE_OUT=$R17/stageprobe_q34_512x.json \
   SPARK_GRAFT_AQE_INITIAL_FACTOR=32 \
   sbt -batch "runMain graft.StageProbe q34_dedup_embedding $(D 512)"
@@ -98,17 +73,12 @@ rm -rf "$(D 512)"
 
 # ---- 2048x: the fifth decade for the two engines that died ----------
 gen 2048
-benchpart() { # benchpart <suffix> <queries> [extra env...]
+benchpart() {
   local sfx=$1 qs=$2; shift 2
   step "bench_2048x_$sfx" 60 env SPARK_GRAFT_SF_DIR=$(D 2048) SPARK_GRAFT_OBSERVE=1 \
     SPARK_GRAFT_BENCH_PASSES=1 SPARK_GRAFT_BENCH_ONLY=$qs SPARK_GRAFT_BENCH_OUT=$R17/bench_2048x_$sfx.json \
     "$@" sbt -batch "runMain graft.Bench"
 }
-# q32 first (the in-row lever's decade proof), then q34 alone — its
-# ~55 GB compressed exploded shuffle needs factor 128 (~4096
-# partitions, ~13 MB each) to sit under the 16 MB SHJ-conversion
-# bound so the no-sort hash join fires with memory-safe builds.
-# q129/q138 keep the r16-default factor for same-config comparability.
 benchpart c q32_dedup_minhash_lsh
 benchpart a1 q34_dedup_embedding env SPARK_GRAFT_AQE_INITIAL_FACTOR=128
 benchpart a2 q129_semantic_dedup,q138_dedup_pipeline
@@ -119,4 +89,4 @@ benchpart b q118_phash_neardup
 python3 "$REPO/tools/merge_bench_parts.py" "$R17" || true
 rm -rf "$(D 2048)"
 
-echo "[r17] campaign end $(date)"
+echo "[r17] resume campaign end $(date)"

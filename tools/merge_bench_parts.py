@@ -10,11 +10,14 @@ import json
 import os
 import sys
 
-R16 = "/tmp/r16"
+R16 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/r17"
 
 
 def main():
-    parts = ["a", "b", "c"]
+    # r16 parts: a=q34/q129/q138, b=q118, c=q32. r17 splits q34 into its
+    # own JVM (a1, AQE_INITIAL_FACTOR=64 for the SHJ conversion) with
+    # q129/q138 in a2; absent suffixes are simply skipped.
+    parts = ["a", "a1", "a2", "b", "c"]
     merged = None
     missing = []
     for p in parts:
