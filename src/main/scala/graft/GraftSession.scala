@@ -53,17 +53,24 @@ object GraftSession {
       // with NO sorts. For the payload-carrying self-joins (q34's
       // exploded N·L×550 B frame) the sorts are the scale killer —
       // 2 × ~77 GB through UnsafeExternalSorter at the 2048× decade,
-      // the r16 ENOSPC — while the hash build is one advisory-sized
-      // partition. 128 MB (compressed map output) ≈ 2× the 64 MB
-      // advisory target: fires whenever AQE had enough initial
-      // partitions to hit its own sizing target, stays off (safe,
-      // sort-merge) when a partition comes out oversized. Campaigns
-      // raise SPARK_GRAFT_AQE_INITIAL_FACTOR so decade shuffles
-      // split fine enough to convert; clusters size
-      // shuffle.partitions to the estate and get this for free.
+      // the r16 ENOSPC — while the hash build is one post-shuffle
+      // partition. THE BOUND IS EXECUTION-MEMORY SAFETY, not plan
+      // preference: SHJ builds cannot spill, and at local[32]/8g each
+      // concurrently-building task owns only ~150 MB of the tracked
+      // pool — a first-cut 128m threshold let a ~47 MB-compressed
+      // (~200 MB raw) build convert at the 256× decade and every
+      // build task died with "not enough memory to build hash map".
+      // 16 MB compressed (≲65 MB raw + map overhead per task) fits
+      // the 32-way pool with headroom. Consequence: with the 64 MB
+      // advisory target a coalesced decade shuffle does NOT convert
+      // by default (sort-merge stays — safe); runs that want the
+      // no-sort shape split partitions under the threshold via
+      // SPARK_GRAFT_AQE_INITIAL_FACTOR (the q34 decade steps in
+      // tools/campaign_r17.sh). A cluster with per-core-GB executors
+      // raises SPARK_GRAFT_SHJ_LOCALMAP_MB to taste.
       .config(
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        s"${sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP_MB", "128")}m"
+        s"${sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP_MB", "16")}m"
       )
       // ObjectHashAggregate falls back to SORT-BASED aggregation after
       // this many distinct keys per task — and the default (128) makes

@@ -337,7 +337,18 @@ object ScaleUp {
       val full = (0 until replicas)
         .map(i => perReplica(shifted(base, keyCols, i), i))
         .reduce(_ union _)
-      finish(full).write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+      // 16 MB parquet row groups (r17): the default ~75-128 MB groups
+      // cap scan parallelism — files.maxPartitionBytes=16m cannot split
+      // INSIDE a row group, so a 512× documents scan ran as 35 tasks
+      // and every compute-amplifying consumer (the shingle explode's
+      // df-count partial aggregate) built 4M-key maps that spilled
+      // under 32-way concurrency. Fine groups let the session's split
+      // size actually take effect at every decade.
+      finish(full)
+        .write
+        .option("parquet.block.size", 16L * 1024 * 1024)
+        .mode(SaveMode.Overwrite)
+        .parquet(s"$out/$name.parquet")
       println(s"[scaleup] $name x$replicas -> $out/$name.parquet")
     }
 

@@ -47,10 +47,10 @@ object GraftFunctions {
     ),
     (
       FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
+      new ExpressionInfo(classOf[MinHashDeclAgg].getName, "graft_minhash"),
       (children: Seq[Expression]) => {
         require(children.size == 2, s"graft_minhash(hash, numPerms) takes 2 arguments, got ${children.size}")
-        MinHashAgg(children.head, lit(children(1)))
+        MinHashDeclAgg(children.head, children(1))
       }
     ),
     (
