@@ -301,6 +301,14 @@ object ScaleUp {
       .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // 16 MB parquet row groups for derived corpora: split planning
+    // works on COMPRESSED file byte ranges but can only take effect at
+    // row-group granularity, so the default ~128 MB groups (~20-40 MB
+    // compressed for this text) floor every decade scan's parallelism
+    // regardless of files.maxPartitionBytes. (A writer-level
+    // .option("parquet.block.size", …) is NOT honored by the parquet
+    // sink — this hadoop conf is.)
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.block.size", 16 * 1024 * 1024)
 
     def shifted(df: DataFrame, keyCols: Seq[String], i: Int): DataFrame =
       keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(KeyStride * i)))
@@ -337,18 +345,7 @@ object ScaleUp {
       val full = (0 until replicas)
         .map(i => perReplica(shifted(base, keyCols, i), i))
         .reduce(_ union _)
-      // 16 MB parquet row groups (r17): the default ~75-128 MB groups
-      // cap scan parallelism — files.maxPartitionBytes=16m cannot split
-      // INSIDE a row group, so a 512× documents scan ran as 35 tasks
-      // and every compute-amplifying consumer (the shingle explode's
-      // df-count partial aggregate) built 4M-key maps that spilled
-      // under 32-way concurrency. Fine groups let the session's split
-      // size actually take effect at every decade.
-      finish(full)
-        .write
-        .option("parquet.block.size", 16L * 1024 * 1024)
-        .mode(SaveMode.Overwrite)
-        .parquet(s"$out/$name.parquet")
+      finish(full).write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
       println(s"[scaleup] $name x$replicas -> $out/$name.parquet")
     }
 

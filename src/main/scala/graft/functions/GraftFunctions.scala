@@ -55,8 +55,8 @@ object GraftFunctions {
     ),
     (
       FunctionIdentifier("graft_simhash"),
-      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHashAgg(children.head)
+      new ExpressionInfo(classOf[SimHashDeclAgg].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashDeclAgg(children.head)
     ),
     (
       FunctionIdentifier("graft_cms"),

@@ -9,104 +9,6 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** Native SimHash aggregate: `graft_simhash(h)` over [[PortableHash]]
-  * hashes → the 60-bit majority-vote signature as one bigint. Bit j of
-  * the result is 1 iff strictly more input hashes have bit j set than
-  * clear (ties → 0), over the hash's low 60 bits — 60 portable bits
-  * (the pigeonhole chunk join downstream uses 4 × 15-bit chunks).
-  *
-  * Replaces a 64-column sum aggregate + 64-term horizontal bit
-  * assembly for the same cold-plan-size reason that motivated the
-  * original native minhash (q33 was the slowest bench query almost entirely from plan
-  * compilation). The DuckDB oracle mirrors it with 60 SQL sum
-  * aggregates — verbose there, but only the Spark side needs to be
-  * fast.
-  */
-case class SimHashAgg(
-    child: Expression,
-    override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[Array[Int]] {
-
-  import SimHashAgg.Bits
-
-  override def children: Seq[Expression] = Seq(child)
-
-  override def nullable: Boolean = false
-
-  override def dataType: DataType = LongType
-
-  override def prettyName: String = "graft_simhash"
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case LongType => TypeCheckResult.TypeCheckSuccess
-      case t =>
-        TypeCheckResult.TypeCheckFailure(s"graft_simhash requires bigint input, got ${t.simpleString}")
-    }
-
-  override def createAggregationBuffer(): Array[Int] = new Array[Int](Bits)
-
-  override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      var j = 0
-      while (j < Bits) {
-        buffer(j) += (((h >>> j) & 1L).toInt * 2) - 1
-        j += 1
-      }
-    }
-    buffer
-  }
-
-  override def merge(buffer: Array[Int], other: Array[Int]): Array[Int] = {
-    var j = 0
-    while (j < Bits) {
-      buffer(j) += other(j)
-      j += 1
-    }
-    buffer
-  }
-
-  override def eval(buffer: Array[Int]): Any = {
-    var sig = 0L
-    var j = 0
-    while (j < Bits) {
-      if (buffer(j) > 0) sig |= (1L << j)
-      j += 1
-    }
-    sig
-  }
-
-  override def serialize(buffer: Array[Int]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 * Bits)
-    buffer.foreach(bb.putInt)
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): Array[Int] = {
-    val bb = ByteBuffer.wrap(bytes)
-    Array.fill(Bits)(bb.getInt)
-  }
-
-  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
-    copy(mutableAggBufferOffset = newOffset)
-
-  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
-    copy(inputAggBufferOffset = newOffset)
-
-  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): SimHashAgg =
-    copy(child = newChildren.head)
-}
-
-object SimHashAgg {
-  /** Signature width: the hash's portable low bits (62-bit hash → 60
-    * used, divisible by the 4-chunk pigeonhole banding).
-    */
-  val Bits: Int = 60
-}
-
 /** Native Count-Min sketch aggregate: `graft_cms(h, depth, width)`
   * over [[PortableHash]] hashes → the depth×width counter matrix as
   * `array<bigint>` (row-major). Row d buckets h at
