@@ -47,16 +47,16 @@ object GraftFunctions {
     ),
     (
       FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHashDeclAgg].getName, "graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
       (children: Seq[Expression]) => {
         require(children.size == 2, s"graft_minhash(hash, numPerms) takes 2 arguments, got ${children.size}")
-        MinHashDeclAgg(children.head, children(1))
+        MinHashAgg(children.head, lit(children(1)))
       }
     ),
     (
       FunctionIdentifier("graft_simhash"),
-      new ExpressionInfo(classOf[SimHashDeclAgg].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHashDeclAgg(children.head)
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashAgg(children.head)
     ),
     (
       FunctionIdentifier("graft_cms"),

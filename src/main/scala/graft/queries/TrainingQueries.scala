@@ -244,12 +244,12 @@ object TrainingQueries {
     // portable-hash shingle equi-join (the q31/q32 machinery at n=5);
     // at 100 TB the eval side is tiny and broadcasts.
     "q63_contamination" -> { (s, dir) =>
-      val sh = graft.dedup.Dedup.checkpointDisk(
-        graft.dedup.Dedup.dfCapped(
+      val sh = graft.dedup.Dedup
+        .dfCapped(
           graft.dedup.Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", ContamN),
           DedupSimQueries.MaxShingleDf
         )
-      )
+        .localCheckpoint()
       val evalSide = sh.filter(col("doc_id") % 10 === 0).withColumnRenamed("doc_id", "eval_doc")
       val trainSide = sh.filter(col("doc_id") % 10 =!= 0).withColumnRenamed("doc_id", "train_doc")
       evalSide
