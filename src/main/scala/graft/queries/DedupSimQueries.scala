@@ -225,9 +225,9 @@ object DedupSimQueries {
     graft.dedup.DedupPipeline.semDedup(probeAsg, Dims, SemDedupTauNum, SemDedupTauDen)
 
   private def shingles3(s: SparkSession, dir: String): DataFrame =
-    Dedup
-      .dfCapped(Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3), MaxShingleDf)
-      .localCheckpoint()
+    Dedup.checkpointHeavy(
+      Dedup.dfCapped(Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3), MaxShingleDf)
+    )
 
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -371,7 +371,7 @@ object DedupSimQueries {
     // oracle-exact.
     "q66_minhash_est" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val sigs = Dedup.minhashSignatures(shingles3(s, dir), NumPerms).localCheckpoint()
+      val sigs = Dedup.checkpointHeavy(Dedup.minhashSignatures(shingles3(s, dir), NumPerms))
       sigmatchEstimate(Dedup.lshCandidates(sigs, NumPerms, RowsPerBand), sigs, "doc_a", "doc_b")
     },
 
@@ -389,7 +389,7 @@ object DedupSimQueries {
     "q108_containment_est" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
       val sh = shingles3(s, dir)
-      val sigs = Dedup.minhashSignatures(sh, NumPerms).localCheckpoint()
+      val sigs = Dedup.checkpointHeavy(Dedup.minhashSignatures(sh, NumPerms))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")).localCheckpoint()
       val est = sigmatchEstimate(Dedup.lshCandidates(sigs, NumPerms, RowsPerBand), sigs, "doc_a", "doc_b")
       val inter = (col("est_jaccard") * (col("n_a") + col("n_b")).cast("double")) / (lit(1.0) + col("est_jaccard"))
@@ -603,7 +603,7 @@ object DedupSimQueries {
     // 0.5), so no float boundary decides membership.
     "q85_incremental_dedup" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val sigs = Dedup.minhashSignatures(shingles3(s, dir), NumPerms).localCheckpoint()
+      val sigs = Dedup.checkpointHeavy(Dedup.minhashSignatures(shingles3(s, dir), NumPerms))
       val cands = Dedup.lshCandidatesAgainst(
         sigs.filter(col("doc_id") % 7 === 3),
         sigs.filter(col("doc_id") % 7 =!= 3),
@@ -624,7 +624,7 @@ object DedupSimQueries {
     // job; only the band join downstream is the recurring cost.
     "q87_bucketed_index_dedup" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val sigs = Dedup.minhashSignatures(shingles3(s, dir), NumPerms).localCheckpoint()
+      val sigs = Dedup.checkpointHeavy(Dedup.minhashSignatures(shingles3(s, dir), NumPerms))
       Dedup.writeSignatureIndex(
         sigs.filter(col("doc_id") % 7 =!= 3), SigIndexTable, NumPerms, RowsPerBand, SigIndexBuckets)
       val cands = Dedup.lshCandidatesAgainstIndex(

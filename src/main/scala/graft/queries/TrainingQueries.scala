@@ -249,7 +249,7 @@ object TrainingQueries {
           graft.dedup.Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", ContamN),
           DedupSimQueries.MaxShingleDf
         )
-        .localCheckpoint()
+        .transform(graft.dedup.Dedup.checkpointHeavy)
       val evalSide = sh.filter(col("doc_id") % 10 === 0).withColumnRenamed("doc_id", "eval_doc")
       val trainSide = sh.filter(col("doc_id") % 10 =!= 0).withColumnRenamed("doc_id", "train_doc")
       evalSide

@@ -231,7 +231,18 @@ object Bm25Index {
       .flatMap { case (qid, terms) => terms.distinct.map(t => (qid, t)) }
       .toDF("query_id", "token")
     val post = postings(docs, idCol, textCol).localCheckpoint()
-    val dfreq = post.groupBy(col("token")).agg(count(lit(1)).as("df")) // postings unique per (token, doc)
+    // df restricted to the QUERY's tokens before the forced broadcast
+    // (r17): the corpus-wide per-token df frame scales with vocabulary
+    // — at the 512× decade broadcasting it exhausted execution memory
+    // (AGGREGATE_OUT_OF_MEMORY in an unrelated stage) — while only
+    // tokens surviving the q join can reach the score. The semi-join
+    // keeps df values identical for every token that matters; the
+    // index-path `search` gets the same effect from its isin-pruned
+    // scan.
+    val dfreq = post
+      .join(broadcast(q.select(col("token")).distinct()), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df")) // postings unique per (token, doc)
     val stats = post
       .groupBy(col("doc_id"))
       .agg(first(col("dl")).as("dl"))

@@ -61,7 +61,7 @@ benchpart() {
     SPARK_GRAFT_BENCH_PASSES=1 SPARK_GRAFT_BENCH_ONLY=$qs SPARK_GRAFT_BENCH_OUT=$R17/bench_2048x_$sfx.json \
     "$@" sbt -batch "runMain graft.Bench"
 }
-benchpart c q32_dedup_minhash_lsh
+benchpart c q32_dedup_minhash_lsh env SPARK_GRAFT_CKPT_LEVEL=DISK_ONLY
 benchpart a1 q34_dedup_embedding env SPARK_GRAFT_AQE_INITIAL_FACTOR=128
 benchpart a2 q129_semantic_dedup,q138_dedup_pipeline
 step recall_2048x 60 env SPARK_GRAFT_RECALL_OUT=$R17/recall_2048x.json SPARK_GRAFT_RECALL_PLANTED_ONLY=1 \
