@@ -103,6 +103,15 @@ object GraftSession {
       // output is unchanged — only the pre-shuffle parallelism moves.
       .config("spark.sql.files.maxPartitionBytes", s"${sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_MB", "16")}m")
       .config("spark.sql.session.timeZone", "UTC")
+      // Local mode has no executor exit to reap finished stages'
+      // shuffle files — ContextCleaner only removes them after a full
+      // GC collects the dropped ShuffleDependency, and the default
+      // 30min periodic GC is an eternity at decade scale: a probe
+      // running several corpus-sized jobs in sequence accumulated
+      // 71 GB of dead shuffle files and ENOSPC'd the sandbox (r17,
+      // recall_2048x). A 60 s periodic full GC costs ~nothing at 8 GB
+      // and keeps disk high-water at one live job's footprint.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       // accept SUBSET co-partitioning for joins: a table bucketed by
       // its block key (CellIndex's `cluster`) must serve joins whose
       // keys are a superset (cluster + a promoted equality like
