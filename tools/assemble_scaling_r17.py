@@ -11,7 +11,8 @@ tools/campaign_r17.sh):
   stageprobe_q138_512x.json        -- q138 spill attribution (r16 #5)
   cellbuild_512x.json              -- CellBuildProbe phase splits
                                       (r15 #3's model check)
-  fusion_{100x,512x}.json          -- widened fusion eval, n=128
+  fusion_100x.json                 -- widened fusion eval, n=96 planted
+                                      X-bases (512x: declared missing)
   recall_256x.json                 -- full-truth + the 256x P-sweep
   recall_{512x,2048x}.json         -- planted-only recall
   bench_2048x.json                 -- merged per-engine 2048x columns
@@ -39,8 +40,8 @@ EXPECTED_MISSING: list[tuple[str, str]] = [
      "NOT re-measured this round (the 2048x window went to the two engines that had never survived the "
      "decade — q32 and q34, both now measured). r16 measured q118 at 2048x: 1214 s = 13.6% of linear, "
      "17+5 GiB spill, candidates linear (SCALING_r16 sf2048_derived). The phash query code is unchanged "
-     "at r17 HEAD; the session gained the 16 MB SHJ-conversion bound and periodic GC, which can only "
-     "shrink its sort/spill terms. Cited, not claimed, as this round's q118 decade point."),
+     "at r17 HEAD; the session gained periodic GC, which can only shrink its disk high-water. "
+     "Cited, not claimed, as this round's q118 decade point."),
     ("fusion_512x.json",
      "the widened (n=96 planted X-base) fusion eval ran and LANDED at 100x; its 512x run OOM'd "
      "broadcasting the corpus-wide per-token Bm25 df frame. The cause is fixed at r17 HEAD "
@@ -142,11 +143,12 @@ def main():
     if sweeps:
         out["q129_probe_sweep"] = sweeps
 
-    # widened fusion eval (r15 #5)
-    out["fusion_planted_eval"] = {
-        "at_100x": load(f"{R17}/fusion_100x.json"),
-        "at_512x": load(f"{R17}/fusion_512x.json"),
-    }
+    # widened fusion eval (r15 #5) — the 512x column is a DECLARED hole
+    # (EXPECTED_MISSING above); loading it unconditionally was the r17
+    # FileNotFoundError that kept this artifact from existing at all.
+    out["fusion_planted_eval"] = {"at_100x": load(f"{R17}/fusion_100x.json")}
+    if "fusion_512x.json" not in declared:
+        out["fusion_planted_eval"]["at_512x"] = load(f"{R17}/fusion_512x.json")
 
     out["corpus_rows"] = load(f"{R17}/corpus_rows.json")
     out["sf0.1"] = dict(sorted(sf01["queries"].items()))
@@ -171,13 +173,18 @@ NOTE = (
     "count is the only remaining shuffle-side frequency pass; its aggregate state is the distinct-SHINGLE "
     "universe — ~10x smaller than the pair universe — on skinny long rows. q34's decade killer (sort-merge "
     "sorting both 550 B-row exploded payload sides; 2 x ~77 GB through UnsafeExternalSorter at 2048x, the "
-    "r16 stage-286 ENOSPC) is addressed by AQE's runtime SMJ->shuffled-hash conversion "
-    "(maxShuffledHashJoinLocalMapThreshold=128m): no sorts when measured partitions fit a local map, one "
-    "reused exchange for both sides, broadcast still wins at small SF; the 2048x run raises "
-    "SPARK_GRAFT_AQE_INITIAL_FACTOR to 64 so the decade shuffle splits under the threshold (a cluster "
-    "sizes shuffle.partitions to its estate and gets the conversion for free). The three r16 declared "
-    "holes are measured: the 256x P-sweep, the widened n=128 fusion eval at 100x/512x, and the "
-    "CellBuildProbe phase splits at 512x."
+    "r16 stage-286 ENOSPC) was survived by splitting the pair-join shuffle finer "
+    "(SPARK_GRAFT_AQE_INITIAL_FACTOR=128 on the q34 decade steps) so each post-shuffle partition's sort "
+    "fits in memory — stageprobe_q34_512x shows the reduce stage at 512 tasks, zero spill, one 13.7 GB "
+    "exchange read twice. CORRECTION (r18): r17's code comments attributed this to AQE's runtime "
+    "SMJ->shuffled-hash conversion (maxShuffledHashJoinLocalMapThreshold=16m, first cut 128m), but that "
+    "conversion could NOT have engaged: DynamicJoinSelection.preferShuffledHashJoin (verified in the "
+    "shipped Spark 4.1.2 bytecode) also requires advisoryPartitionSizeInBytes <= the threshold, and the "
+    "session kept the 64m advisory — the join stayed sort-merge with IN-MEMORY sorts (consistent with the "
+    "probe: ~27 MB/partition/side > 16m means even the partition-size gate would have failed). r18 couples "
+    "the advisory to the threshold and re-measures the true-SHJ shape. The three r16 declared holes are "
+    "measured: the 256x P-sweep, the widened n=96 fusion eval at 100x (512x declared missing — see "
+    "`missing`), and the CellBuildProbe phase splits at 512x."
 )
 
 if __name__ == "__main__":
