@@ -14,6 +14,10 @@ import org.apache.spark.sql.SparkSession
   *     determinism.
   */
 object GraftSession {
+  // one value feeds BOTH the SHJ local-map threshold and (by default)
+  // the AQE advisory partition size — see the conversion-gate comment
+  private def shjLocalMapMb: String = sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP_MB", "16")
+
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession
       .builder()
@@ -44,33 +48,40 @@ object GraftSession {
       )
       .config(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        s"${sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_MB", "64")}m"
+        s"${sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_MB", shjLocalMapMb)}m"
       )
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // Runtime SMJ -> shuffled-hash conversion (r17): when AQE
-      // measures every post-shuffle partition of a sort-merge join
-      // under this threshold, the reduce stage runs as a hash join
-      // with NO sorts. For the payload-carrying self-joins (q34's
-      // exploded N·L×550 B frame) the sorts are the scale killer —
-      // 2 × ~77 GB through UnsafeExternalSorter at the 2048× decade,
-      // the r16 ENOSPC — while the hash build is one post-shuffle
-      // partition. THE BOUND IS EXECUTION-MEMORY SAFETY, not plan
-      // preference: SHJ builds cannot spill, and at local[32]/8g each
+      // Runtime SMJ -> shuffled-hash conversion: when AQE measures
+      // every post-shuffle partition of a sort-merge join under this
+      // threshold, the reduce stage runs as a hash join with NO
+      // sorts. For the payload-carrying self-joins (q34's exploded
+      // N·L×550 B frame) the sorts are the scale killer — 2 × ~77 GB
+      // through UnsafeExternalSorter at the 2048× decade, the r16
+      // ENOSPC — while the hash build is one post-shuffle partition.
+      // THE BOUND IS EXECUTION-MEMORY SAFETY, not plan preference:
+      // SHJ builds cannot spill, and at local[32]/8g each
       // concurrently-building task owns only ~150 MB of the tracked
       // pool — a first-cut 128m threshold let a ~47 MB-compressed
       // (~200 MB raw) build convert at the 256× decade and every
       // build task died with "not enough memory to build hash map".
       // 16 MB compressed (≲65 MB raw + map overhead per task) fits
-      // the 32-way pool with headroom. Consequence: with the 64 MB
-      // advisory target a coalesced decade shuffle does NOT convert
-      // by default (sort-merge stays — safe); runs that want the
-      // no-sort shape split partitions under the threshold via
-      // SPARK_GRAFT_AQE_INITIAL_FACTOR (the q34 decade steps in
-      // tools/campaign_r17.sh). A cluster with per-core-GB executors
-      // raises SPARK_GRAFT_SHJ_LOCALMAP_MB to taste.
+      // the 32-way pool with headroom.
+      // THE CONVERSION'S SECOND GATE (r18, ADVICE): Spark's
+      // DynamicJoinSelection.preferShuffledHashJoin ALSO requires
+      // advisoryPartitionSizeInBytes <= this threshold before it even
+      // looks at measured partition sizes (verified in the 4.1.2
+      // bytecode) — r17 shipped a 64 MB advisory against the 16 MB
+      // threshold, so the conversion was a silent no-op and the q34
+      // decade actually survived on finer AQE initial partitions
+      // keeping the SMJ sorts in memory. The advisory therefore
+      // DEFAULTS TO the threshold (paired envs above); PlanSpec pins
+      // that the conversion genuinely plans at the pair-join shape.
+      // A cluster with per-core-GB executors raises
+      // SPARK_GRAFT_SHJ_LOCALMAP_MB (and with it the advisory) to
+      // taste.
       .config(
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        s"${sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP_MB", "16")}m"
+        s"${shjLocalMapMb}m"
       )
       // ObjectHashAggregate falls back to SORT-BASED aggregation after
       // this many distinct keys per task — and the default (128) makes

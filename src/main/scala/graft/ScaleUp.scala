@@ -370,8 +370,13 @@ object ScaleUp {
       // documents corpus whose decade/planted families diverge from the
       // embeddings it is paired with. max(vec_id) div KeyStride + 1 is
       // exactly the replica count that wrote them.
-      val writtenReplicas =
-        spark.read.parquet(s"$out/embeddings.parquet").agg(max(col("vec_id"))).head.getLong(0) / KeyStride + 1
+      val maxVecRow = spark.read.parquet(s"$out/embeddings.parquet").agg(max(col("vec_id"))).head
+      require(
+        !maxVecRow.isNullAt(0),
+        s"pre-written embeddings at $out are EMPTY (max(vec_id) is null) — a prior generation died " +
+          "before writing rows; regenerate embeddings (add it to SPARK_GRAFT_SCALE_TABLES)"
+      )
+      val writtenReplicas = maxVecRow.getLong(0) / KeyStride + 1
       require(
         writtenReplicas == replicas,
         s"pre-written embeddings at $out were generated with $writtenReplicas replicas, this run wants " +

@@ -760,4 +760,35 @@ class DedupSimSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"shingles plan gained a shuffle:\n$plan")
   }
+
+  test("keyClustered width is scale-aware: base for small frames, 16x past the floor, stats surviving checkpoint") {
+    // r18 (VERDICT #4): the fixed 16x width scheduled 512 near-empty
+    // tasks per clustered aggregate at sf0.1 (~2x on the q32 family);
+    // the width must follow the input's size estimate. Three contracts:
+    //  (a) a small real frame (the sf0.001 shingle projection) gets the
+    //      BASE width — the driver-gate cost recovery;
+    //  (b) a frame estimated past the floor gets the full 16x — the
+    //      decade behavior, unchanged;
+    //  (c) the estimate SURVIVES checkpointHeavy (SPARK-39748 keeps the
+    //      origin stats on the checkpoint's LogicalRDD) — q32's
+    //      signature aggregate reads the CHECKPOINTED shingle frame,
+    //      and a lost estimate would silently re-widen small frames
+    //      (LogicalRDD's fallback stat is defaultSizeInBytes = huge).
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val small = graft.dedup.Dedup.shingles(graft.sources.Tables.documents(spark, sf), "doc_id", "text", 3)
+      .select("shingle")
+    assert(graft.dedup.Dedup.clusterWidth(small) == base, "small frame must keep the base width")
+    val big = spark.range(8L * 1024 * 1024).toDF("id") // 64 MB estimate (8 B/row)
+    assert(graft.dedup.Dedup.clusterWidth(big) == 16 * base, "past-floor frame must take the 16x width")
+    val ckpt = graft.dedup.Dedup.checkpointHeavy(big)
+    try assert(
+      graft.dedup.Dedup.clusterWidth(ckpt) == 16 * base,
+      s"checkpoint lost the size estimate (got ${ckpt.queryExecution.optimizedPlan.stats.sizeInBytes})"
+    ) finally ckpt.unpersist()
+    val ckptSmall = graft.dedup.Dedup.checkpointHeavy(small)
+    try assert(
+      graft.dedup.Dedup.clusterWidth(ckptSmall) == base,
+      s"checkpointed small frame re-widened (estimate ${ckptSmall.queryExecution.optimizedPlan.stats.sizeInBytes})"
+    ) finally ckptSmall.unpersist()
+  }
 }

@@ -673,6 +673,56 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
+  test("q34's pair join converts to shuffled-hash with NO sorts under AQE (the decade no-sort shape)") {
+    // The coupling this pins (r18, ADVICE): DynamicJoinSelection
+    // .preferShuffledHashJoin requires BOTH
+    //   advisoryPartitionSizeInBytes <= maxShuffledHashJoinLocalMapThreshold
+    // (a GraftSession config PAIRING — r17 shipped 64m advisory vs 16m
+    // threshold and the conversion silently never fired; the decade
+    // survived on in-memory SMJ sorts instead) AND every measured
+    // post-shuffle partition under the threshold (true by construction
+    // once a campaign splits the decade shuffle; trivially true here).
+    // Broadcast off so the tiny test input takes the same SMJ-able
+    // path the decade does; AQE stays ON — the conversion is a runtime
+    // re-plan, so the assertion reads the FINAL adaptive plan after
+    // execution. If a Spark upgrade or config change re-introduces the
+    // double-sort (the r16 2×77 GB ENOSPC shape), this fails.
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val savedBroadcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q34_dedup_embedding")(spark, sf)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // materialized adaptive stages are LEAF nodes — collect must
+      // descend into QueryStageExec.plan explicitly or it sees only
+      // the last stage's operators
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: (p.children ++ (p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case _ => Nil
+        })).flatMap(flatten)
+      val pairJoins = flatten(finalPlan).collect {
+        case j: ShuffledHashJoinExec if j.leftKeys.exists(_.references.exists(_.name == "bucket")) => j
+      }
+      assert(pairJoins.nonEmpty, s"pair join did not convert to shuffled-hash under AQE:\n$finalPlan")
+      pairJoins.foreach { j =>
+        val sorts = j.collect { case s: SortExec => s }
+        assert(sorts.isEmpty, s"external-sort shape under the converted pair join:\n$j")
+      }
+    } finally {
+      savedBroadcast match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("whole-stage codegen covers the dedup hot path") {
     // adaptive plans only materialize codegen stages lazily; disable
     // AQE for the assertion so the wrappers render in the plan string
