@@ -48,7 +48,7 @@ object GraftSession {
       )
       .config(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        s"${sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_MB", shjLocalMapMb)}m"
+        s"${sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_MB", "64")}m"
       )
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Runtime SMJ -> shuffled-hash conversion: when AQE measures
@@ -73,12 +73,19 @@ object GraftSession {
       // bytecode) — r17 shipped a 64 MB advisory against the 16 MB
       // threshold, so the conversion was a silent no-op and the q34
       // decade actually survived on finer AQE initial partitions
-      // keeping the SMJ sorts in memory. The advisory therefore
-      // DEFAULTS TO the threshold (paired envs above); PlanSpec pins
-      // that the conversion genuinely plans at the pair-join shape.
-      // A cluster with per-core-GB executors raises
-      // SPARK_GRAFT_SHJ_LOCALMAP_MB (and with it the advisory) to
-      // taste.
+      // keeping the SMJ sorts in memory. The conversion is an OPT-IN
+      // DECADE LEVER, not the default: an r18 same-era A/B at sf0.1
+      // measured the engaged conversion DOUBLING the iterative
+      // kmeans/cell family (cell build 16.5 s with it off vs 33 s on,
+      // q107 1.5 vs 2.9 s — per-task hash-build overhead on hundreds
+      // of KB-sized partitions across iterative stages), while at
+      // decade geometry it removes the external sorts that ENOSPC'd
+      // r16. Decade campaign steps export
+      // SPARK_GRAFT_AQE_ADVISORY_MB=16 (= the threshold) to engage
+      // it; PlanSpec pins the converted no-sort shape under exactly
+      // that pairing. A cluster — where partitions are never tiny —
+      // sets the pairing on and raises SPARK_GRAFT_SHJ_LOCALMAP_MB
+      // to its per-core memory.
       .config(
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         s"${shjLocalMapMb}m"

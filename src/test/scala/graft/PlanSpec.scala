@@ -677,21 +677,31 @@ class PlanSpec extends AnyFunSuite {
     // The coupling this pins (r18, ADVICE): DynamicJoinSelection
     // .preferShuffledHashJoin requires BOTH
     //   advisoryPartitionSizeInBytes <= maxShuffledHashJoinLocalMapThreshold
-    // (a GraftSession config PAIRING — r17 shipped 64m advisory vs 16m
-    // threshold and the conversion silently never fired; the decade
-    // survived on in-memory SMJ sorts instead) AND every measured
-    // post-shuffle partition under the threshold (true by construction
-    // once a campaign splits the decade shuffle; trivially true here).
-    // Broadcast off so the tiny test input takes the same SMJ-able
-    // path the decade does; AQE stays ON — the conversion is a runtime
-    // re-plan, so the assertion reads the FINAL adaptive plan after
-    // execution. If a Spark upgrade or config change re-introduces the
+    // (r17 shipped 64m advisory vs 16m threshold and the conversion
+    // silently never fired; the decade survived on in-memory SMJ
+    // sorts instead) AND every measured post-shuffle partition under
+    // the threshold (true by construction once a campaign splits the
+    // decade shuffle; trivially true here). The conversion is an
+    // OPT-IN decade lever — the session default keeps it off because
+    // per-task hash-build overhead measurably doubles the iterative
+    // kmeans family at sf0.1 — so this test sets the DECADE pairing
+    // (advisory = threshold) the campaign steps export, and asserts
+    // the no-sort shape genuinely plans under it. Broadcast off so
+    // the tiny test input takes the same SMJ-able path the decade
+    // does; AQE stays ON — the conversion is a runtime re-plan, so
+    // the assertion reads the FINAL adaptive plan after execution.
+    // If a Spark upgrade or config change re-introduces the
     // double-sort (the r16 2×77 GB ENOSPC shape), this fails.
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     val savedBroadcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val savedAdvisory = spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      spark.conf.get("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold")
+    )
     try {
       val df = SparkEntry.queries("q34_dedup_embedding")(spark, sf)
       df.collect()
@@ -719,6 +729,10 @@ class PlanSpec extends AnyFunSuite {
       savedBroadcast match {
         case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
         case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      savedAdvisory match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
+        case None    => spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
       }
     }
   }

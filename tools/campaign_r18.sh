@@ -82,7 +82,7 @@ p512)
   # same geometry as r17's probe (factor 32) — but the conversion can
   # now actually fire; compare vs r17's 52.6 s in-memory-SMJ point
   step stageprobe_q34_512x 50 env SPARK_GRAFT_STAGEPROBE_OUT=$R18/stageprobe_q34_512x.json \
-    SPARK_GRAFT_AQE_INITIAL_FACTOR=32 \
+    SPARK_GRAFT_AQE_INITIAL_FACTOR=32 SPARK_GRAFT_AQE_ADVISORY_MB=16 \
     sbt -batch "runMain graft.StageProbe q34_dedup_embedding $(D 512)"
   step q32probe_512x 50 env SPARK_GRAFT_Q32_OUT=$R18/q32probe_512x.json \
     sbt -batch "runMain graft.Q32Probe $(D 512)"
@@ -91,7 +91,7 @@ p512)
   step stageprobe_q138_512x 50 env SPARK_GRAFT_STAGEPROBE_OUT=$R18/stageprobe_q138_512x.json \
     sbt -batch "runMain graft.StageProbe q138_dedup_pipeline $(D 512)"
   step stageprobe_q138_512x_f128 50 env SPARK_GRAFT_STAGEPROBE_OUT=$R18/stageprobe_q138_512x_f128.json \
-    SPARK_GRAFT_AQE_INITIAL_FACTOR=128 \
+    SPARK_GRAFT_AQE_INITIAL_FACTOR=128 SPARK_GRAFT_AQE_ADVISORY_MB=16 \
     sbt -batch "runMain graft.StageProbe q138_dedup_pipeline $(D 512)"
   # the declared r17 hole: widened fusion eval at 512x on the fixed
   # Bm25 df path (semi-join to query tokens before the broadcast)
@@ -123,7 +123,7 @@ bench2048)
       "$@" sbt -batch "runMain graft.Bench"
   }
   benchpart c q32_dedup_minhash_lsh env SPARK_GRAFT_CKPT_LEVEL=DISK_ONLY
-  benchpart a1 q34_dedup_embedding env SPARK_GRAFT_AQE_INITIAL_FACTOR=128
+  benchpart a1 q34_dedup_embedding env SPARK_GRAFT_AQE_INITIAL_FACTOR=128 SPARK_GRAFT_AQE_ADVISORY_MB=16
   benchpart a2 q129_semantic_dedup,q138_dedup_pipeline "$@"
   benchpart b q118_phash_neardup
   python3 "$REPO/tools/merge_bench_parts.py" "$R18" || true
