@@ -761,14 +761,18 @@ class DedupSimSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"shingles plan gained a shuffle:\n$plan")
   }
 
-  test("keyClustered width is scale-aware: base for small frames, 16x past the floor, stats surviving checkpoint") {
-    // r18 (VERDICT #4): the fixed 16x width scheduled 512 near-empty
-    // tasks per clustered aggregate at sf0.1 (~2x on the q32 family);
-    // the width must follow the input's size estimate. Three contracts:
+  test("keyClustered width is scale-aware: base for small frames, continuous past the floor, stats surviving checkpoint") {
+    // r18 (VERDICT #4 + the q138 2048x stage attribution): the fixed
+    // 16x width was scale-blind both ways — 512 near-empty tasks per
+    // clustered aggregate at sf0.1 (~2x on the q32 family) AND
+    // per-task aggregate state outgrowing the execution pool at the
+    // fifth decade (187 of 305 GB mem-spill attributed to the two
+    // clustered aggregates at width 512). Contracts:
     //  (a) a small real frame (the sf0.001 shingle projection) gets the
     //      BASE width — the driver-gate cost recovery;
-    //  (b) a frame estimated past the floor gets the full 16x — the
-    //      decade behavior, unchanged;
+    //  (b) past the floor the width is CONTINUOUS in the estimate
+    //      (est / 128 KB, clamped to [base, 128x base]) — keys/task
+    //      stays ~constant as the corpus grows;
     //  (c) the estimate SURVIVES checkpointHeavy (SPARK-39748 keeps the
     //      origin stats on the checkpoint's LogicalRDD) — q32's
     //      signature aggregate reads the CHECKPOINTED shingle frame,
@@ -778,11 +782,16 @@ class DedupSimSpec extends AnyFunSuite {
     val small = graft.dedup.Dedup.shingles(graft.sources.Tables.documents(spark, sf), "doc_id", "text", 3)
       .select("shingle")
     assert(graft.dedup.Dedup.clusterWidth(small) == base, "small frame must keep the base width")
-    val big = spark.range(8L * 1024 * 1024).toDF("id") // 64 MB estimate (8 B/row)
-    assert(graft.dedup.Dedup.clusterWidth(big) == 16 * base, "past-floor frame must take the 16x width")
+    val mid = spark.range(2L * 1024 * 1024).toDF("id") // 16 MB estimate (8 B/row)
+    assert(graft.dedup.Dedup.clusterWidth(mid) == 128, "16 MB estimate must cluster at est/128KB = 128")
+    val big = spark.range(8L * 1024 * 1024).toDF("id") // 64 MB estimate
+    assert(
+      graft.dedup.Dedup.clusterWidth(big) == math.min(512, 128 * base),
+      "64 MB estimate must cluster at est/128KB = 512, capped at 128x base"
+    )
     val ckpt = graft.dedup.Dedup.checkpointHeavy(big)
     try assert(
-      graft.dedup.Dedup.clusterWidth(ckpt) == 16 * base,
+      graft.dedup.Dedup.clusterWidth(ckpt) == math.min(512, 128 * base),
       s"checkpoint lost the size estimate (got ${ckpt.queryExecution.optimizedPlan.stats.sizeInBytes})"
     ) finally ckpt.unpersist()
     val ckptSmall = graft.dedup.Dedup.checkpointHeavy(small)
