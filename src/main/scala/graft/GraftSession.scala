@@ -14,8 +14,10 @@ import org.apache.spark.sql.SparkSession
   *     determinism.
   */
 object GraftSession {
-  // one value feeds BOTH the SHJ local-map threshold and (by default)
-  // the AQE advisory partition size — see the conversion-gate comment
+  // SHJ local-map threshold only. The AQE advisory partition size is
+  // defaulted INDEPENDENTLY to 64m below — the SMJ→SHJ conversion
+  // engages only when a campaign exports SPARK_GRAFT_AQE_ADVISORY_MB
+  // down to this threshold (see the conversion-gate comment).
   private def shjLocalMapMb: String = sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP_MB", "16")
 
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
@@ -100,9 +102,13 @@ object GraftSession {
       // tasks ≈ 0.5 GB live — measured: 128k entries of 512 B minhash
       // buffers OOM'd the 8 GB heap during the map→sorter dump, so
       // the bound must leave dump headroom); past the threshold the
-      // sort fallback is survivable, just slow — the hot signature
-      // aggregate (graft_minhash) is DECLARATIVE since r16 and never
-      // takes this path at all.
+      // sort fallback is survivable, just slow. The hot signature
+      // aggregate (graft_minhash) is a TypedImperativeAggregate
+      // (functions/SketchAggregates.scala MinHashAgg) and runs EXACTLY
+      // this ObjectHashAggregate path — that is why keyClustered bounds
+      // keys/task upstream of it (the r17 declarative rewrite was
+      // measured slower and reverted in da1dc31; this comment is the
+      // recorded negative result).
       // env-overridable (r17, ADVICE): the safe value is heap-dependent
       // — campaigns at other heap sizes retune without a rebuild
       .config(

@@ -51,6 +51,18 @@ import graft.operators.KMeans
   */
 object DedupPipeline {
 
+  /** Stage-1 checkpoint width divisor: KB of Catalyst ESTIMATE per
+    * partition for the (doc_id, text, exact_dup) frame. Text columns
+    * are stat-counted at a flat 20 B, so real text bytes run ~10-25×
+    * the estimate — 2048 KB of estimate ≈ 20-50 MB of text per map
+    * task, wide enough to stay out of the scheduling-overhead regime
+    * (the r17 512× probe) and fine enough that the substringClean
+    * explode/span maps never own a 1/52 corpus slice again.
+    * Env-overridable for A/B campaign brackets only.
+    */
+  private val St1EstPerPartKb: Long =
+    sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ST1_PER_PARTITION_KB", "2048").toLong
+
   /** The production form: stage 3 consumes a PRECOMPUTED full-corpus
     * MULTI-PROBE cell assignment (vec_id, probe, cluster, qa) — the
     * persisted CellIndex — restricted to the surviving ids.
@@ -74,10 +86,27 @@ object DedupPipeline {
     // (span tokenize + gram hash + the two stitch branches), and a
     // production pipeline persists each stage's output anyway —
     // re-running the corpus md5 join per consumer is the one cost a
-    // composed pipeline must not pay
-    val st1 = withMd5
-      .join(keep, Seq("text_md5"))
-      .select(col("doc_id"), col("text"), (col("doc_id") =!= col("keep_id")).as("exact_dup"))
+    // composed pipeline must not pay.
+    // The checkpoint is WIDTH-CLUSTERED first (r19, the last named
+    // q138 frontier term): localCheckpoint pins whatever partitioning
+    // the md5 join's AQE coalescing landed on — 52 coarse partitions
+    // at the 2048× decade — and every substringClean map stage
+    // (tokenize, gram explode, token posexplode) inherits it: 52
+    // tasks each exploding ~200k docs and sorting the result for a
+    // ~2000-reducer shuffle was the residual ~49 GB spill AND the
+    // 52-map fan-out behind the r18 bracket's +20% wall. The
+    // estimate-proportional width (base at the driver gate, ~500 at
+    // 512×, ~2000 at 2048×) makes per-map explode volume ~constant;
+    // the one extra exchange moves rows the checkpoint was about to
+    // materialize anyway.
+    val st1 = Dedup
+      .keyClusteredWide(
+        withMd5
+          .join(keep, Seq("text_md5"))
+          .select(col("doc_id"), col("text"), (col("doc_id") =!= col("keep_id")).as("exact_dup")),
+        St1EstPerPartKb,
+        col("doc_id")
+      )
       .localCheckpoint()
     val surv1 = st1.filter(!col("exact_dup")).select(col("doc_id"), col("text"))
     // stage 2: span surgery over the survivor corpus

@@ -224,7 +224,7 @@ object DedupSimQueries {
   private def semDedupOutput(probeAsg: DataFrame): DataFrame =
     graft.dedup.DedupPipeline.semDedup(probeAsg, Dims, SemDedupTauNum, SemDedupTauDen)
 
-  private def shingles3(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingles3(s: SparkSession, dir: String): DataFrame =
     Dedup.checkpointHeavy(
       Dedup.dfCapped(Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3), MaxShingleDf)
     )

@@ -230,7 +230,12 @@ object Bm25Index {
     val q = queries
       .flatMap { case (qid, terms) => terms.distinct.map(t => (qid, t)) }
       .toDF("query_id", "token")
-    val post = postings(docs, idCol, textCol).localCheckpoint()
+    // checkpointHeavy, not bare localCheckpoint (r19): the corpus
+    // postings frame is the probe's residency term — at the 512×
+    // decade it is ~10 GB against an 8 GB heap, and the storage-level
+    // env hook (SPARK_GRAFT_CKPT_LEVEL) must reach it like every other
+    // corpus-sized checkpoint in the engine.
+    val post = graft.dedup.Dedup.checkpointHeavy(postings(docs, idCol, textCol))
     // df restricted to the QUERY's tokens before the forced broadcast
     // (r17): the corpus-wide per-token df frame scales with vocabulary
     // — at the 512× decade broadcasting it exhausted execution memory
@@ -260,6 +265,20 @@ object Bm25Index {
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
       )
       .withColumn("bp", round(col("s") * lit(10000), 0).cast("long"))
+      // Scoring-aggregate state bound (r19, the r18 fusion OOMs): a
+      // query-by-example probe carries a document's FULL token set, so
+      // nearly every doc sharing any term is a candidate — the
+      // (query_id, doc_id) sum's per-task partial maps scale with
+      // corpus × probes on the postings frame's inherited coarse
+      // partitions (two 32-core OOMs at the 512× fusion probe). One
+      // skinny exchange on the aggregate keys at the postings-size-
+      // proportional width bounds keys/task, dedup-aggregate style;
+      // it satisfies the aggregate's required distribution, so no
+      // second shuffle is planned, and the basis-point sum is
+      // order-free so results are bit-identical under any
+      // partitioning. Width from the CHECKPOINTED postings frame —
+      // the scored join's own multiply-path stats are garbage.
+      .repartition(graft.dedup.Dedup.clusterWidth(post), col("query_id"), col("doc_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("bp")).as("score_bp"))
       .withColumn("rank", row_number().over(w))

@@ -779,25 +779,61 @@ class DedupSimSpec extends AnyFunSuite {
     //      and a lost estimate would silently re-widen small frames
     //      (LogicalRDD's fallback stat is defaultSizeInBytes = huge).
     val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Expectations derive from each frame's ACTUAL Catalyst estimate
+    // plus the documented clamp formula (r18 ADVICE: literal 128/512
+    // expectations encoded Range's 8 B/row stat and an assumed base,
+    // so a Spark stats change would break the spec without a width
+    // behavior change). The formula here is the CONTRACT under test.
+    def expectedWidth(est: BigInt): Int =
+      if (est < BigInt(4L * 1024 * 1024)) base
+      else (est / (128L * 1024)).min(128L * base).max(base).toInt
+    def estOf(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
     val small = graft.dedup.Dedup.shingles(graft.sources.Tables.documents(spark, sf), "doc_id", "text", 3)
       .select("shingle")
+    assert(estOf(small) < BigInt(4L * 1024 * 1024), "precondition: the sf0.001 shingle frame must be under the floor")
     assert(graft.dedup.Dedup.clusterWidth(small) == base, "small frame must keep the base width")
-    val mid = spark.range(2L * 1024 * 1024).toDF("id") // 16 MB estimate (8 B/row)
-    assert(graft.dedup.Dedup.clusterWidth(mid) == 128, "16 MB estimate must cluster at est/128KB = 128")
-    val big = spark.range(8L * 1024 * 1024).toDF("id") // 64 MB estimate
+    val mid = spark.range(2L * 1024 * 1024).toDF("id")
+    assert(estOf(mid) >= BigInt(4L * 1024 * 1024), "precondition: mid frame must exceed the floor")
+    assert(estOf(mid) / (128L * 1024) < BigInt(128L * base), "precondition: mid frame must be below the cap")
     assert(
-      graft.dedup.Dedup.clusterWidth(big) == math.min(512, 128 * base),
-      "64 MB estimate must cluster at est/128KB = 512, capped at 128x base"
+      graft.dedup.Dedup.clusterWidth(mid) == expectedWidth(estOf(mid)),
+      s"mid frame (est ${estOf(mid)}) must cluster at est/128KB"
     )
+    val big = spark.range(8L * 1024 * 1024).toDF("id")
+    assert(graft.dedup.Dedup.clusterWidth(big) == expectedWidth(estOf(big)),
+      s"big frame (est ${estOf(big)}) must follow the clamp formula")
+    // cap path, metadata-only (clusterWidth never executes the frame):
+    // a frame whose est/128KB exceeds 128x base must clamp to the cap
+    val huge = spark.range(1024L * 1024 * 1024 / 8 * base).toDF("id")
+    assert(estOf(huge) / (128L * 1024) > BigInt(128L * base), "precondition: huge frame must exceed the cap")
+    assert(graft.dedup.Dedup.clusterWidth(huge) == 128 * base, "width must clamp at 128x base")
     val ckpt = graft.dedup.Dedup.checkpointHeavy(big)
     try assert(
-      graft.dedup.Dedup.clusterWidth(ckpt) == math.min(512, 128 * base),
-      s"checkpoint lost the size estimate (got ${ckpt.queryExecution.optimizedPlan.stats.sizeInBytes})"
+      graft.dedup.Dedup.clusterWidth(ckpt) == expectedWidth(estOf(big)),
+      s"checkpoint lost the size estimate (got ${estOf(ckpt)})"
     ) finally ckpt.unpersist()
     val ckptSmall = graft.dedup.Dedup.checkpointHeavy(small)
     try assert(
       graft.dedup.Dedup.clusterWidth(ckptSmall) == base,
-      s"checkpointed small frame re-widened (estimate ${ckptSmall.queryExecution.optimizedPlan.stats.sizeInBytes})"
+      s"checkpointed small frame re-widened (estimate ${estOf(ckptSmall)})"
     ) finally ckptSmall.unpersist()
+    // Degraded-estimate guard (r19): a non-distinct-key self-join takes
+    // the stats visitor's MULTIPLY path — two ~2 MB ranges report a
+    // multi-TB product — and an unguarded width would peg a 4 MB-of-
+    // leaves frame at the 128x cap. The guard bounds the estimate at
+    // 64x the leaf-scan sum, so the width must equal the formula on
+    // the BOUNDED estimate, strictly under the raw-estimate width.
+    import org.apache.spark.sql.functions.col
+    val l = spark.range(256L * 1024).toDF("id").withColumn("k", col("id") % 100)
+    val r = spark.range(256L * 1024).toDF("id2").withColumn("k", col("id2") % 100)
+    val degraded = l.join(r, "k")
+    val rawEst = estOf(degraded)
+    val leafSum = degraded.queryExecution.optimizedPlan.collectLeaves().map(_.stats.sizeInBytes).sum
+    assert(rawEst > leafSum * 64, s"precondition: join stats must be on the multiply path (raw $rawEst, leaves $leafSum)")
+    assert(
+      graft.dedup.Dedup.clusterWidth(degraded) == expectedWidth(leafSum * 64),
+      s"degraded estimate (raw $rawEst vs $leafSum of leaves) must be bounded to leafSum x 64"
+    )
   }
 }
