@@ -53,15 +53,19 @@ object DedupPipeline {
 
   /** Stage-1 checkpoint width divisor: KB of Catalyst ESTIMATE per
     * partition for the (doc_id, text, exact_dup) frame. Text columns
-    * are stat-counted at a flat 20 B, so real text bytes run ~10-25×
-    * the estimate — 2048 KB of estimate ≈ 20-50 MB of text per map
-    * task, wide enough to stay out of the scheduling-overhead regime
-    * (the r17 512× probe) and fine enough that the substringClean
-    * explode/span maps never own a 1/52 corpus slice again.
-    * Env-overridable for A/B campaign brackets only.
+    * are stat-counted at a flat 20 B, so real text bytes run well
+    * above the estimate. Calibrated by WidthProbe (r19): st1 est is
+    * 0.27 MB at sf0.1, so the replica-derived decades land at ~138 MB
+    * (512×) and ~553 MB (2048×) — 1024 KB of estimate per partition
+    * plans ~135/~553 maps there, putting each map's gram-explode sort
+    * volume (~45 MB at 2048×, vs ~400 MB/task on the 52 inherited
+    * partitions r18 attributed) safely inside the ~150 MB execution
+    * pool, while staying 15× under the 8192-task scheduling-overhead
+    * regime the r17 512× probe measured. Env-overridable for A/B
+    * campaign brackets only.
     */
   private val St1EstPerPartKb: Long =
-    sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ST1_PER_PARTITION_KB", "2048").toLong
+    sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ST1_PER_PARTITION_KB", "1024").toLong
 
   /** The production form: stage 3 consumes a PRECOMPUTED full-corpus
     * MULTI-PROBE cell assignment (vec_id, probe, cluster, qa) — the
@@ -95,10 +99,10 @@ object DedupPipeline {
     // tasks each exploding ~200k docs and sorting the result for a
     // ~2000-reducer shuffle was the residual ~49 GB spill AND the
     // 52-map fan-out behind the r18 bracket's +20% wall. The
-    // estimate-proportional width (base at the driver gate, ~500 at
-    // 512×, ~2000 at 2048×) makes per-map explode volume ~constant;
-    // the one extra exchange moves rows the checkpoint was about to
-    // materialize anyway.
+    // estimate-proportional width (base at the driver gate, ~135 at
+    // 512×, ~553 at 2048× — see St1EstPerPartKb's calibration) makes
+    // per-map explode volume ~constant; the one extra exchange moves
+    // rows the checkpoint was about to materialize anyway.
     val st1 = Dedup
       .keyClusteredWide(
         withMd5
