@@ -230,12 +230,20 @@ object Bm25Index {
     val q = queries
       .flatMap { case (qid, terms) => terms.distinct.map(t => (qid, t)) }
       .toDF("query_id", "token")
-    // checkpointHeavy, not bare localCheckpoint (r19): the corpus
-    // postings frame is the probe's residency term — at the 512×
-    // decade it is ~10 GB against an 8 GB heap, and the storage-level
-    // env hook (SPARK_GRAFT_CKPT_LEVEL) must reach it like every other
-    // corpus-sized checkpoint in the engine.
-    val post = graft.dedup.Dedup.checkpointHeavy(postings(docs, idCol, textCol))
+    // DISK_ONLY checkpoint default (r19): the corpus postings frame is
+    // corpus-PROPORTIONAL (one row per (token, doc) — ~5 GB of
+    // deserialized rows at the 512× decade, more than the whole heap
+    // at 2048×) and re-read only three times (df, stats, scoring). A
+    // MEMORY_AND_DISK attempt at residency drained the shared pool's
+    // unroll side while 32 concurrent scan tasks asked for aggregate
+    // maps — HashAggregate.createHashMap refused 256 KB and the 512×
+    // fusion probe died twice at 32 cores (r18) and once more after
+    // the scoring-aggregate bound (r19). Disk-backed residency costs
+    // one serialized write + three reads of a frame this code was
+    // about to materialize anyway; SPARK_GRAFT_CKPT_LEVEL still
+    // overrides for A/Bs.
+    val post = graft.dedup.Dedup
+      .checkpointHeavy(postings(docs, idCol, textCol), org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // df restricted to the QUERY's tokens before the forced broadcast
     // (r17): the corpus-wide per-token df frame scales with vocabulary
     // — at the 512× decade broadcasting it exhausted execution memory
