@@ -103,15 +103,28 @@ object DedupPipeline {
     // 512×, ~553 at 2048× — see St1EstPerPartKb's calibration) makes
     // per-map explode volume ~constant; the one extra exchange moves
     // rows the checkpoint was about to materialize anyway.
+    // DISK_ONLY residency for the stage-1 checkpoint (r19): the frame
+    // carries the CORPUS TEXT, so its deserialized rows are
+    // heap-sized at decade scale — and the width-clustering above
+    // makes blocks small enough to actually cache (at the old 52
+    // coarse partitions the ~100 MB unroll chunks failed to cache and
+    // fell through to disk by accident; ~20 MB blocks succeed, and a
+    // 1024× paired bench run then died of Java-heap exhaustion in the
+    // final stitch with ~GBs of text rows live in the store). Same
+    // rule as the Bm25 postings checkpoint: corpus-proportional, read
+    // four times, never memory-resident at scale by design rather
+    // than by cache-failure luck. SPARK_GRAFT_CKPT_LEVEL overrides.
     val st1 = Dedup
-      .keyClusteredWide(
-        withMd5
-          .join(keep, Seq("text_md5"))
-          .select(col("doc_id"), col("text"), (col("doc_id") =!= col("keep_id")).as("exact_dup")),
-        St1EstPerPartKb,
-        col("doc_id")
+      .checkpointHeavy(
+        Dedup.keyClusteredWide(
+          withMd5
+            .join(keep, Seq("text_md5"))
+            .select(col("doc_id"), col("text"), (col("doc_id") =!= col("keep_id")).as("exact_dup")),
+          St1EstPerPartKb,
+          col("doc_id")
+        ),
+        org.apache.spark.storage.StorageLevel.DISK_ONLY
       )
-      .localCheckpoint()
     val surv1 = st1.filter(!col("exact_dup")).select(col("doc_id"), col("text"))
     // stage 2: span surgery over the survivor corpus
     val st2 = Dedup
