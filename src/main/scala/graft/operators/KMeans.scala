@@ -105,13 +105,22 @@ object KMeans {
   /** Packing spec for a centroid frame, or None when the id space is
     * too wide (or negative) for the packed key to order correctly —
     * callers then keep the struct-min formulation. The max-cid probe
-    * is one tiny job over the K-row centroid frame, paid per assign
-    * call and dwarfed by the N·K job it shapes.
+    * is one tiny job over the K-row centroid frame; Lloyd loops pay it
+    * ONCE per refine ([[argminPackForMax]] — centroid IDS never change
+    * across rounds, only coordinates; the r19 probe measured the
+    * per-round re-probe as pure driver-job overhead: q119 spent ~half
+    * its wall in ~40 tiny job launches).
     */
   private def argminPackFor(cents: DataFrame, dims: Int): Option[ArgminPack] = {
     val row = cents.agg(max(col("cid"))).head
     if (row.isNullAt(0)) return None
-    val maxCid = row.getLong(0)
+    argminPackForMax(row.getLong(0), dims)
+  }
+
+  /** [[argminPackFor]] from an already-known max centroid id — the
+    * job-free form the Lloyd loops reuse every round.
+    */
+  private def argminPackForMax(maxCid: Long, dims: Int): Option[ArgminPack] = {
     if (maxCid < 0) return None
     val bits = 64 - java.lang.Long.numberOfLeadingZeros(maxCid | 1L)
     if (bits > 62) return None
@@ -127,7 +136,10 @@ object KMeans {
     * the fan-out-sized sort it replaces).
     */
   private def argmin(q: DataFrame, cents: DataFrame, dims: Int): DataFrame =
-    argminPackFor(cents, dims) match {
+    argmin(q, cents, dims, argminPackFor(cents, dims))
+
+  private def argmin(q: DataFrame, cents: DataFrame, dims: Int, pack: Option[ArgminPack]): DataFrame =
+    pack match {
       case Some(pk) =>
         q.crossJoin(broadcast(cents))
           .select(col("vec_id"), pk.key(dist2(col("qa"), col("ca"), dims), col("cid")).as("p"))
@@ -143,7 +155,10 @@ object KMeans {
     }
 
   private def assign(q: DataFrame, cents: DataFrame, dims: Int): DataFrame =
-    argmin(q, cents, dims)
+    assign(q, cents, dims, argminPackFor(cents, dims))
+
+  private def assign(q: DataFrame, cents: DataFrame, dims: Int, pack: Option[ArgminPack]): DataFrame =
+    argmin(q, cents, dims, pack)
       .join(q.select(col("vec_id"), col("qa")), Seq("vec_id"))
       .select(col("vec_id"), col("qa"), col("cluster"), col("d2"))
 
@@ -151,8 +166,74 @@ object KMeans {
     * (vec_id, cluster, dist2) — all BIGINT, bit-deterministic.
     */
   def refine(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame =
-    argmin(q, refineCentroids(q, k, iters, dims), dims)
-      .select(col("vec_id"), col("cluster"), col("d2").as("dist2"))
+    if (k <= MaxLiteralK) refineLiteral(q, k, iters, dims)
+    else {
+      val (cents, pack) = refineCentroidsWithPack(q, q.filter(col("vec_id") < k), k, iters, dims)
+      argmin(q, cents, dims, pack)
+        .select(col("vec_id"), col("cluster"), col("d2").as("dist2"))
+    }
+
+  /** Centroid count up to which [[refine]] runs its rounds with
+    * LITERAL centroids — the q125/IVF `cellExpr` posture (the
+    * sanctioned dim-table-sized driver state: ≤16 rows × 64 longs).
+    * Fixed-k refine broadcast k centroid rows against the corpus and
+    * re-aggregated the N·k fan-out by vec_id EVERY round; with the
+    * centroids as literals the assignment is a scan-side fold (zero
+    * broadcast, zero argmin shuffle, the only per-round exchange is
+    * the k-group update aggregate), which is strictly fewer
+    * shuffles/jobs at ANY corpus size when k is a constant — r19
+    * measured the old shape spending over half of q119's sf0.1 wall
+    * in ~40 tiny AQE stage-jobs. The corpus-SCALED path (two-level,
+    * k = N/target) keeps the distributed formulation.
+    */
+  val MaxLiteralK = 16
+
+  /** Literal-centroid Lloyd rounds: identical arithmetic to the
+    * distributed path — dist2 as the same left-assoc exact-BIGINT
+    * square sum, argmin as least(struct(d2, cid)) (the min(struct)
+    * tie-break), update as per-cluster coordinate sums `div` count
+    * with empty clusters keeping their centroid — so the returned
+    * rows are bit-identical (oracle-pinned).
+    */
+  private def refineLiteral(q: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val seedRows = q.filter(col("vec_id") < k).select(col("vec_id"), col("qa")).collect()
+    require(
+      seedRows.length == k,
+      s"k-means seeding expects $k seed vectors present after quantizeShifted's " +
+        s"degenerate-vector filter; found ${seedRows.length} of $k — re-id the corpus or lower k"
+    )
+    var cents: Seq[(Long, IndexedSeq[Long])] =
+      seedRows.toSeq.map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq)).sortBy(_._1)
+    // native integer kernel against a LITERAL array — an unrolled
+    // (element_at − lit)² tree is 64 terms × k centroids of codegen
+    // per reference (measured r19: plan compilation alone doubled the
+    // query); one dist2i node keeps the tree k structs wide. Same
+    // exact-BIGINT arithmetic, bit-identical distances.
+    def dist2Lit(ca: IndexedSeq[Long]): Column =
+      graft.functions.GraftFunctions.dist2i(col("qa"), lit(ca.toArray))
+    def best: Column =
+      least(cents.map { case (cid, ca) => struct(dist2Lit(ca).as("d2"), lit(cid).as("cid")) }: _*)
+    for (_ <- 1 to iters) {
+      val sums = q
+        .select(best.getField("cid").as("cluster"), col("qa"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), (1 to dims).map(i => sum(element_at(col("qa"), i)).as(s"s$i")): _*)
+        .collect()
+      // row layout: cluster(0), n(1), s1(2)..sD(dims+1); coordinates
+      // are shifted non-negative, so Long `/` here IS the SQL `div`
+      // of the distributed path
+      val updByCid = sums
+        .map(r => r.getLong(0) -> (2 to dims + 1).map(i => r.getLong(i) / r.getLong(1)))
+        .toMap
+      cents = cents.map { case (cid, ca) => (cid, updByCid.getOrElse(cid, ca).toIndexedSeq) }
+    }
+    q.select(
+      col("vec_id"),
+      best.getField("cid").as("cluster"),
+      best.getField("d2").as("dist2")
+    )
+  }
 
   /** Two-level (coarse IVF → cell-local fine) Lloyd refinement — the
     * CORPUS-SCALED-k path. Flat [[refine]] broadcasts all k centroids
@@ -264,24 +345,30 @@ object KMeans {
   ): TwoLevelState = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val nc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val coarse = refineCentroidsFrom(q, seedsOf(nc), nc, iters, dims)
+    val (coarse, coarsePack) = refineCentroidsWithPack(q, seedsOf(nc), nc, iters, dims)
     tick("coarse_train")
     // fine seeds assigned against ALL coarse cells once (k·√k work)
-    var fine = assign(seedsOf(k), coarse, dims)
+    var fine = assign(seedsOf(k), coarse, dims, coarsePack)
       .select(col("vec_id").as("cid"), col("cluster").as("cell"), col("qa").as("ca"))
       .localCheckpoint()
-    val nSeeds = fine.count()
+    // ONE job: the seeding-count gate + the fine argmin pack (fine
+    // cids are the k seed ids and never change across rounds — the
+    // per-round max-cid re-probe was pure driver-job overhead, r19)
+    val seedRow = fine.agg(count(lit(1)), max(col("cid"))).head
+    val nSeeds = seedRow.getLong(0)
     require(
       nSeeds == k,
       s"two-level k-means seeding expects $k seed vectors present after quantizeShifted's " +
         s"degenerate-vector filter; found $nSeeds of $k — re-id the corpus or lower k"
     )
+    val finePack = if (seedRow.isNullAt(1)) None else argminPackForMax(seedRow.getLong(1), dims)
     tick("fine_seed_assign")
     val active = fine.select(col("cell").as("cid")).distinct()
     val activeCents = coarse.join(active, Seq("cid"))
     // the fixed coarse partition every fine round (and the final
-    // assignment) reads — checkpoint once, N rows
-    val vcell = assign(q, activeCents, dims)
+    // assignment) reads — checkpoint once, N rows. activeCents ⊆
+    // coarse, so the coarse pack bounds its cid space too.
+    val vcell = assign(q, activeCents, dims, coarsePack)
       .select(col("vec_id"), col("qa"), col("cluster").as("cell"))
       .localCheckpoint()
     tick("coarse_assign")
@@ -292,7 +379,7 @@ object KMeans {
     // rounds" 692 GB)
     def fineAssign(f: DataFrame): DataFrame = {
       val fanout = vcell.join(f, Seq("cell"))
-      val core = argminPackFor(f, dims) match {
+      val core = finePack match {
         case Some(pk) =>
           fanout
             .select(col("vec_id"), pk.key(dist2(col("qa"), col("ca"), dims), col("cid")).as("p"))
@@ -320,11 +407,14 @@ object KMeans {
         array((1 to dims).map(i => expr(s"s$i div n")): _*).as("nca")
       )
       // empty fine clusters keep their centroid; the cell pin never
-      // moves even as coordinates do (declared contract, oracle-mirrored)
+      // moves even as coordinates do (declared contract, oracle-
+      // mirrored). Lazy checkpoint: lineage still cut per round, the
+      // k-row frame materializes inside the next round's job (the
+      // PageRank in-loop shape).
       fine = fine
         .join(next, Seq("cid"), "left_outer")
         .select(col("cid"), col("cell"), coalesce(col("nca"), col("ca")).as("ca"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     tick("fine_rounds")
     TwoLevelState(
@@ -564,7 +654,23 @@ object KMeans {
     * rows of `q`) — the piece the rank-seeded two-level path shares
     * with the dense-id default.
     */
-  private def refineCentroidsFrom(q: DataFrame, seedRows: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
+  private def refineCentroidsFrom(q: DataFrame, seedRows: DataFrame, k: Int, iters: Int, dims: Int): DataFrame =
+    refineCentroidsWithPack(q, seedRows, k, iters, dims)._1
+
+  /** [[refineCentroidsFrom]] also returning the argmin pack computed
+    * ONCE from the seed ids — centroid ids never change across Lloyd
+    * rounds (the update keys by cid; empty clusters keep their row),
+    * so the per-round max-cid probe the old shape paid was a pure
+    * driver-job tax (~40 tiny jobs were half of q119's r19 wall).
+    * The seeding-count gate and the max-cid probe share ONE job.
+    */
+  private def refineCentroidsWithPack(
+      q: DataFrame,
+      seedRows: DataFrame,
+      k: Int,
+      iters: Int,
+      dims: Int
+  ): (DataFrame, Option[ArgminPack]) = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     var cents = seedRows
       .select(col("vec_id").as("cid"), col("qa").as("ca"))
@@ -574,14 +680,16 @@ object KMeans {
     // degenerate first-k vectors would otherwise under-seed and the
     // query would SILENTLY return an under-clustered frame — the
     // checkpointed frame makes the count free, so fail loudly instead
-    val nSeeds = cents.count()
+    val seedRow = cents.agg(count(lit(1)), max(col("cid"))).head
+    val nSeeds = seedRow.getLong(0)
     require(
       nSeeds == k,
       s"k-means seeding expects $k seed vectors present after quantizeShifted's " +
         s"degenerate-vector filter; found $nSeeds of $k — re-id the corpus or lower k"
     )
+    val pack = if (seedRow.isNullAt(1)) None else argminPackForMax(seedRow.getLong(1), dims)
     for (_ <- 1 to iters) {
-      val a = assign(q, cents, dims)
+      val a = assign(q, cents, dims, pack)
       val sums = a
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"), (1 to dims).map(i => sum(element_at(col("qa"), i)).as(s"s$i")): _*)
@@ -590,12 +698,16 @@ object KMeans {
         array((1 to dims).map(i => expr(s"s$i div n")): _*).as("nca")
       )
       // empty clusters keep their previous centroid (left join +
-      // coalesce — the declared contract, mirrored in the oracle)
+      // coalesce — the declared contract, mirrored in the oracle).
+      // LAZY checkpoint: still cuts lineage per round, but the K-row
+      // frame materializes inside the next round's job instead of
+      // paying one eager job per iteration (the PageRank in-loop
+      // shape — ~30% of q97's wall was those launches).
       cents = cents
         .join(next, Seq("cid"), "left_outer")
         .select(col("cid"), coalesce(col("nca"), col("ca")).as("ca"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
-    cents
+    (cents, pack)
   }
 }

@@ -225,8 +225,16 @@ object DedupSimQueries {
     graft.dedup.DedupPipeline.semDedup(probeAsg, Dims, SemDedupTauNum, SemDedupTauDen)
 
   private[graft] def shingles3(s: SparkSession, dir: String): DataFrame =
+    // spreadScan: the shingle explode (and, through the anti-join's
+    // pass-through partitioning, this checkpoint and every consumer's
+    // first map stage) otherwise inherits the 1-task single-row-group
+    // sf0.1 scan — measured r19: the whole minhash/jaccard family ran
+    // its heaviest stages on one core. Identity at decade scale.
     Dedup.checkpointHeavy(
-      Dedup.dfCapped(Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3), MaxShingleDf)
+      Dedup.dfCapped(
+        Dedup.shingles(Dedup.spreadScan(Tables.documents(s, dir), col("doc_id")), "doc_id", "text", 3),
+        MaxShingleDf
+      )
     )
 
   private def embDouble(s: SparkSession, dir: String): DataFrame =

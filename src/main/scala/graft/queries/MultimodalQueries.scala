@@ -46,8 +46,14 @@ object MultimodalQueries {
       val chunkBits = Multimodal.phashChunkBitsFor(docs.count())
       val totalBits = Multimodal.PhashChunks * chunkBits
       // strip materialized ONCE behind a lineage cut — see
-      // Multimodal.dhashWordsFromArray for why inlining is 17× slower
-      val strips = Multimodal.stripFrame(docs, "doc_id", totalBits + 1).localCheckpoint()
+      // Multimodal.dhashWordsFromArray for why inlining is 17× slower.
+      // spreadScan on the id-only projection (the strip derives from
+      // doc_id alone, so the engaged exchange carries 8 B/row): the
+      // md5 synthesis is the query's dominant compute and otherwise
+      // runs on the scan's partitioning — 1 task at sf0.1 (measured
+      // r19: 4.2 s of the 5.0 s query on one core).
+      val spread = graft.dedup.Dedup.spreadScan(docs.select(col("doc_id")), col("doc_id"))
+      val strips = Multimodal.stripFrame(spread, "doc_id", totalBits + 1).localCheckpoint()
       val words = Multimodal.dhashWordsFromArray(col("sa"), totalBits)
       val sigs =
         strips.select(col("doc_id") +: words.zipWithIndex.map { case (w, i) => w.as(s"h$i") }: _*)

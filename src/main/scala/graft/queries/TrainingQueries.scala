@@ -1125,7 +1125,9 @@ object TrainingQueries {
     "q131_dsir_weights" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
       val docs = Tables.documents(s, dir)
-      val toks = docs.select(
+      // spreadScan: the regexp tokenize is the dominant map compute
+      // and otherwise inherits the 1-task sf0.1 scan (r19)
+      val toks = graft.dedup.Dedup.spreadScan(docs, col("doc_id")).select(
         col("doc_id"),
         (col("lang") === "en").as("is_tgt"),
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("t")
@@ -1139,9 +1141,17 @@ object TrainingQueries {
           col("is_tgt"),
           concat_ws(" ", try_element_at(col("t"), col("i")), try_element_at(col("t"), col("i") + 1)).as("g")
         )
-      val feats = uni
-        .unionByName(big)
-        .select(col("doc_id"), col("is_tgt"), (graft.functions.GraftFunctions.strhash2(col("g")) % DsirBuckets).as("b"))
+      // materialized ONCE (r19): cs, ct, totals and the per-doc score
+      // join all read this frame — un-checkpointed, each reference
+      // re-ran the full tokenize+explode pipeline (4 corpus
+      // tokenizations in one plan), and on the single-row-group sf0.1
+      // scan each ran single-task. checkpointHeavy so the decade
+      // residency knob reaches the corpus-token-sized frame.
+      val feats = graft.dedup.Dedup.checkpointHeavy(
+        uni
+          .unionByName(big)
+          .select(col("doc_id"), col("is_tgt"), (graft.functions.GraftFunctions.strhash2(col("g")) % DsirBuckets).as("b"))
+      )
       val cs = feats.groupBy(col("b")).agg(count(lit(1)).as("cs"))
       val ct = feats.filter(col("is_tgt")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
       val totals = feats

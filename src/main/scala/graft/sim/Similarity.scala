@@ -581,15 +581,16 @@ object Similarity {
   /** Exact integer L2² against a LITERAL centroid — a pure scan-side
     * Column tree (the centroids are driver-collected, so cell
     * assignment needs zero joins and zero shuffles at build AND probe
-    * time).
+    * time). Since r19 the kernel is ONE native dist2i node over an
+    * array literal: the unrolled (element_at − lit)² tree was dims ×
+    * nCells terms of Catalyst/codegen PER REFERENCE — with 16 cells ×
+    * 64 dims re-expanded at every use site, q125 spent more time
+    * planning/compiling than executing (its r19 driver gap was 2.8 s
+    * of a 5.5 s query). Same left-assoc exact-BIGINT square sum,
+    * bit-identical distances.
     */
   private def dist2Lit(qa: Column, ca: Seq[Long]): Column =
-    ca.zipWithIndex
-      .map { case (c, i) =>
-        val d = element_at(qa, i + 1) - c
-        d * d
-      }
-      .reduce(_ + _)
+    GraftFunctions.dist2i(qa, lit(ca.toArray))
 
   /** argmin cell id over the literal centroids: a least() fold over
     * (d2, cid) structs — ties to the smallest cid, bit-deterministic.

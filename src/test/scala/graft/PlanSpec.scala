@@ -367,8 +367,13 @@ class PlanSpec extends AnyFunSuite {
     "q125_ivfpq_topk" -> 2,
     // q126: window-hash occurrence agg + the per-doc span agg; the
     // mark semi-join and the final doc stitch ride those exchanges
-    // (AQE broadcasts the dup-hash set at test SF)
-    "q126_substring_dedup" -> 2,
+    // (AQE broadcasts the dup-hash set at test SF). +2 (r19): the
+    // spreadScan repartitions that parallelize the tokenize/gram
+    // explodes off the single-row-group small-SF scan — pushed-down
+    // filters make each reference its own exchange; ALL of them are
+    // identities at decade/cluster scale (multi-file scans), so the
+    // budget delta prices the small-SF engagement only
+    "q126_substring_dedup" -> 4,
     // q127: returned plan is an explode over the checkpointed 1-row
     // weight state — the per-round gradient aggregates live behind
     // the round checkpoints (the Ipf/KMeans budget convention)
@@ -386,8 +391,9 @@ class PlanSpec extends AnyFunSuite {
     "q129_semantic_dedup" -> 2,
     // q130: the gram-hash occurrence agg + the covered-index distinct
     // + the per-doc reassembly agg; the anti-join and the final doc
-    // stitch ride those exchanges
-    "q130_substring_clean" -> 3,
+    // stitch ride those exchanges. +3 (r19): engaged spreadScan
+    // repartitions at small SF (see q126) — identity at scale
+    "q130_substring_clean" -> 6,
     // q131: the two bucket-model aggregates (corpus + target counts)
     // + the per-doc mean agg; model join-back and totals are
     // broadcasts, the final doc stitch rides AQE
@@ -405,8 +411,9 @@ class PlanSpec extends AnyFunSuite {
     // are unbounded at scale, so no broadcast hint)
     "q134_dedup_eval" -> 5,
     // q135: q126's two exchanges + the per-source rollup agg; the
-    // source join rides the doc stitch
-    "q135_dup_by_source" -> 3,
+    // source join rides the doc stitch. +2 (r19): engaged spreadScan
+    // repartitions at small SF (see q126) — identity at scale
+    "q135_dup_by_source" -> 5,
     // q136: one scan + the 1-row accuracy aggregate; training ran as
     // driver-side actions behind checkpoints (the q127 convention)
     "q136_train_eval" -> 1,
