@@ -173,25 +173,9 @@ object PageRank {
       .join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
     val edgesW = (if (prePartitioned) edgesW0 else edgesW0.repartition(col("src"))).localCheckpoint()
-    // ONE partition count for every iteration-keyed frame (r19): the
-    // rank join needs hash(node), the contribution aggregate
-    // hash(dst), the rank update hash(node) again — left to AQE each
-    // lands on its own coalesced count, so every round re-shuffled
-    // the rank frame into the join AND the contrib frame into the
-    // update (3 exchanges/round, measured as ~2/3 of q97's sf0.1
-    // wall in tiny AQE stage-jobs). Pinning nodes/ranks/contrib to
-    // the edge frame's own partition count makes the join and the
-    // update co-partitioned zippers — ONE exchange per round (the
-    // contribution repartition), same arithmetic bit-for-bit. On a
-    // cluster p is the edge layout's width (bucket count / ingest
-    // repartition), exactly the partitioning an iterative rank keeps
-    // riding; guide §2.4 "two operations keyed the same way share
-    // one exchange".
-    val p = edgesW.rdd.getNumPartitions
     val nodes = edgesC
       .select(col("src").as("node"))
       .union(edgesC.select(col("dst").as("node")))
-      .repartition(p, col("node"))
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
@@ -205,15 +189,10 @@ object PageRank {
     // time at sf0.1 was those launches)
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint(false)
     for (_ <- 1 to iterations) {
-      // partial (map-side) aggregation stays with the groupBy; the
-      // pin exchange after it moves only the per-dst aggregated rows
-      // (≤ node count — the same rows the unpinned left join used to
-      // re-shuffle anyway)
       val contrib = edgesW
         .join(ranks, ranks("node") === edgesW("src"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("outdeg").cast("double")).as("contrib"))
-        .repartition(p, col("dst"))
       ranks = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"), (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("pr"))

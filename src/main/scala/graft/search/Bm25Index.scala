@@ -71,13 +71,7 @@ object Bm25Index {
     * the bucketing deliberately does NOT use).
     */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // spreadScan: the regexp tokenize + explode is this index's
-    // dominant map compute and otherwise inherits the scan's
-    // partitioning — 1 task on the single-row-group sf0.1 corpus
-    // (measured r19: the postings build single-threaded across
-    // q76/q117/q140/q141). Identity at decade/cluster scale.
-    val spread = graft.dedup.Dedup.spreadScan(docs, col(idCol))
-    val tf = spread
+    val tf = docs
       .select(col(idCol).as("doc_id"), explode(expr(s"regexp_extract_all(lower($textCol), '$TokenPattern', 0)")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
