@@ -48,6 +48,25 @@ object GraftSession {
         "spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true")
       )
+      // parallelismFirst targets totalBytes/parallelism per partition
+      // but never goes below minPartitionSize — so a CPU-DENSE stage
+      // whose bytes are small (a GK-sketch merge, a 150k-key distinct
+      // rewrite, a fact-window over ~14 MB of shuffled longs) was
+      // coalesced to bytes/1MB tasks and ran 3-of-32-cores wide at
+      // Spark's 1m default (r19 probes: q45/q57/q83/q97's heaviest
+      // stages). Bytes are the wrong proxy for work in those stages
+      // at ANY estate size; the floor exists only to stop block-count
+      // explosions, and 64 KB keeps that guard while letting few-MB
+      // CPU-dense stages reach the session parallelism. Measured both
+      // ways at sf0.1 (r19, same-era full-bench A-B-A: 146.6 s at 64k
+      // vs 153.4 at 1m, wins spread over the window/sketch/distinct
+      // families; a 20-query probe set agreed) — see
+      // OPTIMIZATION_r19.md Finding 6. Env-tunable for campaigns;
+      // decade-scale stages are GBs and never near either floor.
+      .config(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        s"${sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_KB", "64")}k"
+      )
       .config(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         s"${sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_MB", "64")}m"

@@ -122,8 +122,15 @@ object AnalyticsQueries {
     // between engines). df comes from one token-keyed aggregate that
     // AQE broadcasts back onto the (doc, token) counts.
     "q48_tfidf" -> { (s, dir) =>
-      val docTok = Tables
-        .documents(s, dir)
+      // spreadScan (r19): unlike the other tokenize sites (where an
+      // added doc_id exchange measured as pure cost — reverted), here
+      // the spread IS the tf aggregate's exchange: hash(doc_id)
+      // satisfies the groupBy(doc_id, token) clustering, so the
+      // 1-task sf0.1 tokenize parallelizes and the plan's exchange
+      // count is unchanged (measured −0.5 s same-era A-B-A). Identity
+      // at decade/cluster scale.
+      val docTok = graft.dedup.Dedup
+        .spreadScan(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
       val tf = docTok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
