@@ -138,7 +138,14 @@ object Bench {
     // are byte-identical to production.
     if (Volumes.isEnabled) Volumes.enable(spark)
     val volumes = scala.collection.mutable.LinkedHashMap[String, Map[String, Long]]()
-    for (p <- 0 until passes; name <- names if !failed.contains(name)) {
+    // per-pass Janino wall (CodeGenerator.compileTime, ns): the
+    // mechanism telemetry behind spark.sql.codegen.cache.maxEntries —
+    // with a working cache pass 2's compile time collapses toward 0;
+    // with the 100-entry default it re-pays pass 1's bill (r20).
+    val codegenCompileSec = Array.fill(passes)(0.0)
+    for (p <- 0 until passes) {
+    val ct0 = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.compileTime
+    for (name <- names if !failed.contains(name)) {
       val fn = SparkEntry.queries(name)
       if (Volumes.isEnabled) Volumes.reset()
       val t0 = System.nanoTime()
@@ -168,6 +175,10 @@ object Bench {
           failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
           System.err.println(s"[bench] $name FAILED: ${failed(name)}")
       }
+    }
+    codegenCompileSec(p) =
+      (org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.compileTime - ct0) / 1e9
+    System.err.println(f"[bench] pass ${p + 1} codegen compile wall: ${codegenCompileSec(p)}%.1f s")
     }
     // r13 verdict #5: the headline rows for the index-builder queries
     // are honest build+append+query TOTALS, which lets host wobble on
@@ -262,6 +273,7 @@ object Bench {
             s""""${esc(n)}":${vs.toSeq.sorted.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")}"""
           }
           .mkString("{", ",", "}")},
+         |"codegen_compile_sec":${codegenCompileSec.map(s => math.round(s * 1000) / 1000.0).mkString("[", ",", "]")},
          |"queries":${obj(timings)},
          |"value":$total}""".stripMargin
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileJson)

@@ -14,11 +14,27 @@ import org.apache.spark.sql.SparkSession
   *     determinism.
   */
 object GraftSession {
+  /** Numeric env knob that a unit suffix gets appended to: fail with a
+    * message naming the VARIABLE, not Spark's opaque byte-string parse
+    * error three frames later (r19 ADVICE).
+    */
+  private def envLong(name: String, default: Long): Long =
+    sys.env.get(name) match {
+      case None => default
+      case Some(v) =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$name must be a plain number (a unit suffix is appended internally); got '$v'")
+        }
+    }
+
   // SHJ local-map threshold only. The AQE advisory partition size is
   // defaulted INDEPENDENTLY to 64m below — the SMJ→SHJ conversion
   // engages only when a campaign exports SPARK_GRAFT_AQE_ADVISORY_MB
   // down to this threshold (see the conversion-gate comment).
-  private def shjLocalMapMb: String = sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP_MB", "16")
+  private def shjLocalMapMb: Long = envLong("SPARK_GRAFT_SHJ_LOCALMAP_MB", 16L)
 
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession
@@ -63,13 +79,17 @@ object GraftSession {
       // families; a 20-query probe set agreed) — see
       // OPTIMIZATION_r19.md Finding 6. Env-tunable for campaigns;
       // decade-scale stages are GBs and never near either floor.
+      // the env value is validated NUMERIC before the unit suffix is
+      // appended (r19 ADVICE: an operator exporting "1m" — plausible
+      // next to the _ADVISORY_MB knob — produced "1mk" and killed
+      // session construction with an opaque byte-string parse error)
       .config(
         "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        s"${sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_KB", "64")}k"
+        s"${envLong("SPARK_GRAFT_AQE_MIN_PARTITION_KB", 64L)}k"
       )
       .config(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        s"${sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_MB", "64")}m"
+        s"${envLong("SPARK_GRAFT_AQE_ADVISORY_MB", 64L)}m"
       )
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Runtime SMJ -> shuffled-hash conversion: when AQE measures
@@ -144,8 +164,30 @@ object GraftSession {
       // the corpus; every sf0.1 table is a single ≤16 MB file, so the
       // driver-gate plans and timings are untouched. Map-side combine
       // output is unchanged — only the pre-shuffle parallelism moves.
-      .config("spark.sql.files.maxPartitionBytes", s"${sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_MB", "16")}m")
+      .config("spark.sql.files.maxPartitionBytes", s"${envLong("SPARK_GRAFT_MAX_PARTITION_MB", 16L)}m")
       .config("spark.sql.session.timeZone", "UTC")
+      // Generated-class cache (STATIC conf, sized at first-session
+      // creation): Spark keeps at most `maxEntries` compiled codegen
+      // classes (default 100) and the 142-operator suite generates
+      // far more distinct codegen units per sweep — the default cache
+      // provably thrashes, so EVERY re-execution of a plan (Bench
+      // pass 2, AQE re-optimized stages, a service's repeated
+      // queries) pays full Janino recompilation instead of a cache
+      // hit. Measured r20 (same-era A-B-B-A full bench, per-pass
+      // CodeGenerator.compileTime telemetry, artifacts
+      // tools/r20/aba_cg_*.json): at 100 entries pass 2 re-pays the
+      // whole Janino bill (33.8/34.7 s and 35.5/29.0 s of compile
+      // across passes 1/2); at 4096 pass-2 compile collapses to 0.8 s
+      // and the sweep totals drop 140.9/129.8 -> 95.1/96.0 s (-30%,
+      // 111 of 142 queries improve, zero regress beyond noise).
+      // Scale posture: this is DRIVER-side memory (~30-50 KB of
+      // bytecode per entry => ~100-200 MB metaspace at 4096), the
+      // exact trade a long-lived cluster driver wants; it does not
+      // touch executor memory or any plan shape.
+      .config(
+        "spark.sql.codegen.cache.maxEntries",
+        envLong("SPARK_GRAFT_CODEGEN_CACHE_ENTRIES", 4096L).toString
+      )
       // Local mode has no executor exit to reap finished stages'
       // shuffle files — ContextCleaner only removes them after a full
       // GC collects the dropped ShuffleDependency, and the default
