@@ -225,6 +225,17 @@ object DedupSimQueries {
     graft.dedup.DedupPipeline.semDedup(probeAsg, Dims, SemDedupTauNum, SemDedupTauDen)
 
   private[graft] def shingles3(s: SparkSession, dir: String): DataFrame =
+    shingles3Spread(s, dir, 0)
+
+  /** The signature-only consumers' variant (r20 — the r19-measured
+    * spread toll on q66/q85/q87/q108): same shingle set, checkpoint
+    * and df-cap, but the small-corpus spread engages at
+    * `width` (> 0) instead of the full session width — a
+    * signatures-only pipeline (explode + one bounded aggregate) never
+    * amortizes 32-task waves on its KB-sized downstream stages.
+    * Width 0 = the heavy consumers' default.
+    */
+  private[graft] def shingles3Spread(s: SparkSession, dir: String, width: Int): DataFrame =
     // spreadScan: the shingle explode (and, through the anti-join's
     // pass-through partitioning, this checkpoint and every consumer's
     // first map stage) otherwise inherits the 1-task single-row-group
@@ -232,10 +243,35 @@ object DedupSimQueries {
     // its heaviest stages on one core. Identity at decade scale.
     Dedup.checkpointHeavy(
       Dedup.dfCapped(
-        Dedup.shingles(Dedup.spreadScan(Tables.documents(s, dir), col("doc_id")), "doc_id", "text", 3),
+        Dedup.shingles(
+          Dedup.spreadScanTo(Tables.documents(s, dir), width, col("doc_id")),
+          "doc_id",
+          "text",
+          3
+        ),
         MaxShingleDf
       )
     )
+
+  /** Spread width for the signature-only shingle consumers: a quarter
+    * of the session parallelism (≥1) — enough tasks to amortize the
+    * explode, few enough that the bounded minhash aggregate's
+    * downstream waves stay cheap. Env-tunable for A/B brackets
+    * (0 = the full default width, negative = no spread).
+    */
+  private def sigSpreadWidth(s: SparkSession): Int =
+    sys.env.get("SPARK_GRAFT_SIG_SPREAD_WIDTH").map(_.toInt).getOrElse(
+      math.max(1, s.sparkContext.defaultParallelism / 4)
+    )
+
+  private def shingles3Sig(s: SparkSession, dir: String): DataFrame = {
+    val w = sigSpreadWidth(s)
+    if (w < 0)
+      Dedup.checkpointHeavy(
+        Dedup.dfCapped(Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3), MaxShingleDf)
+      )
+    else shingles3Spread(s, dir, w)
+  }
 
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -379,7 +415,7 @@ object DedupSimQueries {
     // oracle-exact.
     "q66_minhash_est" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val sigs = Dedup.checkpointHeavy(Dedup.minhashSignatures(shingles3(s, dir), NumPerms))
+      val sigs = Dedup.checkpointHeavy(Dedup.minhashSignatures(shingles3Sig(s, dir), NumPerms))
       sigmatchEstimate(Dedup.lshCandidates(sigs, NumPerms, RowsPerBand), sigs, "doc_a", "doc_b")
     },
 
@@ -396,7 +432,7 @@ object DedupSimQueries {
     // fixed double-op sequence, so the oracle hash-compares at 4dp.
     "q108_containment_est" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val sh = shingles3(s, dir)
+      val sh = shingles3Sig(s, dir)
       val sigs = Dedup.checkpointHeavy(Dedup.minhashSignatures(sh, NumPerms))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")).localCheckpoint()
       val est = sigmatchEstimate(Dedup.lshCandidates(sigs, NumPerms, RowsPerBand), sigs, "doc_a", "doc_b")
@@ -611,7 +647,7 @@ object DedupSimQueries {
     // 0.5), so no float boundary decides membership.
     "q85_incremental_dedup" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val sigs = Dedup.checkpointHeavy(Dedup.minhashSignatures(shingles3(s, dir), NumPerms))
+      val sigs = Dedup.checkpointHeavy(Dedup.minhashSignatures(shingles3Sig(s, dir), NumPerms))
       val cands = Dedup.lshCandidatesAgainst(
         sigs.filter(col("doc_id") % 7 === 3),
         sigs.filter(col("doc_id") % 7 =!= 3),
@@ -632,7 +668,7 @@ object DedupSimQueries {
     // job; only the band join downstream is the recurring cost.
     "q87_bucketed_index_dedup" -> { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val sigs = Dedup.checkpointHeavy(Dedup.minhashSignatures(shingles3(s, dir), NumPerms))
+      val sigs = Dedup.checkpointHeavy(Dedup.minhashSignatures(shingles3Sig(s, dir), NumPerms))
       Dedup.writeSignatureIndex(
         sigs.filter(col("doc_id") % 7 =!= 3), SigIndexTable, NumPerms, RowsPerBand, SigIndexBuckets)
       val cands = Dedup.lshCandidatesAgainstIndex(

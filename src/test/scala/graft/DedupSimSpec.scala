@@ -836,4 +836,32 @@ class DedupSimSpec extends AnyFunSuite {
       s"degraded estimate (raw $rawEst vs $leafSum of leaves) must be bounded to leafSum x 64"
     )
   }
+
+  test("spreadScanTo: width override engages on a narrow scan, default width at 0, identity off the gate") {
+    // r20 (the r19 light-minhash follow-up): signature-only consumers
+    // spread their single-row-group scan at cores/4 instead of the
+    // full session width — bracket-measured −1.6 s over
+    // q66/q85/q87/q108 vs both the full width and no spread
+    // (tools/r20/aba_sig_*.json). Contracts: a positive width is used
+    // verbatim when the gate engages; width 0 falls back to
+    // max(cores, clusterWidth); a frame with no input files (the gate
+    // can't price it) is returned UNTOUCHED, so checkpointed/derived
+    // frames never gain an exchange.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val cores = spark.sparkContext.defaultParallelism
+    assert(docs.inputFiles.length < cores, "precondition: the sf0.001 corpus must be a sub-parallelism scan")
+    val narrow = graft.dedup.Dedup.spreadScanTo(docs, 8, col("doc_id"))
+    assert(narrow.rdd.getNumPartitions == 8, "explicit width must be used verbatim")
+    val dflt = graft.dedup.Dedup.spreadScanTo(docs, 0, col("doc_id"))
+    assert(
+      dflt.rdd.getNumPartitions == math.max(cores, graft.dedup.Dedup.clusterWidth(docs)),
+      "width 0 must keep the session-default spread"
+    )
+    val noFiles = docs.select(col("doc_id")).localCheckpoint()
+    try assert(
+      graft.dedup.Dedup.spreadScanTo(noFiles, 8, col("doc_id")) eq noFiles,
+      "a fileless frame must pass through untouched"
+    ) finally noFiles.unpersist()
+  }
 }
