@@ -844,8 +844,22 @@ object TrainingQueries {
       // per-doc-deduped, so it shuffles the same rows the pre-r17
       // shared distinct did — no regression, and source-keyed sets
       // genuinely need a cross-row pass).
+      // spreadScan (r20): the gram synthesis is the probe-measured
+      // single-task hotspot (0.54 s of q114's 1.6 s wall rides the
+      // 1-task single-row-group scan) — the same shingle-synthesis
+      // class r19's Finding-1 spread sites won on; it was simply
+      // missed because this site keys sets by `source`, not doc_id.
+      // The spread key stays doc_id (high-cardinality, even) — the
+      // cross-source distinct re-shuffles by (source, shingle) anyway.
+      // Bracketed on/off ×4 with q63 as era control: on wins 3 of 4
+      // pairs, min 1.56 vs 1.73 s (tools/r20/aba_q114_*.json).
       val grams = graft.dedup.Dedup
-        .shingles(Tables.documents(s, dir), "source", "text", ContamN)
+        .shingles(
+          graft.dedup.Dedup.spreadScan(Tables.documents(s, dir), col("doc_id")),
+          "source",
+          "text",
+          ContamN
+        )
         .withColumnRenamed("doc_id", "source")
         .distinct()
         .localCheckpoint() // per-source gram sets: bounded by |sources| x vocab, not corpus-heavy
